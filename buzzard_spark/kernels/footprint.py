@@ -1,0 +1,1047 @@
+"""Footprint — an immutable pixel grid located in space by an affine transform.
+
+Semantics-compatible reimplementation of buzzard's ``Footprint``
+(reference: buzzard/_footprint.py:115-2272, buzzard/_footprint_tile.py,
+buzzard/_footprint_move.py) on plain numpy — no GDAL / shapely / affine
+dependencies — so it can run inside Spark pandas UDFs.
+
+Behavior pinned by the reference test suite (test_footprint*.py) is
+reproduced bit-for-bit: constructor validation, the tiling boundary-effect
+algebra, the significant-digits rounding of ``spatial_to_raster`` /
+``of_extent``, grid predicates, and the move/snap cascade.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations as _combinations
+
+import numpy as np
+
+from buzzard_spark.env import env
+from buzzard_spark.kernels import affine6, precision
+
+_BOUNDARY_EFFECTS = ('extend', 'exclude', 'overlap', 'shrink', 'exception')
+_OCCURRENCE_BOUNDARY_EFFECTS = ('extend', 'exception')
+_LOCI = ('br', 'tr', 'tl', 'bl')
+
+
+def _axis_spans(tile_len, overlap, total, effect, axis_name):
+    """Plan one tiling axis: list of (pixel_offset, pixel_length).
+
+    Integer arithmetic identical to the reference's per-effect generators
+    (reference: buzzard/_footprint_tile.py:12-124): regular tiles start at
+    multiples of ``tile_len - overlap``; the leftover ``gap`` at the far
+    boundary is handled per effect.
+    """
+    increment = tile_len - overlap
+    if tile_len > total:
+        count = 0
+    else:
+        count = 1 + (total - tile_len) // increment
+    gap = total - tile_len - max(0, count - 1) * increment
+    regular = [(i * increment, tile_len) for i in range(count)]
+
+    if effect == 'extend':
+        if gap < 0:
+            return [(0, tile_len)]
+        if gap != 0:
+            regular.append((total - gap - overlap, tile_len))
+        return regular
+    if effect == 'exclude':
+        return regular
+    if effect == 'overlap':
+        if gap < 0:
+            raise ValueError(
+                'Cannot apply boundary_effect=overlap with a tile({}) bigger '
+                'than source({})'.format(tile_len, total))
+        if gap != 0:
+            regular.append((total - tile_len, tile_len))
+        return regular
+    if effect == 'shrink':
+        if gap < 0:
+            return [(0, total)]
+        if gap != 0:
+            regular.append((total - gap - overlap, gap + overlap))
+        return regular
+    if effect == 'exception':
+        if gap != 0:
+            raise ValueError(
+                'There is a gap of %d pixel in the %s direction, '
+                '`gap:%d %% (size:%d - overlap:%d) == 0` was required' % (
+                    gap, axis_name, gap, tile_len, overlap))
+        return regular
+    raise AssertionError(effect)
+
+
+class Footprint:
+    """Immutable rectangle: 6-float64 geotransform + 2-int raster size."""
+
+    __slots__ = ('_coef', '_rsize', '_corners', '_significant_min')
+
+    def __init__(self, **kwargs):
+        if 'rsize' not in kwargs:
+            raise ValueError('Missing `rsize` parameter')
+        rsize = np.asarray(kwargs.pop('rsize'), dtype='int32')
+        if rsize.shape != (2,):
+            raise ValueError('Invalid rsize shape `%s`' % str(rsize.shape))
+        if not np.isfinite(rsize).all() or (rsize <= 0).any():
+            raise ValueError('Invalid rsize value `%s`' % rsize)
+
+        if 'gt' in kwargs:
+            gt = np.asarray(kwargs.pop('gt'), dtype='float64')
+            if gt.shape != (6,):
+                raise ValueError('Invalid gt shape `%s`' % str(gt.shape))
+            if not np.isfinite(gt).all():
+                raise ValueError('Invalid gt value `%s`' % gt)
+            c, a, b, f, d, e = gt
+        elif 'tl' in kwargs and 'size' in kwargs:
+            tl = np.asarray(kwargs.pop('tl'), dtype='float64')
+            if tl.shape != (2,):
+                raise ValueError('Invalid tl shape `%s`' % str(tl.shape))
+            if not np.isfinite(tl).all():
+                raise ValueError('Invalid tl value `%s`' % tl)
+            size = np.asarray(kwargs.pop('size'), dtype='float64')
+            if size.shape != (2,):
+                raise ValueError('Invalid size shape `%s`' % str(size.shape))
+            if not np.isfinite(size).all() or (size <= 0).any():
+                raise ValueError('Invalid size value `%s`' % size)
+            b = d = 0.
+            c, f = tl
+            a = size[0] / float(rsize[0])
+            e = -size[1] / float(rsize[1])
+        else:
+            raise ValueError('Provide `gt & rsize` or `tl & size & rsize`')
+        if kwargs:
+            raise ValueError(f'Unknown parameters [{kwargs.keys()}]')
+
+        if a * e - d * b == 0:
+            raise ValueError('Determinant should not be 0')
+        if (b != 0 or d != 0 or a <= 0 or e >= 0) and not env.allow_complex_footprint:
+            raise ValueError(
+                'Creating a non north-up/west-left Footprint; use '
+                'Env(allow_complex_footprint=True) to allow it. '
+                'affine: %s' % str((a, b, c, d, e, f)))
+
+        coef = (float(a), float(b), float(c), float(d), float(e), float(f))
+        rw, rh = int(rsize[0]), int(rsize[1])
+        corners = np.empty((4, 2), dtype=np.float64)
+        corners[0] = (c, f)                                 # tl
+        corners[1] = affine6.apply(coef, 0, rh)             # bl
+        corners[2] = affine6.apply(coef, rw, rh)            # br
+        corners[3] = affine6.apply(coef, rw, 0)             # tr
+        self._coef = coef
+        self._rsize = np.asarray([rw, rh], dtype=env.default_index_dtype)
+        self._corners = corners
+        size = precision.corners_size(corners[0], corners[2], corners[3])
+        self._significant_min = precision.significant_min_of(
+            corners, (size / self._rsize).min())
+
+    # -- construction helpers ------------------------------------------------
+
+    @classmethod
+    def of_extent(cls, extent, scale):
+        """Footprint from (minx, maxx, miny, maxy) + pixel scale, with
+        grid-density rounding (reference: buzzard/_footprint.py:218-273)."""
+        extent = np.asarray(extent, dtype='float64')
+        if extent.shape != (4,):
+            raise ValueError(f'Invalid extent shape `{extent.shape}`')
+        if not np.isfinite(extent).all():
+            raise ValueError(f'Invalid extent value `{extent}`')
+        if extent[0] == extent[1] or extent[2] == extent[3]:
+            raise ValueError('Empty extent')
+
+        scale = np.asarray(scale, dtype='float64')
+        if scale.ndim == 0:
+            scale = np.asarray([scale, -scale], dtype='float64')
+        elif scale.shape == (1,):
+            scale = np.asarray([scale[0], -scale[0]], dtype='float64')
+        elif scale.shape != (2,):
+            raise ValueError(f'scale has shape {scale.shape} instead of (2,)')
+        if (scale == 0).any():
+            raise ValueError('scale should be greater than 0')
+
+        minx, maxx, miny, maxy = extent
+        tl = np.asarray([minx, maxy])
+        br = np.asarray([maxx, miny])
+        tr = np.asarray([maxx, maxy])
+        bl = np.asarray([minx, miny])
+        coords = np.asarray([tl, bl, br, tr])
+        pxsize = np.abs(scale)
+        precision.check_significant(
+            precision.significant_min_of(coords, pxsize.min()))
+        agd = precision.abstract_grid_density_of(coords, pxsize.min())
+        rect_size = precision.corners_size(tl, br, tr)
+        rsize = np.around(rect_size / pxsize * agd, 0) / agd
+        size = rsize * pxsize
+        return cls(tl=tl, size=size, rsize=rsize)
+
+    def clip(self, startx, starty, endx, endy):
+        """Sub-footprint by pixel slicing — python slice semantics
+        (reference: buzzard/_footprint.py:275-310)."""
+        startx, endx, _ = slice(startx, endx).indices(self.rsizex)
+        starty, endy, _ = slice(starty, endy).indices(self.rsizey)
+        rsize = np.asarray([endx - startx, endy - starty])
+        tl = self.tl + startx * self.pxlrvec + starty * self.pxtbvec
+        gt = self.gt
+        gt[0] = tl[0]
+        gt[3] = tl[1]
+        return self.__class__(gt=gt, rsize=rsize)
+
+    def _morpho(self, left, right, top, bottom):
+        if left == right == top == bottom == 0:
+            return self
+        coef = affine6.compose(self._coef, affine6.translation(-left, -top))
+        return Footprint(
+            gt=affine6.to_gdal(coef),
+            rsize=(self.rsize + [left + right, top + bottom]),
+        )
+
+    @staticmethod
+    def _expand_morpho_args(args):
+        if len(args) == 1:
+            left = right = top = bottom = args[0]
+        elif len(args) == 2:
+            left, top = right, bottom = args
+        elif len(args) == 4:
+            left, right, top, bottom = args
+        else:
+            raise ValueError('Expecting one, two or four positional parameters')
+        out = []
+        for name, val in (('left', left), ('right', right), ('top', top), ('bottom', bottom)):
+            v = int(val)
+            if v != val:
+                raise ValueError('%s should be an integer' % name)
+            out.append(v)
+        return out
+
+    def erode(self, *args):
+        """Shrink edges by pixel counts; negative erosion dilates
+        (reference: buzzard/_footprint.py:321-369)."""
+        left, right, top, bottom = self._expand_morpho_args(args)
+        return self._morpho(-left, -right, -top, -bottom)
+
+    def dilate(self, *args):
+        """Grow edges by pixel counts; negative dilation erodes
+        (reference: buzzard/_footprint.py:371-419)."""
+        left, right, top, bottom = self._expand_morpho_args(args)
+        return self._morpho(left, right, top, bottom)
+
+    def __and__(self, other):
+        return self.intersection(other)
+
+    def intersection(self, *others, scale='self', rotation='auto',
+                     alignment='auto', homogeneous=False):
+        """Footprint bounding the intersection of north-up footprints/boxes.
+
+        Engine subset of the reference's intersection
+        (reference: buzzard/_footprint.py:421-537,
+        buzzard/_footprint_intersection.py:20-178): inputs are Footprints or
+        (minx, miny, maxx, maxy) boxes; scale ∈ {'self','highest','lowest',
+        (x,y), n}; rotation ∈ {'auto', angle}; alignment ∈ {'auto','tl',(x,y)}.
+        ``rotation='fit'`` (min rotated rect) is out of engine scope — the
+        distributed spatial join covers arbitrary-geometry overlays.
+        """
+        if not others:
+            raise ValueError('No other Footprint provided')
+        fps = [self] + [o for o in others if isinstance(o, Footprint)]
+        boxes = [np.asarray(o.bounds if isinstance(o, Footprint) else o,
+                            dtype='float64')
+                 for o in [self] + list(others)]
+        for b1, b2 in _combinations(boxes, 2):
+            ix0, iy0 = max(b1[0], b2[0]), max(b1[1], b2[1])
+            ix1, iy1 = min(b1[2], b2[2]), min(b1[3], b2[3])
+            if ix0 > ix1 or iy0 > iy1:
+                raise ValueError('Intersection is empty')
+            if ix0 == ix1 or iy0 == iy1:
+                raise ValueError('Two geometries are only touching, '
+                                 'intersection is empty')
+        minx = max(b[0] for b in boxes)
+        miny = max(b[1] for b in boxes)
+        maxx = min(b[2] for b in boxes)
+        maxy = min(b[3] for b in boxes)
+
+        # expand parameters (reference: _footprint_intersection.py:20-70)
+        if isinstance(scale, str):
+            if scale == 'self':
+                resofp = self
+            elif scale == 'highest':
+                resofp = max(fps, key=lambda fp: np.prod(fp.pxsize))
+            elif scale == 'lowest':
+                resofp = min(fps, key=lambda fp: np.prod(fp.pxsize))
+            else:
+                raise ValueError('bad scale parameter')
+            scale_vec = resofp.scale
+        else:
+            resofp = None
+            scale_vec = np.asarray(scale, dtype='float64')
+            if scale_vec.ndim == 0:
+                scale_vec = np.asarray([scale_vec, -scale_vec], dtype='float64')
+            elif scale_vec.shape == (1,):
+                scale_vec = np.asarray([scale_vec[0], -scale_vec[0]], dtype='float64')
+            if (scale_vec == 0).any():
+                raise ValueError('scale should be different than zero')
+
+        if isinstance(rotation, str):
+            if rotation == 'auto':
+                rotfp = resofp if resofp is not None else self
+                rot = rotfp.angle
+            elif rotation == 'fit':
+                raise NotImplementedError(
+                    "rotation='fit' is outside the engine's north-up scope")
+            else:
+                raise ValueError('bad rotation parameter')
+        else:
+            rotfp = None
+            rot = float(rotation)
+
+        if isinstance(alignment, str):
+            if alignment == 'auto' and resofp is not None and resofp is rotfp:
+                align = resofp.tl
+                fitalign = False
+            elif alignment in ('auto', 'tl'):
+                align = None
+                fitalign = True
+            else:
+                raise ValueError('Unknown alignment value')
+        else:
+            align = np.asarray(alignment, dtype='float64')
+            if align.shape != (2,):
+                raise ValueError('alignment should have shape (2,)')
+            fitalign = False
+
+        if homogeneous:
+            for fp in fps[1:]:
+                if not self.same_grid(fp):
+                    raise ValueError('%s does not lie on the same grid as self' % fp)
+
+        # bound the intersection box in the rotated/scaled tmp frame
+        # (reference: _footprint_intersection.py:120-136)
+        centroid = ((minx + maxx) / 2., (miny + maxy) / 2.)
+        tmp_to_spatial = affine6.compose(
+            affine6.translation(*centroid),
+            affine6.compose(affine6.rotation_deg(rot),
+                            affine6.scaling(scale_vec[0], scale_vec[1])))
+        spatial_to_tmp = affine6.inverse(tmp_to_spatial)
+        corners = np.asarray([
+            (minx, miny), (minx, maxy), (maxx, maxy), (maxx, miny)],
+            dtype='float64')
+        tx, ty = affine6.apply(spatial_to_tmp, corners[:, 0], corners[:, 1])
+        rect_tl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.min()))
+        rect_bl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.max()))
+        rect_br = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.max()))
+        rect_tr = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.min()))
+        rect_coords = np.asarray([rect_tl, rect_bl, rect_br, rect_tr])
+
+        precision.check_significant(
+            precision.significant_min_of(rect_coords, np.abs(scale_vec).min()))
+        if fitalign:
+            align = rect_tl
+
+        # snap tl / rsize on the abstract grid density
+        # (reference: _footprint_intersection.py:149-174)
+        t2s = affine6.compose(
+            affine6.translation(align[0], align[1]),
+            affine6.compose(affine6.rotation_deg(rot),
+                            affine6.scaling(scale_vec[0], scale_vec[1])))
+        s2t = affine6.inverse(t2s)
+        agd = precision.abstract_grid_density_of(rect_coords, np.abs(scale_vec).min())
+
+        tmptl = np.asarray(affine6.apply(s2t, rect_tl[0], rect_tl[1]))
+        tmptl = np.floor(np.around(tmptl * agd, 0) / agd)
+        tl = affine6.apply(t2s, tmptl[0], tmptl[1])
+        aff = affine6.compose(
+            affine6.translation(tl[0], tl[1]),
+            affine6.compose(affine6.rotation_deg(rot),
+                            affine6.scaling(scale_vec[0], scale_vec[1])))
+        to_pixel = affine6.inverse(aff)
+        rsize = np.asarray(affine6.apply(to_pixel, rect_br[0], rect_br[1]))
+        rsize = np.ceil(np.around(rsize * agd, 0) / agd)
+        if (rsize == 0).any():
+            rsize = rsize.clip(1, np.iinfo(int).max)
+        return self.__class__(gt=affine6.to_gdal(aff), rsize=rsize)
+
+    def move(self, tl, tr=None, br=None, round_coordinates=False):
+        """Affine re-location preserving rsize
+        (reference: buzzard/_footprint.py:539-646)."""
+        tl = np.asarray(tl, dtype=np.float64)
+        if tl.shape != (2,):
+            raise ValueError('Bad tl shape')
+        if tr is not None:
+            tr = np.asarray(tr, dtype=np.float64)
+            if tr.shape != (2,):
+                raise ValueError('Bad tr shape')
+            if br is not None:
+                br = np.asarray(br, dtype=np.float64)
+                if br.shape != (2,):
+                    raise ValueError('Bad br shape')
+        elif br is not None:
+            raise ValueError('If br present, tr should be present too')
+
+        if round_coordinates:
+            if br is None:
+                raise ValueError('Can only round when all three points are provided')
+            tl, tr, br = self._snap_move_targets(tl, tr, br)
+
+        if tr is None:
+            angle = self.angle
+            scale = self.scale
+        elif br is None:
+            lrvec = tr - tl
+            angle = float(np.arctan2(lrvec[1], lrvec[0]) * 180. / np.pi)
+            scale = np.linalg.norm(lrvec) / np.linalg.norm(self.lrvec) * self.scale
+        else:
+            corners_bl = tl + (br - tr)
+            scale = precision.corners_scale(tl, br, tr, self.rsize)
+            angle = precision.corners_angle_deg(tl, tr)
+            sig_min = precision.significant_min_of(
+                np.asarray([tl, corners_bl, br, tr]), np.abs(scale).min())
+            precision.check_significant(sig_min)
+
+            coords = np.asarray([tl, corners_bl, br, tr])
+            sp = precision.spatial_precision_of(coords)
+            size = precision.corners_size(tl, br, tr)
+            lrvec = tr - tl
+            tbvec = corners_bl - tl
+            slack_r = lrvec / size[0] * sp
+            slack_b = tbvec / size[1] * sp
+            slack_angles = np.asarray((
+                precision.angle_between_deg(tl + slack_b, tr, br - slack_r),
+                precision.angle_between_deg(tl - slack_b, tr, br + slack_r),
+            ))
+            assert slack_angles[0] < slack_angles[1]
+            if np.prod(np.sign(slack_angles - 90)) != -1:
+                raise ValueError(
+                    'tl-tr-br angle is between {} and {} degree '
+                    '(should be <90 and >90)'.format(*slack_angles))
+
+        coef = affine6.compose(
+            affine6.translation(tl[0], tl[1]),
+            affine6.compose(affine6.rotation_deg(angle),
+                            affine6.scaling(scale[0], scale[1])))
+        try:
+            return self.__class__(gt=affine6.to_gdal(coef), rsize=self.rsize)
+        except ValueError as e:
+            if br is not None and not round_coordinates and \
+               e.args and 'north-up' in e.args[0]:
+                raise ValueError('Moving Footprint failed. Try round_coordinates=True.')
+            raise
+
+    def _snap_move_targets(self, tl1, tr1, br1):
+        """The 5-strategy rounding cascade against float noise
+        (reference: buzzard/_footprint_move.py:9-108)."""
+        rw, rh = self.rsize
+        v0 = self.pxlrvec
+        w0 = self.pxtbvec
+        norm_v0, norm_w0 = self.pxsize
+        i0 = v0 / norm_v0
+        j0 = w0 / norm_w0
+
+        v1 = (tr1 - tl1) / rw
+        w1 = (br1 - tr1) / rh
+        norm_v1 = np.linalg.norm(v1)
+        norm_w1 = np.linalg.norm(w1)
+        i1 = v1 / norm_v1
+        j1 = w1 / norm_w1
+
+        largest_coord = np.abs([tl1, tr1, br1]).max()
+        sp = largest_coord * 10 ** -env.significant
+
+        def close(p, q):
+            return (np.abs(p - q) < sp).all()
+
+        # candidate (unit vectors, norms) in decreasing order of conservatism:
+        # keep angle+pxsize; keep angle+aspect; keep angle; keep pxsize;
+        # keep aspect (rotation + unit change)
+        candidates = (
+            (np.copysign(i0, i1), np.copysign(j0, j1), norm_v0, norm_w0),
+            (np.copysign(i0, i1), np.copysign(j0, j1), norm_v1, norm_v1 / norm_v0 * norm_w0),
+            (np.copysign(i0, i1), np.copysign(j0, j1), norm_v1, norm_w1),
+            (i1, j1, norm_v0, norm_w0),
+            (i1, j1, norm_v1, norm_v1 / norm_v0 * norm_w0),
+        )
+        for i2, j2, nv2, nw2 in candidates:
+            tr2 = tl1 + i2 * nv2 * rw
+            br2 = tr2 + j2 * nw2 * rh
+            if close(tr1, tr2) and close(br1, br2):
+                return tl1, tr2, br2
+        return tl1, tr1, br1
+
+    # -- export ----------------------------------------------------------------
+
+    @property
+    def extent(self):
+        xs = self._corners[:, 0]
+        ys = self._corners[:, 1]
+        return np.asarray([xs.min(), xs.max(), ys.min(), ys.max()])
+
+    @property
+    def bounds(self):
+        xs = self._corners[:, 0]
+        ys = self._corners[:, 1]
+        return np.asarray([xs.min(), ys.min(), xs.max(), ys.max()])
+
+    @property
+    def coords(self):
+        """Corner coordinates (tl, bl, br, tr)."""
+        return self._corners.copy()
+
+    @property
+    def __geo_interface__(self):
+        ring = [list(self._corners[i]) for i in (0, 1, 2, 3, 0)]
+        return {'type': 'Polygon', 'coordinates': [ring]}
+
+    # -- accessors: spatial -----------------------------------------------------
+
+    @property
+    def size(self):
+        return precision.corners_size(self._corners[0], self._corners[2], self._corners[3])
+
+    @property
+    def sizex(self):
+        return float(self.size[0])
+
+    @property
+    def sizey(self):
+        return float(self.size[1])
+
+    w = width = property(lambda self: float(self.size[0]))
+    h = height = property(lambda self: float(self.size[1]))
+
+    @property
+    def lrvec(self):
+        return self._corners[3] - self._corners[0]
+
+    @property
+    def tbvec(self):
+        return self._corners[1] - self._corners[0]
+
+    @property
+    def diagvec(self):
+        return self._corners[2] - self._corners[0]
+
+    tl = property(lambda self: self._corners[0].copy())
+    bl = property(lambda self: self._corners[1].copy())
+    br = property(lambda self: self._corners[2].copy())
+    tr = property(lambda self: self._corners[3].copy())
+    tlx = property(lambda self: float(self._corners[0, 0]))
+    tly = property(lambda self: float(self._corners[0, 1]))
+    blx = property(lambda self: float(self._corners[1, 0]))
+    bly = property(lambda self: float(self._corners[1, 1]))
+    brx = property(lambda self: float(self._corners[2, 0]))
+    bry = property(lambda self: float(self._corners[2, 1]))
+    trx = property(lambda self: float(self._corners[3, 0]))
+    try_ = property(lambda self: float(self._corners[3, 1]))
+
+    t = property(lambda self: (self.tl + self.tr) / 2.)
+    l = property(lambda self: (self.tl + self.bl) / 2.)  # noqa: E743
+    b = property(lambda self: (self.bl + self.br) / 2.)
+    r = property(lambda self: (self.br + self.tr) / 2.)
+    c = property(lambda self: (self.t + self.b) / 2.)
+    tx = property(lambda self: float(self.t[0]))
+    ty = property(lambda self: float(self.t[1]))
+    lx = property(lambda self: float(self.l[0]))
+    ly = property(lambda self: float(self.l[1]))
+    bx = property(lambda self: float(self.b[0]))
+    by = property(lambda self: float(self.b[1]))
+    rx = property(lambda self: float(self.r[0]))
+    ry = property(lambda self: float(self.r[1]))
+    cx = property(lambda self: float(self.c[0]))
+    cy = property(lambda self: float(self.c[1]))
+
+    @property
+    def semiminoraxis(self):
+        return float(np.min(self.size) / 2.)
+
+    @property
+    def semimajoraxis(self):
+        return float(np.max(self.size) / 2.)
+
+    @property
+    def area(self):
+        return float(np.prod(self.size))
+
+    @property
+    def length(self):
+        return float(np.sum(self.size) * 2)
+
+    # -- accessors: raster -------------------------------------------------------
+
+    @property
+    def rsize(self):
+        return self._rsize.copy()
+
+    rsizex = rwidth = rw = property(lambda self: int(self._rsize[0]))
+    rsizey = rheight = rh = property(lambda self: int(self._rsize[1]))
+
+    @property
+    def rtl(self):
+        return np.array([0, 0], dtype=env.default_index_dtype)
+
+    rtlx = rtly = property(lambda self: 0)
+    rblx = property(lambda self: 0)
+    rbly = property(lambda self: self.rsizey - 1)
+    rbrx = property(lambda self: self.rsizex - 1)
+    rbry = property(lambda self: self.rsizey - 1)
+    rtrx = property(lambda self: self.rsizex - 1)
+    rtry = property(lambda self: 0)
+
+    @property
+    def rbl(self):
+        return np.array([0, self.rsizey - 1], dtype=env.default_index_dtype)
+
+    @property
+    def rbr(self):
+        return np.array([self.rsizex - 1, self.rsizey - 1], dtype=env.default_index_dtype)
+
+    @property
+    def rtr(self):
+        return np.array([self.rsizex - 1, 0], dtype=env.default_index_dtype)
+
+    rtx = rbx = rcx = property(lambda self: int((self.rsizex - 1) / 2))
+    rly = rry = rcy = property(lambda self: int((self.rsizey - 1) / 2))
+
+    @property
+    def rt(self):
+        return np.array([self.rtx, 0], dtype=env.default_index_dtype)
+
+    @property
+    def rl(self):
+        return np.array([0, self.rly], dtype=env.default_index_dtype)
+
+    @property
+    def rb(self):
+        return np.array([self.rbx, self.rsizey - 1], dtype=env.default_index_dtype)
+
+    @property
+    def rr(self):
+        return np.array([self.rsizex - 1, self.rry], dtype=env.default_index_dtype)
+
+    @property
+    def rc(self):
+        return np.array([self.rcx, self.rcy], dtype=env.default_index_dtype)
+
+    @property
+    def rsemiminoraxis(self):
+        return int(np.min(self.rsize) / 2.)
+
+    @property
+    def rsemimajoraxis(self):
+        return int(np.max(self.rsize) / 2.)
+
+    @property
+    def rarea(self):
+        return int(self._rsize[0]) * int(self._rsize[1])
+
+    @property
+    def rlength(self):
+        rx, ry = int(self._rsize[0]), int(self._rsize[1])
+        return self.rarea - max(0, rx - 2) * max(0, ry - 2)
+
+    # -- accessors: affine --------------------------------------------------------
+
+    @property
+    def gt(self):
+        return np.asarray(affine6.to_gdal(self._coef), dtype=np.float64)
+
+    @property
+    def aff6(self):
+        return np.asarray(self._coef, dtype=np.float64)
+
+    @property
+    def aff23(self):
+        return np.asarray(self._coef, dtype=np.float64).reshape(2, 3)
+
+    @property
+    def aff33(self):
+        out = np.zeros((3, 3), dtype=np.float64)
+        out[:2] = self.aff23
+        out[2, 2] = 1.
+        return out
+
+    @property
+    def scale(self):
+        return precision.corners_scale(
+            self._corners[0], self._corners[2], self._corners[3], self._rsize)
+
+    @property
+    def angle(self):
+        return precision.corners_angle_deg(self._corners[0], self._corners[3])
+
+    @property
+    def pxsize(self):
+        return self.size / self.rsize
+
+    pxsizex = property(lambda self: float(self.size[0]) / self.rsizex)
+    pxsizey = property(lambda self: float(self.size[1]) / self.rsizey)
+
+    @property
+    def pxvec(self):
+        return self.diagvec / self.rsize
+
+    @property
+    def pxtbvec(self):
+        return self.tbvec / self.rsizey
+
+    @property
+    def pxlrvec(self):
+        return self.lrvec / self.rsizex
+
+    # -- predicates ---------------------------------------------------------------
+
+    def __eq__(self, other):
+        return self.equals(other)
+
+    def __ne__(self, other):
+        return not self.equals(other)
+
+    def __hash__(self):
+        return hash((self._coef, int(self._rsize[0]), int(self._rsize[1])))
+
+    def equals(self, other):
+        if (self.gt != other.gt).any():
+            return False
+        if (self.rsize != other.rsize).any():
+            return False
+        return True
+
+    def almost_equals(self, other):
+        """Equality within env.significant digits
+        (reference: buzzard/_footprint.py:1242-1274)."""
+        precision.check_significant(self._significant_min)
+        precision.check_significant(other._significant_min)
+        if (self.rsize != other.rsize).any():
+            return False
+        largest_coord = np.abs(np.r_[self.coords, other.coords]).max()
+        sp = largest_coord * 10 ** -env.significant
+        return bool((np.abs(self.coords - other.coords) < sp).all())
+
+    def same_grid(self, other):
+        """Do both footprints lie on the same pixel lattice
+        (reference: buzzard/_footprint.py:1276-1322)."""
+        precision.check_significant(self._significant_min)
+        precision.check_significant(other._significant_min)
+        largest_coord = np.abs(np.r_[self.coords, other.coords]).max()
+        sp = largest_coord * 10 ** -env.significant
+
+        inv = affine6.inverse(self._coef)
+        rdx, rdy = np.around(affine6.apply(inv, other.tl[0], other.tl[1]))
+        errors = other.tl - (self.pxtbvec * rdy + self.pxlrvec * rdx) - self.tl
+        if (np.abs(errors) >= sp).any():
+            return False
+        for err in (
+            self.tl + other.pxtbvec * self.rheight - self.bl,
+            self.tl + other.pxlrvec * self.rwidth - self.tr,
+            other.tl + self.pxtbvec * other.rheight - other.bl,
+            other.tl + self.pxlrvec * other.rwidth - other.tr,
+        ):
+            if (np.abs(err) >= sp).any():
+                return False
+        return True
+
+    def share_area(self, other):
+        """Positive-area overlap (not merely touching). North-up rect test."""
+        if isinstance(other, Footprint):
+            ob = other.bounds
+        else:
+            ob = np.asarray(other, dtype='float64')
+        sb = self.bounds
+        return bool(sb[0] < ob[2] and ob[0] < sb[2] and sb[1] < ob[3] and ob[1] < sb[3])
+
+    # -- numpy interop --------------------------------------------------------------
+
+    @property
+    def shape(self):
+        return np.flipud(self._rsize)
+
+    @property
+    def meshgrid_raster(self):
+        return np.meshgrid(
+            np.arange(self.rsizex, dtype=env.default_index_dtype),
+            np.arange(self.rsizey, dtype=env.default_index_dtype),
+            copy=False)
+
+    @property
+    def meshgrid_spatial(self):
+        x, y = self.meshgrid_raster
+        a, b, c, d, e, f = self._coef
+        return (
+            (x * a + y * b + c).astype(np.float64, copy=False),
+            (x * d + y * e + f).astype(np.float64, copy=False),
+        )
+
+    def meshgrid_raster_in(self, other, dtype=None, op=np.floor):
+        xy = other.spatial_to_raster(np.dstack(self.meshgrid_spatial), dtype=dtype, op=op)
+        return xy[..., 0], xy[..., 1]
+
+    def slice_in(self, other, clip=False):
+        """Locate self inside other as (yslice, xslice)
+        (reference: buzzard/_footprint.py:1402-1438)."""
+        startx, starty = other.spatial_to_raster(self.tl)
+        endx, endy = other.spatial_to_raster(self.br)
+        if clip:
+            startx = startx.clip(0, other.rsizex)
+            endx = endx.clip(0, other.rsizex)
+            starty = starty.clip(0, other.rsizey)
+            endy = endy.clip(0, other.rsizey)
+        return slice(starty, endy), slice(startx, endx)
+
+    # -- coordinate conversions -------------------------------------------------------
+
+    def spatial_to_raster(self, xy, dtype=None, op=np.floor):
+        """World coordinates -> pixel indices, rounding on the abstract grid
+        density before floor — THE precision-critical op
+        (reference: buzzard/_footprint.py:1441-1504)."""
+        xy = np.asarray(xy)
+        if xy.shape[-1] != 2:
+            raise ValueError('An array of shape (..., 2) was expected')
+        if dtype is None:
+            dtype = env.default_index_dtype
+        else:
+            dtype = np.dtype(dtype)
+        if not np.issubdtype(dtype, np.integer):
+            op = None
+
+        precision.check_significant(self._significant_min)
+        largest_coord = np.abs(self._corners).max()
+        sp = largest_coord * 10 ** -env.significant
+        smallest_reso = self.pxsize.min()
+        pixel_precision = sp / smallest_reso
+        agd = np.floor(1 / pixel_precision)
+
+        workshape = int(xy.size / 2), 2
+        xy2 = np.empty(workshape, 'float64')
+        xy2[:, :] = xy.reshape(workshape)
+        a, b, c, d, e, f = affine6.inverse(self._coef)
+        xy2[:, 0], xy2[:, 1] = (
+            xy2[:, 0] * a + xy2[:, 1] * b + c,
+            xy2[:, 0] * d + xy2[:, 1] * e + f,
+        )
+        xy2 = np.around(xy2 * agd, 0) / agd
+        if op is not None:
+            xy2 = op(xy2)
+        return xy2.astype(dtype, copy=False).reshape(xy.shape)
+
+    def raster_to_spatial(self, xy):
+        """Pixel indices -> world coordinates
+        (reference: buzzard/_footprint.py:1506-1535)."""
+        xy = np.asarray(xy)
+        if xy.shape[-1] != 2:
+            raise ValueError('An array of shape (..., 2) was expected')
+        workshape = int(xy.size / 2), 2
+        xy2 = np.empty(workshape, 'float64')
+        xy2[:, :] = xy.reshape(workshape)
+        a, b, c, d, e, f = self._coef
+        xy2[:, 0], xy2[:, 1] = (
+            xy2[:, 0] * a + xy2[:, 1] * b + c,
+            xy2[:, 0] * d + xy2[:, 1] * e + f,
+        )
+        return xy2.reshape(xy.shape)
+
+    # -- tiling ---------------------------------------------------------------------
+
+    def _assemble_tiles(self, size, overlapx, overlapy, effect, locus):
+        """Shared tiling engine (reference: buzzard/_footprint_tile.py:126-198).
+
+        The per-axis span plan is combined across a locus-dependent origin &
+        direction; the matrix is flipped back to row-major north-up order.
+        """
+        sizex, sizey = int(size[0]), int(size[1])
+        spans_x = _axis_spans(sizex, overlapx, self.rsizex, effect, 'x')
+        spans_y = _axis_spans(sizey, overlapy, self.rsizey, effect, 'y')
+
+        if locus == 'br':
+            origin, dirx, diry = self.tl, +1, +1
+        elif locus == 'tr':
+            origin, dirx, diry = self.bl, +1, -1
+        elif locus == 'tl':
+            origin, dirx, diry = self.br, -1, -1
+        elif locus == 'bl':
+            origin, dirx, diry = self.tr, -1, +1
+        else:
+            raise AssertionError(locus)
+
+        horiz = self.pxlrvec * dirx
+        vert = self.pxtbvec * diry
+        base_gt = self.gt
+
+        grid = np.empty((len(spans_y), len(spans_x)), dtype=object)
+        for iy, (dy, h) in enumerate(spans_y):
+            for ix, (dx, w) in enumerate(spans_x):
+                tl = horiz * dx + vert * dy + origin
+                # matches the reference's reversed-locus pixel correction:
+                # `tl -= rsize * (direction == -1) * (1, -1)`
+                if dirx == -1:
+                    tl[0] -= w
+                if diry == -1:
+                    tl[1] += h
+                gt = base_gt.copy()
+                gt[0] = tl[0]
+                gt[3] = tl[1]
+                grid[iy, ix] = self.__class__(gt=gt, rsize=(w, h))
+        if grid.size == 0:
+            return np.empty((0,), dtype=object)
+        if dirx == -1:
+            grid = np.fliplr(grid)
+        if diry == -1:
+            grid = np.flipud(grid)
+        return grid
+
+    def tile(self, size, overlapx=0, overlapy=0,
+             boundary_effect='extend', boundary_effect_locus='br'):
+        """Tile into an (M, N) object matrix of Footprints
+        (reference: buzzard/_footprint.py:1938-2025)."""
+        size = np.asarray(size, dtype=int)
+        overlapx = int(overlapx)
+        overlapy = int(overlapy)
+        if size.shape != (2,):
+            raise ValueError('size.shape(%s) should be (2,)' % str(size.shape))
+        if (size <= 0).any():
+            raise ValueError('size(%s) values should satisfy value > 0' % str(tuple(size)))
+        if not 0 <= overlapx < size[0]:
+            raise ValueError('overlapx(%d) should satisfy 0 <= overlapx < size[0](%d)' % (
+                overlapx, size[0]))
+        if not 0 <= overlapy < size[1]:
+            raise ValueError('overlapy(%d) should satisfy 0 <= overlapy < size[1](%d)' % (
+                overlapy, size[1]))
+        if boundary_effect not in _BOUNDARY_EFFECTS:
+            raise ValueError('boundary_effect({}) should be one of {}'.format(
+                boundary_effect, _BOUNDARY_EFFECTS))
+        if boundary_effect_locus not in _LOCI:
+            raise ValueError('boundary_effect_locus({}) should be one of {}'.format(
+                boundary_effect_locus, _LOCI))
+        return self._assemble_tiles(size, overlapx, overlapy,
+                                    boundary_effect, boundary_effect_locus)
+
+    def tile_count(self, rowcount, colcount, overlapx=0, overlapy=0,
+                   boundary_effect='extend', boundary_effect_locus='br'):
+        """Tile into exactly rowcount × colcount tiles
+        (reference: buzzard/_footprint.py:2027-2160)."""
+        rowcount = int(rowcount)
+        colcount = int(colcount)
+        overlapx = int(overlapx)
+        overlapy = int(overlapy)
+        if rowcount <= 0:
+            raise ValueError('rowcount(%s) should satisfy rowcount > 0' % rowcount)
+        if colcount <= 0:
+            raise ValueError('colcount(%s) should satisfy colcount > 0' % colcount)
+        if overlapx < 0:
+            raise ValueError('overlapx(%s) should satisfy overlapx >= 0' % overlapx)
+        if overlapy < 0:
+            raise ValueError('overlapy(%s) should satisfy overlapy >= 0' % overlapy)
+        if boundary_effect not in _BOUNDARY_EFFECTS:
+            raise ValueError('boundary_effect({}) should be one of {}'.format(
+                boundary_effect, _BOUNDARY_EFFECTS))
+        if boundary_effect_locus not in _LOCI:
+            raise ValueError('boundary_effect_locus({}) should be one of {}'.format(
+                boundary_effect_locus, _LOCI))
+
+        sizex_float = (self.rsizex + overlapx * (rowcount - 1)) / rowcount
+        sizey_float = (self.rsizey + overlapy * (colcount - 1)) / colcount
+        if boundary_effect in ('extend', 'overlap', 'shrink'):
+            sizex = int(np.ceil(sizex_float))
+            sizey = int(np.ceil(sizey_float))
+        elif boundary_effect == 'exclude':
+            sizex = int(np.floor(sizex_float))
+            sizey = int(np.floor(sizey_float))
+        else:  # exception
+            sizex = int(np.floor(sizex_float))
+            if sizex != sizex_float:
+                gap = int((sizex_float - sizex) * rowcount)
+                raise ValueError(
+                    'There is a gap of %d pixel in the x direction, '
+                    '`gap:%d %% (sizex:%d - overlapx:%d) == 0` was required' % (
+                        gap, gap, sizex, overlapx))
+            sizey = int(np.floor(sizey_float))
+            if sizey != sizey_float:
+                gap = int((sizey_float - sizey) * colcount)
+                raise ValueError(
+                    'There is a gap of %d pixel in the y direction, '
+                    '`gap:%d %% (sizey:%d - overlapy:%d) == 0` was required' % (
+                        gap, gap, sizey, overlapy))
+        if sizex <= overlapx:
+            raise ValueError('rowcount(%d) with overlapx(%d) would not fit in %d pixels' % (
+                rowcount, overlapx, self.rw))
+        if sizey <= overlapy:
+            raise ValueError('colcount(%d) with overlapy(%d) would not fit in %d pixels' % (
+                colcount, overlapy, self.rw))
+
+        outsidex = sizex + (rowcount - 1) * (sizex - overlapx) - self.rsizex
+        if outsidex >= (sizex - overlapx):
+            raise ValueError('rowcount(%d) with overlapx(%d) would not fit in %d pixels' % (
+                rowcount, overlapx, self.rw))
+        outsidey = sizey + (colcount - 1) * (sizey - overlapy) - self.rsizey
+        if outsidey >= (sizey - overlapy):
+            raise ValueError('colcount(%d) with overlapy(%d) would not fit in %d pixels' % (
+                colcount, overlapy, self.rw))
+
+        tiles = self._assemble_tiles((sizex, sizey), overlapx, overlapy,
+                                     boundary_effect, boundary_effect_locus)
+        if boundary_effect == 'exclude' and tiles.ndim == 2:
+            if boundary_effect_locus == 'br':
+                tiles = tiles[0:colcount, 0:rowcount]
+            elif boundary_effect_locus == 'tl':
+                tiles = tiles[-colcount:, -rowcount:]
+            elif boundary_effect_locus == 'tr':
+                tiles = tiles[-colcount:, 0:rowcount]
+            elif boundary_effect_locus == 'bl':
+                tiles = tiles[0:colcount, -rowcount:]
+        return tiles
+
+    def tile_occurrence(self, size, pixel_occurrencex, pixel_occurrencey,
+                        boundary_effect='extend', boundary_effect_locus='br'):
+        """Tiling where every pixel occurs occx × occy times overall
+        (reference: buzzard/_footprint.py:2162-2272)."""
+        size = np.asarray(size, dtype=int)
+        pixel_occurrencex = int(pixel_occurrencex)
+        pixel_occurrencey = int(pixel_occurrencey)
+        if size.shape != (2,):
+            raise ValueError('size.shape(%s) should be (2,)' % str(size.shape))
+        if (size <= 0).any():
+            raise ValueError('size(%s) values should satisfy value > 0' % str(tuple(size)))
+        if pixel_occurrencex <= 0:
+            raise ValueError(
+                'pixel_occurrencex(%s) should satisfy > 0' % pixel_occurrencex)
+        if size[0] % pixel_occurrencex != 0:
+            raise ValueError(
+                'size[0](%s) %% pixel_occurrencex(%s) == 0 required' % (
+                    size[0], pixel_occurrencex))
+        if pixel_occurrencey <= 0:
+            raise ValueError(
+                'pixel_occurrencey(%s) should satisfy > 0' % pixel_occurrencey)
+        if size[1] % pixel_occurrencey != 0:
+            raise ValueError(
+                'size[1](%s) %% pixel_occurrencey(%s) == 0 required' % (
+                    size[1], pixel_occurrencey))
+        if boundary_effect not in _OCCURRENCE_BOUNDARY_EFFECTS:
+            raise ValueError('boundary_effect({}) should be one of {}'.format(
+                boundary_effect, _OCCURRENCE_BOUNDARY_EFFECTS))
+        if boundary_effect_locus not in _LOCI:
+            raise ValueError('boundary_effect_locus({}) should be one of {}'.format(
+                boundary_effect_locus, _LOCI))
+
+        occurrence = np.asarray([pixel_occurrencex, pixel_occurrencey], dtype=int)
+        stride = (size / occurrence).astype(int, copy=False)
+        overlap = size - stride
+        big_tl = self.tl - self.pxvec * overlap
+        big_rsize = self.rsize + np.asarray(overlap) * 2
+        big_size = big_rsize * self.pxsize
+        big_fp = self.__class__(tl=big_tl, size=big_size, rsize=big_rsize)
+        return big_fp._assemble_tiles(size, int(overlap[0]), int(overlap[1]),
+                                      boundary_effect, boundary_effect_locus)
+
+    # -- serialization ----------------------------------------------------------------
+
+    def __reduce__(self):
+        return (_rebuild_footprint, (tuple(float(v) for v in self.gt),
+                                     (self.rsizex, self.rsizey)))
+
+    def __str__(self):
+        return 'Footprint(tl=({}, {}), scale=({}, {}), angle={}, rsize=({}, {}))'.format(
+            self.tlx, self.tly, self.scale[0], self.scale[1], self.angle,
+            self.rsizex, self.rsizey)
+
+    __repr__ = __str__
+
+
+def _rebuild_footprint(gt, rsize):
+    return Footprint(gt=gt, rsize=rsize)
