@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators over the driver testdata;
+``oracle_sql()`` mirrors each one in DuckDB SQL. Shared arithmetic comes
+from buzzard_spark.functions.sqlgen so both sides evaluate identical
+IEEE-754 expressions.
 """
 
 from __future__ import annotations
@@ -12,27 +11,226 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from buzzard_spark import synth
+from buzzard_spark.functions import sqlgen
+from buzzard_spark.kernels.footprint import Footprint
+from buzzard_spark.operators import knn as knn_ops
+from buzzard_spark.operators import spatial_join
+
+CELL_RES = 9          # BASELINE.json: "H3 res-9 index" analogue
+JOIN_RES = 4          # coarser cover grid for region join
+N_REGIONS = 200
+N_KNN_QUERIES = 32
+KNN_K = 10
+
+# global tile grid for the tile-assignment operator
+TILE_FP = Footprint(tl=(-180.0, 90.0), size=(360.0, 180.0), rsize=(512, 256))
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.pages_from_documents(spark, sf_dir)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _knn_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.range(N_KNN_QUERIES).select(
+        F.col('id').alias('qid'),
+        F.expr(sqlgen.lat_sql('(id * 7919 + 13)')).alias('qlat'),
+        F.expr(sqlgen.lng_sql('(id * 7919 + 13)')).alias('qlng'),
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- query implementations -----------------------------------------------------
+
+def q_pip_count_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    regions = synth.regions(spark, N_REGIONS)
+    return spatial_join.pip_count_by_region(pages, regions, JOIN_RES)
+
+
+def q_pip_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    regions = synth.regions(spark, N_REGIONS)
+    return spatial_join.pip_join_rect(pages, regions, JOIN_RES).select(
+        'page_id', 'region_id')
+
+
+def q_cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    return (spatial_join.assign_cell(pages, CELL_RES)
+            .groupBy('cell').agg(F.count('*').alias('n_pages')))
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    tx, ty = sqlgen.tile_xy_sql('lat', 'lng', TILE_FP)
+    return pages.select(
+        'page_id',
+        F.expr(tx).alias('tile_x'),
+        F.expr(ty).alias('tile_y'),
+    )
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    queries = _knn_queries_df(spark)
+    out = knn_ops.knn(pages, queries, KNN_K, res=JOIN_RES, k_ring=3)
+    return out.select('qid', 'page_id', 'rnk')
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored agg; money sums in exact integer cents."""
+    li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
+    return (li.groupBy('l_returnflag', 'l_linestatus').agg(
+        F.expr('SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))').alias('sum_qty_c'),
+        F.expr('SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))').alias('sum_price_c'),
+        F.count('*').alias('count_order')))
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-group top-k via window (deterministic tie-breaking)."""
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    cust = spark.read.parquet(f'{sf_dir}/customer.parquet')
+    w = Window.partitionBy('c_custkey').orderBy(
+        F.col('o_totalprice').desc(), F.col('o_orderkey').asc())
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= 3)
+            .select('c_custkey', 'o_orderkey', 'rnk'))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (batch analogue of the
+    streaming rollup; see buzzard_spark.streaming)."""
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    return (ev.groupBy(
+        F.date_trunc('hour', F.col('ts')).cast('long').alias('hour_epoch'),
+        'event_type')
+        .agg(F.count('*').alias('n_events'),
+             F.expr('SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT))').alias('sum_value_m')))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return docs.select('doc_id', F.md5(F.encode('text', 'utf-8')).alias('fp'))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min) doc per content hash."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return (docs.select(F.md5(F.encode('text', 'utf-8')).alias('fp'), 'doc_id')
+            .groupBy('fp')
+            .agg(F.min('doc_id').alias('keep_doc_id'),
+                 F.count('*').alias('n_dups')))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return docs.select(
+        'doc_id',
+        F.expr("size(split(trim(text), '\\\\s+'))").cast('long').alias('n_tokens'))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    'pip_count_by_region': q_pip_count_by_region,
+    'pip_join_pairs': q_pip_join_pairs,
+    'cell_assign_counts': q_cell_assign_counts,
+    'tile_assign': q_tile_assign,
+    'knn_ring': q_knn_ring,
+    'lineitem_pricing': q_lineitem_pricing,
+    'top_orders_per_customer': q_top_orders_per_customer,
+    'events_hourly': q_events_hourly,
+    'doc_fingerprint': q_doc_fingerprint,
+    'dedup_exact': q_dedup_exact,
+    'token_count': q_token_count,
+}
+
+
+def _oracle_pages_cte() -> str:
+    return ('pages AS (SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents)').format(
+                lat=sqlgen.lat_sql('doc_id'), lng=sqlgen.lng_sql('doc_id'))
+
+
+def _oracle_regions_cte() -> str:
+    cols = sqlgen.region_cols_sql('region_id')
+    return ('regions AS (SELECT region_id, {minlat} AS minlat, {maxlat} AS maxlat, '
+            '{minlng} AS minlng, {maxlng} AS maxlng '
+            'FROM range({n}) t(region_id))').format(n=N_REGIONS, **cols)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = _oracle_pages_cte()
+    regions = _oracle_regions_cte()
+    pip_join = (
+        'WITH {pages}, {regions} '
+        'SELECT page_id, region_id FROM pages JOIN regions ON '
+        'lat >= minlat AND lat <= maxlat AND lng >= minlng AND lng <= maxlng'
+    ).format(pages=pages, regions=regions)
+    tx, ty = sqlgen.tile_xy_sql('lat', 'lng', TILE_FP)
+    return {
+        'pip_count_by_region': (
+            'WITH {pages}, {regions} '
+            'SELECT region_id, COUNT(*) AS page_count FROM pages JOIN regions '
+            'ON lat >= minlat AND lat <= maxlat AND lng >= minlng AND lng <= maxlng '
+            'GROUP BY region_id'
+        ).format(pages=pages, regions=regions),
+        'pip_join_pairs': pip_join,
+        'cell_assign_counts': (
+            'WITH {pages} SELECT {cell} AS cell, COUNT(*) AS n_pages '
+            'FROM pages GROUP BY 1'
+        ).format(pages=pages, cell=sqlgen.cell_sql('lat', 'lng', CELL_RES)),
+        'tile_assign': (
+            'WITH {pages} SELECT page_id, {tx} AS tile_x, {ty} AS tile_y FROM pages'
+        ).format(pages=pages, tx=tx, ty=ty),
+        'knn_ring': (
+            'WITH {pages}, q AS (SELECT qid, {qlat} AS qlat, {qlng} AS qlng '
+            'FROM range({nq}) t(qid)), '
+            'd AS (SELECT qid, page_id, '
+            '(lat - qlat) * (lat - qlat) + (lng - qlng) * (lng - qlng) AS dist2 '
+            'FROM q CROSS JOIN pages) '
+            'SELECT qid, page_id, rnk FROM ('
+            'SELECT qid, page_id, CAST(ROW_NUMBER() OVER '
+            '(PARTITION BY qid ORDER BY dist2, page_id) AS INT) AS rnk FROM d) '
+            'WHERE rnk <= {k}'
+        ).format(pages=pages, qlat=sqlgen.lat_sql('(qid * 7919 + 13)'),
+                 qlng=sqlgen.lng_sql('(qid * 7919 + 13)'),
+                 nq=N_KNN_QUERIES, k=KNN_K),
+        'lineitem_pricing': (
+            'SELECT l_returnflag, l_linestatus, '
+            'SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS sum_qty_c, '
+            'SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS sum_price_c, '
+            'COUNT(*) AS count_order '
+            'FROM lineitem GROUP BY l_returnflag, l_linestatus'),
+        'top_orders_per_customer': (
+            'SELECT c_custkey, o_orderkey, rnk FROM ('
+            'SELECT c_custkey, o_orderkey, CAST(ROW_NUMBER() OVER ('
+            'PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) '
+            'AS INT) AS rnk '
+            'FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rnk <= 3'),
+        'events_hourly': (
+            'SELECT CAST(epoch(date_trunc(\'hour\', ts)) AS BIGINT) AS hour_epoch, '
+            'event_type, COUNT(*) AS n_events, '
+            'SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT)) AS sum_value_m '
+            'FROM events GROUP BY 1, 2'),
+        'doc_fingerprint': 'SELECT doc_id, md5(text) AS fp FROM documents',
+        'dedup_exact': (
+            'SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, '
+            'COUNT(*) AS n_dups FROM documents GROUP BY 1'),
+        'token_count': (
+            "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
+            'AS BIGINT) AS n_tokens FROM documents'),
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: cell-indexed
+    point-in-region join + per-region counts."""
+    return q_pip_count_by_region(spark, '/root/testdata/sf0.001')

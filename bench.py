@@ -1,0 +1,154 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "flagship_pages_per_sec": ..., "scaling": {...}}
+
+The flagship job is the BASELINE.json metric: spatial-join +
+tile-assignment throughput over a deterministic synthetic pages table
+(pages/sec), plus the N→4N scaling proxy (local[8] vs local[32] subprocess
+runs on the same input — BASELINE.md protocol). Set
+SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling subprocesses.
+
+Worker mode (internal): bench.py --flagship-worker <master> <n_pages>
+prints one JSON line with the flagship wall time under that master.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 32_000_000))
+N_BENCH_REGIONS = 1000
+BENCH_JOIN_RES = 4
+
+
+def run_flagship(spark, n_pages: int) -> float:
+    """Tile-assign + cell-indexed PIP join + per-(region, tile) counts.
+
+    Returns wall seconds for the action (input generation included — it is
+    Catalyst codegen, the same cost profile as a parquet scan).
+    """
+    from pyspark.sql import functions as F
+
+    from buzzard_spark import synth
+    from buzzard_spark.functions import sqlgen
+    from buzzard_spark.kernels.footprint import Footprint
+    from buzzard_spark.operators import spatial_join
+
+    fp = Footprint(tl=(-180.0, 90.0), size=(360.0, 180.0), rsize=(512, 256))
+    tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
+
+    pages = synth.synthetic_pages(spark, n_pages)
+    regions = synth.regions(spark, N_BENCH_REGIONS)
+    t0 = time.time()
+    joined = spatial_join.pip_join_rect(
+        pages, regions, BENCH_JOIN_RES, broadcast_cover=True)
+    result = (joined
+              .withColumn('tile_x', F.expr(tx))
+              .withColumn('tile_y', F.expr(ty))
+              .groupBy('region_id', 'tile_x', 'tile_y')
+              .agg(F.count('*').alias('n'))
+              .agg(F.sum('n').alias('total'), F.count('*').alias('groups')))
+    result.collect()
+    return time.time() - t0
+
+
+def flagship_worker(master: str, n_pages: int) -> None:
+    from buzzard_spark.session import get_session
+    spark = get_session(master=master, app_name=f'bench-{master}')
+    run_flagship(spark, min(n_pages, 500_000))  # JIT/codegen warmup
+    wall = min(run_flagship(spark, n_pages), run_flagship(spark, n_pages))
+    spark.stop()
+    print(json.dumps({'master': master, 'wall_sec': wall, 'n_pages': n_pages}))
+
+
+def _worker_wall(master: str, n_pages: int) -> float:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         '--flagship-worker', master, str(n_pages)],
+        capture_output=True, text=True, timeout=1200)
+    line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
+    return json.loads(line)['wall_sec']
+
+
+def run_scaling(n_pages: int) -> dict:
+    """N → 4N parallelism on identical input → scaling efficiency.
+
+    Two pairs (BASELINE.md protocol): local[2]→local[8] inside this VM's
+    linear-scaling regime, and local[8]→local[32] which is capped by the
+    host's own parallel ceiling (~2.6× for pure-CPU Catalyst work — see
+    BASELINE.md calibration); the flagship's 8→32 efficiency is therefore
+    also reported relative to that measured ceiling.
+    """
+    walls = {m: _worker_wall(m, n_pages)
+             for m in ('local[2]', 'local[8]', 'local[32]')}
+    tp = {m: n_pages / w for m, w in walls.items()}
+    return {
+        'n_pages': n_pages,
+        'throughput_2': tp['local[2]'],
+        'throughput_8': tp['local[8]'],
+        'throughput_32': tp['local[32]'],
+        'scaling_efficiency_2_to_8': (tp['local[8]'] / tp['local[2]']) / 4.0,
+        'scaling_efficiency_8_to_32': (tp['local[32]'] / tp['local[8]']) / 4.0,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == '--flagship-worker':
+        flagship_worker(sys.argv[2], int(sys.argv[3]))
+        return
+
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from buzzard_spark.session import get_session
+
+    spark = get_session(app_name='bench')
+    per_query = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format('noop').mode('overwrite').save()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    # flagship throughput under the default master (best of 2, post-warmup)
+    run_flagship(spark, 500_000)
+    wall = min(run_flagship(spark, N_FLAGSHIP_PAGES),
+               run_flagship(spark, N_FLAGSHIP_PAGES))
+    pages_per_sec = N_FLAGSHIP_PAGES / wall
+    spark.stop()
+
+    scaling = {}
+    if os.environ.get('SPARK_GRAFT_BENCH_SCALING', '1') != '0':
+        scaling = run_scaling(N_FLAGSHIP_PAGES)
+
+    print(json.dumps({
+        'metric': 'spatial-join+tile-assignment bench',
+        'value': round(total, 3),
+        'unit': 'sec',
+        'queries': per_query,
+        'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+        'flagship_pages_per_sec': round(pages_per_sec, 1),
+        'flagship_wall_sec': round(wall, 3),
+        'flagship_n_pages': N_FLAGSHIP_PAGES,
+        'scaling': {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in scaling.items()},
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,85 @@
+"""kNN via cell-ring expansion (north_rule operator).
+
+Plan shape (all JVM until the final window):
+
+1. assign every query its cell; explode the (2r+1)² ring offsets with
+   sequence()+explode (longitude wraps, latitude clips),
+2. equi-join candidate pages on cell,
+3. exact distance + per-query top-k via ROW_NUMBER over (dist2, page_id)
+   — deterministic tie-breaking,
+4. geometric guarantee check: a page outside ring r is at least
+   r·min(cell_w, cell_h) degrees away, so a query is *settled* iff it found
+   k candidates with kth distance² ≤ (r·min(cw,ch))²; unsettled queries
+   (sparse neighborhoods) fall back to a brute-force pass — at scale this
+   is a tiny fraction, and the fallback broadcasts only those queries.
+
+The iterated-ring variant of the reference survey (§2.5) is folded into
+one round + guarantee + fallback: one shuffle instead of R.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from buzzard_spark.kernels import cells
+from buzzard_spark.operators.spatial_join import assign_cell
+
+DIST2 = ('(lat - qlat) * (lat - qlat) + (lng - qlng) * (lng - qlng)')
+
+
+def ring_cells(queries: DataFrame, res: int, k_ring: int) -> DataFrame:
+    """Explode each query row into its ring-``k_ring`` candidate cells."""
+    nx, ny = cells.dims(res)
+    q = assign_cell(queries, res, lat='qlat', lng='qlng', out='qcell')
+    q = q.withColumn('_qx', F.expr(f'qcell % {nx}')) \
+         .withColumn('_qy', F.expr(f'qcell DIV {nx}'))
+    q = q.withColumn(
+        '_dy', F.explode(F.expr(
+            f'sequence(GREATEST(_qy - {k_ring}, 0L), '
+            f'LEAST(_qy + {k_ring}, {ny - 1}L))')))
+    q = q.withColumn(
+        '_dx', F.explode(F.expr(f'sequence(_qx - {k_ring}, _qx + {k_ring})')))
+    q = q.withColumn('cell', F.expr(
+        f'_dy * {nx} + pmod(_dx, {nx})'))
+    return q.drop('_qx', '_qy', '_dy', '_dx')
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy('qid').orderBy(F.col('dist2').asc(), F.col('page_id').asc())
+    return (cand
+            .withColumn('dist2', F.expr(DIST2))
+            .withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= k))
+
+
+def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
+        k_ring: int = 2) -> DataFrame:
+    """queries(qid, qlat, qlng) × pages(page_id, lat, lng) → top-k rows
+    (qid, page_id, dist2, rnk). Exact — ring join + guarantee + fallback."""
+    cw, ch = cells.cell_size_deg(res)
+    guarantee = (k_ring * min(cw, ch)) ** 2
+
+    pages_c = assign_cell(pages, res)
+    rings = ring_cells(queries, res, k_ring)
+    cand = rings.join(pages_c, 'cell').select(
+        'qid', 'qlat', 'qlng', 'page_id', 'lat', 'lng')
+    topk = _topk(cand, k).select(
+        'qid', 'qlat', 'qlng', 'page_id', 'dist2', 'rnk').persist()
+
+    # strict `<`: at kth == guarantee an outside-ring page could tie
+    settled_stats = (topk.groupBy('qid')
+                     .agg(F.max('rnk').alias('found'),
+                          F.max('dist2').alias('kth'))
+                     .where((F.col('found') == k) & (F.col('kth') < guarantee)))
+    settled = topk.join(settled_stats.select('qid'), 'qid', 'left_semi')
+
+    unsettled_q = queries.join(settled_stats.select('qid'), 'qid', 'left_anti')
+    if unsettled_q.isEmpty():
+        return settled.select('qid', 'page_id', 'dist2', 'rnk')
+
+    brute_cand = F.broadcast(unsettled_q).crossJoin(
+        pages.select('page_id', 'lat', 'lng'))
+    brute = _topk(brute_cand, k).select('qid', 'page_id', 'dist2', 'rnk')
+    return settled.select('qid', 'page_id', 'dist2', 'rnk').unionByName(brute)

@@ -1,0 +1,70 @@
+"""Deterministic synthetic web-page corpus (Common-Crawl-style).
+
+Two sources, same geoparsing arithmetic (functions.sqlgen):
+
+- ``pages_from_documents``: the driver's ``documents`` parquet with derived
+  url / lat / lng — used by the oracle-checked queries (the DuckDB oracle
+  re-derives the identical columns in SQL).
+- ``synthetic_pages``: ``spark.range(n)``-generated pages at any scale —
+  used by bench.py (10^6–10^7 rows in-sandbox; the generator is O(1) memory
+  per partition and scale-free, matching the 10^12-design).
+
+Everything is built from Catalyst expressions — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from buzzard_spark.functions import sqlgen
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages(page_id, url, text, lang, lat, lng)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return docs.select(
+        F.col('doc_id').alias('page_id'),
+        F.expr("concat('https://host', CAST(doc_id % 1000 AS STRING), "
+               "'.example/', CAST(doc_id AS STRING))").alias('url'),
+        'text',
+        'lang',
+        F.expr(sqlgen.lat_sql('doc_id')).alias('lat'),
+        F.expr(sqlgen.lng_sql('doc_id')).alias('lng'),
+    )
+
+
+def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Scale-free pages table for benchmarks: (page_id, url, warc_ts, html,
+    text, lang, lat, lng). html/text are deterministic functions of the id
+    (byte-identical per url at any partitioning — the north-rule invariant)."""
+    df = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    df = df.withColumnRenamed('id', 'page_id')
+    text = F.expr("concat('page ', CAST(page_id AS STRING), ' ', "
+                  "md5(CAST(page_id AS STRING)), ' ', "
+                  "md5(CAST(page_id * 31 AS STRING)))")
+    return df.select(
+        'page_id',
+        F.expr("concat('https://host', CAST(page_id % 1000 AS STRING), "
+               "'.example/', CAST(page_id AS STRING))").alias('url'),
+        F.expr("timestamp_seconds(1735689600 + (page_id * 1337) % 31536000)"
+               ).alias('warc_ts'),
+        F.encode(F.concat(F.lit('<html><body>'), text, F.lit('</body></html>')),
+                 'utf-8').alias('html'),
+        text.alias('text'),
+        F.expr("element_at(array('en','fr','de','es','pt'), "
+               "CAST(page_id % 5 AS INT) + 1)").alias('lang'),
+        F.expr(sqlgen.lat_sql('page_id')).alias('lat'),
+        F.expr(sqlgen.lng_sql('page_id')).alias('lng'),
+    )
+
+
+def regions(spark: SparkSession, count: int) -> DataFrame:
+    """Synthetic rectangle regions with ~2% hot (oversized) members —
+    the skew driver for the cover-cell join."""
+    cols = sqlgen.region_cols_sql('region_id')
+    df = spark.range(count).withColumnRenamed('id', 'region_id')
+    return df.select(
+        'region_id',
+        *[F.expr(sql).alias(name) for name, sql in cols.items()],
+    )
