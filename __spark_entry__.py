@@ -80,6 +80,15 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select('qid', 'page_id', 'rnk')
 
 
+def q_pip_polygon_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon join (WKB pentagons, ray-casting UDF refine)."""
+    pages = _pages(spark, sf_dir)
+    polys = synth.regions_pentagon(spark, N_REGIONS)
+    return (spatial_join.pip_join_wkb(pages, polys, JOIN_RES)
+            .groupBy('region_id')
+            .agg(F.count('*').alias('page_count')))
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavored agg; money sums in exact integer cents."""
     li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
@@ -140,6 +149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'cell_assign_counts': q_cell_assign_counts,
     'tile_assign': q_tile_assign,
     'knn_ring': q_knn_ring,
+    'pip_polygon_count': q_pip_polygon_count,
     'lineitem_pricing': q_lineitem_pricing,
     'top_orders_per_customer': q_top_orders_per_customer,
     'events_hourly': q_events_hourly,
@@ -199,6 +209,18 @@ def oracle_sql() -> dict[str, str]:
         ).format(pages=pages, qlat=sqlgen.lat_sql('(qid * 7919 + 13)'),
                  qlng=sqlgen.lng_sql('(qid * 7919 + 13)'),
                  nq=N_KNN_QUERIES, k=KNN_K),
+        'pip_polygon_count': (
+            'WITH {pages}, polys AS (SELECT region_id, {clat} AS clat, '
+            '{clng} AS clng, {halfh} AS halfh, {halfw} AS halfw '
+            'FROM range({n}) t(region_id)) '
+            'SELECT region_id, COUNT(*) AS page_count FROM pages JOIN polys '
+            'ON {pip} GROUP BY region_id'
+        ).format(pages=pages, n=N_REGIONS,
+                 pip=sqlgen.pentagon_pip_sql(
+                     'lat', 'lng',
+                     {k: k for k in ('clat', 'clng', 'halfh', 'halfw')}),
+                 **{k: v for k, v in sqlgen.region_cols_sql('region_id').items()
+                    if k in ('clat', 'clng', 'halfh', 'halfw')}),
         'lineitem_pricing': (
             'SELECT l_returnflag, l_linestatus, '
             'SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS sum_qty_c, '

@@ -21,6 +21,8 @@ session config; for pathological dimension-side fanout use
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +85,42 @@ def pip_join_rect(pages: DataFrame, regions: DataFrame, res: int,
     return joined.where(
         (F.col('lat') >= F.col('minlat')) & (F.col('lat') <= F.col('maxlat')) &
         (F.col('lng') >= F.col('minlng')) & (F.col('lng') <= F.col('maxlng')))
+
+
+def pip_join_wkb(pages: DataFrame, regions: DataFrame, res: int,
+                 broadcast_cover: bool = True) -> DataFrame:
+    """pages ⨝ arbitrary-polygon regions (WKB), exact point-in-polygon.
+
+    regions: (region_id, wkb binary, minlat, minlng, maxlat, maxlng).
+    Candidate pruning = bbox cover-cell equi-join (JVM); exact refine =
+    Arrow-batched pandas UDF running the vectorized ray-casting kernel
+    (kernels.geometry.points_in_wkb) with a per-batch decode cache — the
+    distributed generalization of the reference's one-polygon-at-a-time
+    ``SetSpatialFilter`` + Intersection scan
+    (reference: buzzard/_a_gdal_vector.py:45-103).
+    """
+    @F.pandas_udf('boolean')
+    def _pip(lat: pd.Series, lng: pd.Series, wkb: pd.Series) -> pd.Series:
+        from buzzard_spark.kernels import geometry
+
+        out = np.zeros(len(lat), dtype=bool)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        lng_v = lng.to_numpy(dtype=np.float64)
+        # vectorize per distinct polygon in the batch
+        for buf, idx in wkb.groupby(wkb, sort=False).indices.items():
+            out[idx] = geometry.points_in_wkb(lng_v[idx], lat_v[idx], buf)
+        return pd.Series(out)
+
+    pages_c = assign_cell(pages, res)
+    cover = cover_cells_rect(regions, res)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+    joined = pages_c.join(cover, 'cell')
+    # cheap bbox refine first (codegen), exact PIP only on bbox survivors
+    joined = joined.where(
+        (F.col('lat') >= F.col('minlat')) & (F.col('lat') <= F.col('maxlat')) &
+        (F.col('lng') >= F.col('minlng')) & (F.col('lng') <= F.col('maxlng')))
+    return joined.where(_pip(F.col('lat'), F.col('lng'), F.col('wkb')))
 
 
 def pip_count_by_region(pages: DataFrame, regions: DataFrame, res: int,

@@ -59,6 +59,33 @@ def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None) 
     )
 
 
+def regions_pentagon(spark: SparkSession, count: int) -> DataFrame:
+    """Convex-pentagon polygon regions as WKB + bbox columns.
+
+    Same centers / half-sizes as the rectangle regions (sqlgen mirrors);
+    built driver-side (dimension table — at 10^12-page scale the polygon
+    side stays tiny relative to pages; a mapInPandas generator would make
+    this executor-side if the dimension itself were huge).
+    """
+    import numpy as np
+
+    from buzzard_spark.kernels import geometry
+
+    cols = sqlgen.region_cols_np(np.arange(count))
+    pent = np.asarray(sqlgen.PENTAGON)
+    rows = []
+    for r in range(count):
+        vx = cols['clng'][r] + cols['halfw'][r] * pent[:, 0]
+        vy = cols['clat'][r] + cols['halfh'][r] * pent[:, 1]
+        ring = np.column_stack([vx, vy])
+        rows.append((r, bytearray(geometry.wkb_polygon(ring)),
+                     float(vy.min()), float(vx.min()),
+                     float(vy.max()), float(vx.max())))
+    return spark.createDataFrame(
+        rows, 'region_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+
+
 def regions(spark: SparkSession, count: int) -> DataFrame:
     """Synthetic rectangle regions with ~2% hot (oversized) members —
     the skew driver for the cover-cell join."""
