@@ -1,0 +1,366 @@
+"""Raster ↔ vector kernels: rasterize / polygonize / lines / slopes.
+
+GDAL-free numpy reimplementations of the reference's conversions
+(reference: buzzard/_footprint.py:1538-1935):
+
+- ``burn_polygons`` — scanline rasterization with GDAL's pixel-center rule
+  (pixel burned iff its center is inside; even-odd, holes supported) and an
+  ``all_touched`` variant; ``labelize`` burns feature index (last wins, in
+  feature order, like gdal.RasterizeLayer with ATTRIBUTE).
+- ``find_polygons`` — pixel-is-area polygonization of a bool mask:
+  4-connected components, edge-walk boundary tracing with a right-turn rule
+  at pinch corners so holes touching the exterior diagonally stay holes
+  (the exact case buzzard fixes with buffer(0),
+  reference: buzzard/_footprint.py:1798-1804).
+- ``burn_lines`` — DDA line rasterization on the pixel grid.
+- ``find_lines`` — mask skeleton → merged polylines (degree-2 chain merge).
+- ``slopes`` — Horn 8-neighbor gradient in degrees
+  (reference: buzzard/algo/_slopes.py:25-57).
+
+All functions operate in *raster* pixel space given arrays plus the
+footprint's affine for world conversion; they are numpy-only and run
+per-tile inside applyInPandas in the distributed layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from buzzard_spark.kernels import geometry
+
+
+# -- rasterize -------------------------------------------------------------------
+
+def _rings_to_raster(rings, fp):
+    return [np.column_stack(
+        _world_to_pixel_float(fp, ring[:, 0], ring[:, 1])) for ring in rings]
+
+
+def _world_to_pixel_float(fp, xs, ys):
+    from buzzard_spark.kernels import affine6
+    a, b, c, d, e, f = affine6.inverse(fp._coef)
+    return xs * a + ys * b + c, xs * d + ys * e + f
+
+
+def _burn_rings_centers(out, rings_px, value):
+    """Even-odd scanline at pixel centers (GDAL default rule)."""
+    h, w = out.shape
+    ys = np.arange(h) + 0.5
+    for ring in rings_px:
+        pass  # rings handled jointly below
+    x1 = np.concatenate([r[:-1, 0] for r in rings_px])
+    y1 = np.concatenate([r[:-1, 1] for r in rings_px])
+    x2 = np.concatenate([r[1:, 0] for r in rings_px])
+    y2 = np.concatenate([r[1:, 1] for r in rings_px])
+    keep = y1 != y2
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    if len(x1) == 0:
+        return
+    for iy, cy in enumerate(ys):
+        straddle = (y1 > cy) != (y2 > cy)
+        if not straddle.any():
+            continue
+        xc = x1[straddle] + (cy - y1[straddle]) * \
+            (x2[straddle] - x1[straddle]) / (y2[straddle] - y1[straddle])
+        xc.sort()
+        # pixel center cx = ix + 0.5 inside iff odd # of crossings to its left
+        idx = np.searchsorted(xc, np.arange(w) + 0.5, side='left')
+        inside = (idx % 2) == 1
+        out[iy, inside] = value
+
+
+def _burn_rings_all_touched(out, rings_px, value):
+    """Burn every pixel touched by the boundary, then fill interior."""
+    _burn_rings_centers(out, rings_px, value)
+    for ring in rings_px:
+        for i in range(len(ring) - 1):
+            _burn_segment(out, ring[i], ring[i + 1], value)
+
+
+def _burn_segment(out, p, q, value):
+    """DDA over the segment; marks every pixel the segment passes through."""
+    h, w = out.shape
+    x1, y1 = p
+    x2, y2 = q
+    n = int(max(abs(x2 - x1), abs(y2 - y1)) * 2) + 1
+    ts = np.linspace(0.0, 1.0, n + 1)
+    xs = np.clip((x1 + (x2 - x1) * ts).astype(np.int64), 0, w - 1)
+    ys = np.clip((y1 + (y2 - y1) * ts).astype(np.int64), 0, h - 1)
+    # only mark pixels the segment actually traverses inside bounds
+    inb = ((x1 + (x2 - x1) * ts) >= 0) & ((x1 + (x2 - x1) * ts) < w) & \
+          ((y1 + (y2 - y1) * ts) >= 0) & ((y1 + (y2 - y1) * ts) < h)
+    out[ys[inb], xs[inb]] = value
+
+
+def burn_polygons(fp, objs, all_touched=False, labelize=False):
+    """Rasterize polygons into fp's grid.
+
+    objs: WKB bytes, decoded ('polygon', rings) payloads, raw ring lists,
+    or any nested sequence of those (reference accepts nested iterators,
+    buzzard/_footprint.py:1884).
+    """
+    polys = list(_iter_polys(objs))
+    if labelize:
+        if len(polys) >= 65535:
+            dtype = np.dtype('uint32')
+        elif len(polys) >= 255:
+            dtype = np.dtype('uint16')
+        else:
+            dtype = np.dtype('uint8')
+    else:
+        dtype = np.dtype('bool')
+    out = np.zeros(tuple(fp.shape), dtype=dtype)
+    for i, rings in enumerate(polys, 1):
+        rings_px = _rings_to_raster(rings, fp)
+        value = i if labelize else True
+        if all_touched:
+            _burn_rings_all_touched(out, rings_px, value)
+        else:
+            _burn_rings_centers(out, rings_px, value)
+    return out
+
+
+def _iter_polys(obj):
+    """Yield ring-lists from WKB bytes / decoded payloads / nested seqs."""
+    if isinstance(obj, (bytes, bytearray)):
+        kind, payload = geometry.wkb_decode(bytes(obj))
+        if kind == 'polygon':
+            yield payload
+        elif kind == 'multipolygon':
+            yield from payload
+        else:
+            raise ValueError('cannot burn geometry type %s' % kind)
+    elif isinstance(obj, np.ndarray) and obj.ndim == 2:
+        yield [obj]
+    elif isinstance(obj, (list, tuple)):
+        if obj and isinstance(obj[0], np.ndarray) and obj[0].ndim == 2:
+            yield [np.asarray(r, dtype=np.float64) for r in obj]
+        else:
+            for sub in obj:
+                yield from _iter_polys(sub)
+    else:
+        raise TypeError('cannot burn %r' % type(obj))
+
+
+# -- polygonize -------------------------------------------------------------------
+
+def _label_components(mask):
+    """4-connected component labels via row-run union-find (numpy per row)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev_runs = []  # (start, end, label) of previous row
+    next_label = 1
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        padded = np.diff(np.r_[0, row.view(np.int8), 0])
+        starts = np.flatnonzero(padded == 1)
+        ends = np.flatnonzero(padded == -1)
+        runs = []
+        for s, e in zip(starts, ends):
+            lab = 0
+            for ps, pe, plab in prev_runs:
+                if ps < e and s < pe:  # 4-connectivity overlap
+                    if lab == 0:
+                        lab = plab
+                    else:
+                        union(lab, plab)
+            if lab == 0:
+                lab = next_label
+                parent.append(lab)
+                next_label += 1
+            labels[y, s:e] = lab
+            runs.append((s, e, lab))
+        # resolve merged labels within this row now (runs keep raw labels)
+        prev_runs = runs
+    if next_label > 1:
+        lut = np.zeros(next_label, dtype=np.int32)
+        for i in range(1, next_label):
+            lut[i] = find(i)
+        # compact to 1..n
+        uniq = np.unique(lut[1:])
+        remap = np.zeros(next_label, dtype=np.int32)
+        remap[uniq] = np.arange(1, len(uniq) + 1)
+        labels = remap[lut[labels]]
+    return labels, int(labels.max())
+
+
+_DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
+_VECS = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+
+
+def _trace_rings(comp_mask):
+    """Boundary rings of one component (pixel-is-area corners, raster coords).
+
+    Directed edges keep the filled pixel on the RIGHT of travel; at
+    pinch vertices the sharpest right turn is taken, which preserves
+    4-connectivity (diagonal contact does not merge)."""
+    h, w = comp_mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = comp_mask
+    edges = {}  # (vx, vy, dir) -> used?
+
+    ys, xs = np.nonzero(comp_mask)
+    for x, y in zip(xs, ys):
+        if not pad[y, x + 1]:        # empty above -> east edge on top
+            edges[(x, y, 0)] = False
+        if not pad[y + 1, x + 2]:    # empty right -> south edge on right
+            edges[(x + 1, y, 1)] = False
+        if not pad[y + 2, x + 1]:    # empty below -> west edge on bottom
+            edges[(x + 1, y + 1, 2)] = False
+        if not pad[y + 1, x]:        # empty left -> north edge on left
+            edges[(x, y + 1, 3)] = False
+
+    rings = []
+    for start in edges:
+        if edges[start]:
+            continue
+        ring = []
+        vx, vy, d = start
+        while True:
+            edges[(vx, vy, d)] = True
+            ring.append((vx, vy))
+            dx, dy = _VECS[d]
+            vx, vy = vx + dx, vy + dy
+            # prefer right turn, then straight, then left (never U-turn)
+            for nd in ((d + 1) % 4, d, (d + 3) % 4):
+                key = (vx, vy, nd)
+                if key in edges and not edges[key]:
+                    d = nd
+                    break
+            else:
+                break  # closed the loop
+        ring.append(ring[0])
+        rings.append(np.asarray(ring, dtype=np.float64))
+    return rings
+
+
+def find_polygons(fp, mask):
+    """bool mask → list of ('polygon', [exterior, holes...]) ring lists in
+    WORLD coordinates (pixel-is-area corners, holes preserved)."""
+    if mask.shape != tuple(fp.shape):
+        raise ValueError('Mask shape{} incompatible with footprint shape{}'
+                         .format(mask.shape, tuple(fp.shape)))
+    labels, n = _label_components(mask.astype(bool))
+    out = []
+    for comp in range(1, n + 1):
+        rings_px = _trace_rings(labels == comp)
+        # world coords; exterior = largest |area|
+        rings_w = []
+        for ring in rings_px:
+            xw, yw = _pixel_to_world(fp, ring[:, 0], ring[:, 1])
+            rings_w.append(np.column_stack([xw, yw]))
+        areas = [abs(geometry.ring_area(r)) for r in rings_w]
+        order = np.argsort(areas)[::-1]
+        out.append([rings_w[i] for i in order])
+    return out
+
+
+def _pixel_to_world(fp, xs, ys):
+    a, b, c, d, e, f = fp._coef
+    return xs * a + ys * b + c, xs * d + ys * e + f
+
+
+# -- lines -----------------------------------------------------------------------
+
+def burn_lines(fp, lines, labelize=False):
+    """Rasterize linestrings (world coords or WKB) via DDA."""
+    geoms = []
+    for obj in lines:
+        if isinstance(obj, (bytes, bytearray)):
+            kind, payload = geometry.wkb_decode(bytes(obj))
+            assert kind == 'linestring'
+            geoms.append(payload)
+        else:
+            geoms.append(np.asarray(obj, dtype=np.float64))
+    if labelize:
+        dtype = np.dtype('uint8') if len(geoms) < 255 else np.dtype('uint16')
+    else:
+        dtype = np.dtype('bool')
+    out = np.zeros(tuple(fp.shape), dtype=dtype)
+    for i, line in enumerate(geoms, 1):
+        px, py = _world_to_pixel_float(fp, line[:, 0], line[:, 1])
+        for j in range(len(px) - 1):
+            _burn_segment(out, (px[j], py[j]), (px[j + 1], py[j + 1]),
+                          i if labelize else True)
+    return out
+
+
+def find_lines(fp, mask, merge=True):
+    """mask → polylines (world coords, pixel centers). Simplified analogue
+    of the reference's thin+convolve+linemerge chain
+    (reference: buzzard/_footprint.py:1538-1717): build the 4/8-neighbor
+    pixel graph and merge degree-2 chains. Standalone pixels are ignored
+    (same caveat as the reference)."""
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    ys, xs = np.nonzero(mask)
+    nodes = set(zip(xs.tolist(), ys.tolist()))
+    nbrs = {}
+    offs = [(1, 0), (0, 1), (1, 1), (1, -1)]
+    for x, y in nodes:
+        for dx, dy in offs:
+            q = (x + dx, y + dy)
+            if q in nodes:
+                # skip diagonal if 4-connected path exists (thin-ish rule)
+                if dx and dy and ((x + dx, y) in nodes or (x, y + dy) in nodes):
+                    continue
+                nbrs.setdefault((x, y), []).append(q)
+                nbrs.setdefault(q, []).append((x, y))
+    visited_edges = set()
+    lines = []
+    deg = {p: len(v) for p, v in nbrs.items()}
+    starts = [p for p, d in deg.items() if d != 2] or list(nbrs)
+    for start in sorted(starts):
+        for nxt in sorted(nbrs.get(start, ())):
+            if (start, nxt) in visited_edges:
+                continue
+            path = [start, nxt]
+            visited_edges.add((start, nxt))
+            visited_edges.add((nxt, start))
+            cur, prev = nxt, start
+            while merge and deg.get(cur) == 2:
+                cand = [q for q in nbrs[cur] if q != prev]
+                if not cand or (cur, cand[0]) in visited_edges:
+                    break
+                prev, cur = cur, cand[0]
+                visited_edges.add((prev, cur))
+                visited_edges.add((cur, prev))
+                path.append(cur)
+            px = np.asarray([p[0] + 0.5 for p in path])
+            py = np.asarray([p[1] + 0.5 for p in path])
+            xw, yw = _pixel_to_world(fp, px, py)
+            lines.append(np.column_stack([xw, yw]))
+    return lines
+
+
+# -- slopes ----------------------------------------------------------------------
+
+def slopes(fp, dsm, crop=False):
+    """DSM → slope degrees via Horn's 8-neighbor gradient
+    (reference: buzzard/algo/_slopes.py:25-57). With crop=False the border
+    is computed from an edge-replicated pad."""
+    arr = np.pad(dsm.astype(np.float64), 1, mode='edge') if not crop else \
+        dsm.astype(np.float64)
+    nw, n, ne = arr[:-2, :-2], arr[:-2, 1:-1], arr[:-2, 2:]
+    w_, e_ = arr[1:-1, :-2], arr[1:-1, 2:]
+    sw, s, se = arr[2:, :-2], arr[2:, 1:-1], arr[2:, 2:]
+    sx, sy = np.abs(fp.scale)
+    dzdx = ((ne + 2 * e_ + se) - (nw + 2 * w_ + sw)) / (8 * sx)
+    dzdy = ((sw + 2 * s + se) - (nw + 2 * n + ne)) / (8 * sy)
+    return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
