@@ -17,8 +17,11 @@ from pyspark.sql.window import Window
 from buzzard_spark import synth
 from buzzard_spark.functions import sqlgen
 from buzzard_spark.kernels.footprint import Footprint
+from buzzard_spark.operators import dedup as dedup_ops
 from buzzard_spark.operators import knn as knn_ops
+from buzzard_spark.operators import similarity as similarity_ops
 from buzzard_spark.operators import spatial_join
+from buzzard_spark.operators import text as text_ops
 
 CELL_RES = 9          # BASELINE.json: "H3 res-9 index" analogue
 JOIN_RES = 4          # coarser cover grid for region join
@@ -143,6 +146,50 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(split(trim(text), '\\\\s+'))").cast('long').alias('n_tokens'))
 
 
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated copies (last 10 tokens dropped) — the
+    deterministic near-duplicate corpus both engines can derive."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id', 'text')
+    words = "split(trim(text), '\\\\s+')"
+    copies = (docs
+              .where(F.expr(f'size({words}) > 20'))
+              .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                      F.expr(f"array_join(slice({words}, 1, "
+                             f"size({words}) - 10), ' ')").alias('text')))
+    return docs.unionByName(copies)
+
+
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (threshold 0.6)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return dedup_ops.near_dup_pairs(corpus, threshold=0.6)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64-based — no SQL oracle;
+    rows-only driver check, locality pinned by pytest)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return dedup_ops.simhash64(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 8 vectors as probes."""
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    corpus = emb.select('vec_id', F.col('embedding').alias('vec'))
+    queries = (emb.where(F.col('vec_id') < 8)
+               .select(F.col('vec_id').alias('qid'),
+                       F.col('embedding').alias('qvec')))
+    return (similarity_ops.brute_topk(corpus, queries, 10)
+            .select('qid', 'vec_id', 'rnk'))
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality score + token count in one pass."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return text_ops.analyze(docs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
@@ -156,6 +203,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'doc_fingerprint': q_doc_fingerprint,
     'dedup_exact': q_dedup_exact,
     'token_count': q_token_count,
+    'dedup_near_pairs': q_dedup_near_pairs,
+    'simhash': q_simhash,
+    'ann_topk': q_ann_topk,
+    'lang_quality': q_lang_quality,
 }
 
 
@@ -245,6 +296,41 @@ def oracle_sql() -> dict[str, str]:
         'token_count': (
             "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
             'AS BIGINT) AS n_tokens FROM documents'),
+        # near-dup pairs via an exact inverted-shingle index (the LSH engine
+        # path must equal this all-pairs truth at threshold 0.6)
+        'dedup_near_pairs': (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') w FROM documents), "
+            'corpus AS (SELECT doc_id, w FROM toks UNION ALL '
+            'SELECT doc_id + 1000000, w[1:len(w) - 10] FROM toks '
+            'WHERE len(w) > 20), '
+            'sh AS (SELECT doc_id, list_distinct(list_transform('
+            "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i + 1] || "
+            "' ' || w[i + 2])) s FROM corpus WHERE len(w) >= 3), "
+            'inv AS (SELECT doc_id, unnest(s) shingle FROM sh), '
+            'co AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) inter '
+            'FROM inv a JOIN inv b ON a.shingle = b.shingle AND '
+            'a.doc_id < b.doc_id GROUP BY 1, 2), '
+            'jac AS (SELECT ia AS id_a, ib AS id_b, '
+            'CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS j '
+            'FROM co JOIN (SELECT doc_id, len(s) n FROM sh) la ON la.doc_id = ia '
+            'JOIN (SELECT doc_id, len(s) n FROM sh) lb ON lb.doc_id = ib) '
+            'SELECT id_a, id_b, CAST(FLOOR(j * 1000E0) AS BIGINT) AS jaccard_pm '
+            'FROM jac WHERE j >= 0.6E0'),
+        'ann_topk': (
+            'SELECT qid, vec_id, rnk FROM ('
+            'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '
+            'CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY '
+            'list_cosine_similarity(q.embedding, c.embedding) DESC, '
+            'c.vec_id ASC) AS INT) AS rnk '
+            'FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 8) '
+            'WHERE rnk <= 10'),
+        'lang_quality': (
+            'SELECT doc_id, CAST({tok} AS BIGINT) AS n_tokens, '
+            '{lang} AS lang_pred, {qual} AS quality FROM documents'
+        ).format(tok=text_ops.token_count_sql('text', 'duckdb'),
+                 lang=text_ops.lang_id_sql('text'),
+                 qual=text_ops.quality_sql('text', 'duckdb')),
     }
 
 

@@ -1,0 +1,144 @@
+"""Training-data pipeline operators vs single-node numpy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from buzzard_spark.operators import dedup, multimodal, similarity, text
+
+VOCAB = ('alpha bravo charlie delta echo foxtrot golf hotel india juliet '
+         'kilo lima mike november oscar papa').split()
+
+
+def _make_docs(n=60, n_dups=12, seed=11):
+    rng = np.random.RandomState(seed)
+    texts = [' '.join(rng.choice(VOCAB, 40)) for _ in range(n)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for j in range(n_dups):
+        words = texts[j].split()[:-6]  # drop 6 of 40 words -> jaccard ~0.8
+        rows.append((1000 + j, ' '.join(words)))
+    return rows
+
+
+def _shingle_set(t, k=3):
+    w = t.split()
+    return {' '.join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+def test_near_dup_pairs_matches_bruteforce(spark):
+    rows = _make_docs()
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {(r['id_a'], r['id_b'])
+           for r in dedup.near_dup_pairs(df, threshold=0.6).collect()}
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = _shingle_set(rows[i][1]), _shingle_set(rows[j][1])
+            if len(a & b) / len(a | b) >= 0.6:
+                truth.add((min(rows[i][0], rows[j][0]),
+                           max(rows[i][0], rows[j][0])))
+    assert truth  # the synthetic dups must exist
+    assert got == truth
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, 'aa bb'), (2, 'aa bb'), (3, 'cc')], 'doc_id long, text string')
+    rows = {r['keep_id']: r['n_dups'] for r in dedup.exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_simhash_locality(spark):
+    rows = _make_docs(n=20, n_dups=5)
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    sh = dedup.simhash64(df)
+    a = sh.alias('a')
+    b = sh.alias('b')
+    pairs = (a.crossJoin(b)
+             .where(F.col('a.doc_id') < F.col('b.doc_id'))
+             .select(F.col('a.doc_id').alias('ia'),
+                     F.col('b.doc_id').alias('ib'),
+                     dedup.hamming64('a.simhash', 'b.simhash').alias('d')))
+    dups = {r['d'] for r in pairs.where(
+        (F.col('ib') - F.col('ia') == 1000)).collect()}
+    rand = [r['d'] for r in pairs.where(
+        (F.col('ib') < 1000)).collect()]
+    # near-dups: clearly smaller hamming distance than random pairs
+    # (shared 16-word vocab keeps random-pair distances moderate)
+    assert max(dups) < 12
+    assert np.mean(rand) > max(dups)
+
+
+def test_brute_topk_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(100, 16).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        'vec_id long, vec array<float>')
+    qv = vecs[:5]
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(qv)],
+        'qid long, qvec array<float>')
+    got = {(r['qid'], r['rnk']): r['vec_id']
+           for r in similarity.brute_topk(corpus, queries, 3).collect()}
+    sims = (qv @ vecs.T) / (
+        np.linalg.norm(qv, axis=1)[:, None] * np.linalg.norm(vecs, axis=1))
+    for q in range(5):
+        order = np.lexsort((np.arange(100), -sims[q]))[:3]
+        for rnk, vid in enumerate(order, 1):
+            assert got[(q, rnk)] == vid
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(400, 16).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        'vec_id long, vec array<float>')
+    queries = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(10)],
+        'qid long, qvec array<float>')
+    brute = {(r['qid'], r['vec_id'])
+             for r in similarity.brute_topk(corpus, queries, 5).collect()}
+    approx = {(r['qid'], r['vec_id'])
+              for r in similarity.lsh_topk(corpus, queries, 5, dim=16).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.8
+
+
+def test_text_analyze(spark):
+    df = spark.createDataFrame(
+        [(0, 'the cat and the dog of the house'),
+         (1, 'le chat et le chien et la maison'),
+         (2, 'der hund und der katze und das haus')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in text.analyze(df).collect()}
+    assert rows[0]['lang_pred'] == 'en'
+    assert rows[1]['lang_pred'] == 'fr'
+    assert rows[2]['lang_pred'] == 'de'
+    assert rows[0]['n_tokens'] == 8
+    assert rows[0]['quality'] > 0
+
+
+def test_multimodal_fake_pipeline(spark):
+    rng = np.random.RandomState(9)
+    rows = [(i, bytearray(rng.bytes(200 + i * 13))) for i in range(10)]
+    df = spark.createDataFrame(rows, 'id long, payload binary')
+
+    meta = multimodal.decode_media_meta(df).collect()
+    assert len(meta) == 10
+    assert all(160 <= r['width'] < 640 for r in meta)
+    assert {r['media_type'] for r in meta} == {'image'}
+
+    feats = multimodal.extract_features(df, dim=16).collect()
+    assert len(feats) == 10 and all(len(r['feature']) == 16 for r in feats)
+    # deterministic: run twice, same values
+    feats2 = multimodal.extract_features(df, dim=16).collect()
+    assert {r['id']: r['feature'] for r in feats} == \
+           {r['id']: r['feature'] for r in feats2}
+
+    frames = multimodal.sample_frames(df, every_n=4).collect()
+    assert len(frames) >= 10
+
+    with pytest.raises(NotImplementedError, match='pil'):
+        multimodal.decode_media_meta(df, decoder='pil')
