@@ -1,0 +1,199 @@
+"""Parquet + snapshot-manifest table (Iceberg emulated; SURVEY.md §7.0).
+
+Real Iceberg jars are unavailable offline, so the engine ships a minimal
+snapshot layer with the properties the north rule needs:
+
+- **atomic commits**: data files land under ``data/snap-N/``; the manifest
+  ``_manifest/snap-N.json`` is written temp+rename, then ``CURRENT`` is
+  flipped temp+rename — readers never see a half-written snapshot.
+- **per-partition lineage + metrics**: each manifest records, per data
+  file, rows / bytes / per-column min-max (from the parquet footers — free)
+  plus the job-level metrics observed via ``Observation`` during the write.
+- **resumability**: tile-keyed tables record the distinct key set per
+  snapshot; ``completed_keys`` + an anti-join skip work already done — the
+  engine's re-expression of the reference's cache supervisor
+  ("pixels never computed twice", reference: buzzard/_dataset.py:1037-1041,
+  buzzard/_actors/cached/cache_supervisor.py).
+- **integrity**: file sizes are checked against the manifest on read, like
+  the reference's checksum pass (reference:
+  buzzard/_cached_raster_recipe.py:146-166); mismatching files invalidate
+  their keys so they are recomputed.
+
+Keep the surface small so real Iceberg drops in behind the same calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, '_manifest')
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------------
+
+    def _current_path(self):
+        return os.path.join(self.manifest_dir, 'CURRENT')
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _load_manifest(self, snap_id: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f'snap-{snap_id}.json')) as f:
+            return json.load(f)
+
+    def manifests(self) -> list[dict]:
+        """All manifests in the current lineage chain, oldest first."""
+        out = []
+        snap_id = self.current_snapshot_id()
+        while snap_id is not None:
+            m = self._load_manifest(snap_id)
+            out.append(m)
+            snap_id = m.get('parent')
+        return list(reversed(out))
+
+    def _atomic_write(self, path: str, payload: str):
+        tmp = path + '.tmp-' + uuid.uuid4().hex
+        with open(tmp, 'w') as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    # -- write -------------------------------------------------------------------
+
+    def append(self, df: DataFrame, key_cols: list[str] | None = None,
+               observe: dict | None = None) -> dict:
+        """Append df as a new snapshot. Returns the manifest dict.
+
+        key_cols: tile/content keys recorded for resume anti-joins.
+        observe: extra named aggregate Columns measured during the write
+        (runs through Spark's Observation API — one pass, no extra job).
+        """
+        parent = self.current_snapshot_id()
+        snap_id = (parent or 0) + 1
+        data_dir = os.path.join(self.root, 'data', f'snap-{snap_id}')
+
+        obs = None
+        if observe:
+            obs = Observation(f'snap-{snap_id}')
+            df = df.observe(obs, *[expr.alias(name)
+                                   for name, expr in observe.items()])
+        df.write.mode('overwrite').parquet(data_dir)
+
+        files = []
+        for name in sorted(os.listdir(data_dir)):
+            if not name.endswith('.parquet'):
+                continue
+            path = os.path.join(data_dir, name)
+            meta = pq.read_metadata(path)
+            col_stats = {}
+            schema_names = meta.schema.names
+            mins = {c: None for c in schema_names}
+            maxs = {c: None for c in schema_names}
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    stats = col.statistics
+                    name_c = col.path_in_schema
+                    if stats is None or not stats.has_min_max:
+                        continue
+                    mn, mx = stats.min, stats.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        continue
+                    if mins[name_c] is None or mn < mins[name_c]:
+                        mins[name_c] = mn
+                    if maxs[name_c] is None or mx > maxs[name_c]:
+                        maxs[name_c] = mx
+            for c in schema_names:
+                if mins.get(c) is not None:
+                    col_stats[c] = [mins[c], maxs[c]]
+            files.append({
+                'path': os.path.relpath(path, self.root),
+                'rows': meta.num_rows,
+                'bytes': os.path.getsize(path),
+                'column_minmax': col_stats,
+            })
+
+        keys = None
+        if key_cols:
+            spark = df.sparkSession
+            keys = [list(r) for r in
+                    spark.read.parquet(data_dir)
+                    .select(*key_cols).distinct().collect()]
+
+        manifest = {
+            'snapshot_id': snap_id,
+            'parent': parent,
+            'created_ms': int(time.time() * 1000),
+            'data_dir': os.path.relpath(data_dir, self.root),
+            'files': files,
+            'rows': sum(f['rows'] for f in files),
+            'bytes': sum(f['bytes'] for f in files),
+            'key_cols': key_cols,
+            'keys': keys,
+            'metrics': dict(obs.get) if obs is not None else {},
+        }
+        self._atomic_write(
+            os.path.join(self.manifest_dir, f'snap-{snap_id}.json'),
+            json.dumps(manifest, default=str))
+        self._atomic_write(self._current_path(), str(snap_id))
+        return manifest
+
+    # -- read / resume -----------------------------------------------------------
+
+    def _valid_manifests(self) -> list[dict]:
+        """Manifests whose files all pass the size-integrity check; a
+        snapshot with a corrupted/missing file is dropped from the lineage
+        (its keys become incomplete → recomputed), like the reference's
+        corrupted-cache recovery."""
+        good = []
+        for m in self.manifests():
+            ok = True
+            for f in m['files']:
+                path = os.path.join(self.root, f['path'])
+                if not os.path.exists(path) or \
+                        os.path.getsize(path) != f['bytes']:
+                    ok = False
+                    break
+            if ok:
+                good.append(m)
+        return good
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        dirs = [os.path.join(self.root, m['data_dir'])
+                for m in self._valid_manifests()]
+        if not dirs:
+            raise FileNotFoundError(f'no valid snapshots under {self.root}')
+        return spark.read.parquet(*dirs)
+
+    def completed_keys(self, spark: SparkSession,
+                       key_cols: list[str]) -> DataFrame | None:
+        rows = []
+        for m in self._valid_manifests():
+            if m.get('key_cols') == key_cols and m.get('keys'):
+                rows.extend(tuple(k) for k in m['keys'])
+        if not rows:
+            return None
+        return spark.createDataFrame(rows, ', '.join(
+            f'{c} long' for c in key_cols)).distinct()
+
+    def pending(self, todo: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Anti-join: rows of `todo` whose keys are not yet in the table."""
+        done = self.completed_keys(todo.sparkSession, key_cols)
+        if done is None:
+            return todo
+        return todo.join(F.broadcast(done), key_cols, 'left_anti')
