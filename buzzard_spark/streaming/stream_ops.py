@@ -1,0 +1,83 @@
+"""Streaming operators — the engine's answer to the reference's async
+queue/backpressure machinery (reference: buzzard/_a_async_raster.py:23-160):
+Structured Streaming owns ordering, micro-batch backpressure
+(maxFilesPerTrigger / maxOffsetsPerTrigger) and recovery (checkpoints),
+so the engine only declares the plan.
+
+- ``read_events_stream`` — file-source stream over an events directory.
+- ``windowed_event_counts`` — watermarked tumbling-window aggregation
+  (late rows beyond the watermark are dropped, state is bounded).
+- ``stateful_running_totals`` — applyInPandasWithState: per-key running
+  totals carried across micro-batches (the custom-stateful-operator
+  pattern for operators Spark lacks natively).
+- ``stream_cell_assign`` — stateless per-row cell assignment on a stream
+  (same Catalyst expression as the batch path — one definition, two
+  execution modes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from buzzard_spark.functions import sqlgen
+
+EVENTS_SCHEMA = ('event_id long, ts timestamp, user_id long, '
+                 'event_type string, value double, props string')
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    return (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(path))
+
+
+def windowed_event_counts(events: DataFrame, window: str = '1 hour',
+                          watermark: str = '2 hours') -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a watermark
+    bounding state (late data beyond `watermark` is dropped)."""
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy(F.window('ts', window).alias('win'), 'event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.sum('value').alias('sum_value'))
+            .select(F.col('win.start').alias('win_start'),
+                    'event_type', 'n_events', 'sum_value'))
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Per-event_type running (count, sum) maintained in GroupState across
+    micro-batches — emits the updated totals every batch."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf['value'].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{
+            'event_type': key[0], 'n_events': n, 'sum_value': total}])
+
+    return (events
+            .groupBy('event_type')
+            .applyInPandasWithState(
+                _update,
+                outputStructType='event_type string, n_events long, '
+                                 'sum_value double',
+                stateStructType='n_events long, sum_value double',
+                outputMode='update',
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_cell_assign(pages: DataFrame, res: int,
+                       lat='lat', lng='lng') -> DataFrame:
+    """Stateless cell assignment on a stream — identical expression to the
+    batch operator (operators.spatial_join.assign_cell)."""
+    return pages.withColumn('cell', F.expr(sqlgen.cell_sql(lat, lng, res)))

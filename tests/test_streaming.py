@@ -1,0 +1,108 @@
+"""Structured Streaming conformance: streaming results == batch results
+on the same input, with multi-micro-batch state exercised via
+maxFilesPerTrigger=1 over a split events directory."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from buzzard_spark.streaming import stream_ops
+
+
+@pytest.fixture(scope='module')
+def events_dir(spark, tmp_path_factory):
+    """events.parquet split into 4 time-ordered files (written oldest
+    first, so micro-batch order ≈ event-time order and the watermark drops
+    nothing) → 4 micro-batches."""
+    import time
+
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp('events_stream'))
+    con = duckdb.connect()
+    src = '/root/testdata/sf0.001/events.parquet'
+    n = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+    step = -(-n // 4)
+    for i in range(4):
+        con.sql(
+            f"COPY (SELECT * FROM '{src}' ORDER BY ts, event_id "
+            f'LIMIT {step} OFFSET {i * step}) '
+            f"TO '{out}/part-{i}.parquet' (FORMAT PARQUET)")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    return out
+
+
+def _run_stream(df, tmp_path, mode='update'):
+    sink = f'mem_{abs(hash(str(tmp_path))) % 10**9}'
+    q = (df.writeStream.format('memory').queryName(sink)
+         .outputMode(mode)
+         .option('checkpointLocation', str(tmp_path / 'ckpt'))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return sink
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = stream_ops.read_events_stream(spark, events_dir)
+    agg = stream_ops.windowed_event_counts(stream)
+    sink = _run_stream(agg, tmp_path, mode='append')
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final watermark closes all but the trailing window(s) — compare the
+    # emitted subset against batch truth
+    got = {(r['win_start'], r['event_type']): (r['n_events'], r['sum_value'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    batch = spark.read.parquet(events_dir)
+    truth = {(r['win_start'], r['event_type']): (r['n_events'], r['sum_value'])
+             for r in (batch.groupBy(
+                 F.window('ts', '1 hour').alias('win'), 'event_type')
+                 .agg(F.count('*').alias('n_events'),
+                      F.sum('value').alias('sum_value'))
+                 .select(F.col('win.start').alias('win_start'),
+                         'event_type', 'n_events', 'sum_value')).collect()}
+    assert got  # something was emitted
+    for key, val in got.items():
+        assert truth[key][0] == val[0]
+        assert truth[key][1] == pytest.approx(val[1])
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    stream = stream_ops.read_events_stream(spark, events_dir,
+                                           max_files_per_trigger=1)
+    totals = stream_ops.stateful_running_totals(stream)
+    sink = _run_stream(totals, tmp_path, mode='update')
+    # the LAST update per key is the running total across all 4 batches
+    rows = spark.sql(f'SELECT * FROM {sink}').collect()
+    final = {}
+    for r in rows:  # memory sink appends updates in batch order
+        final[r['event_type']] = (r['n_events'], r['sum_value'])
+    truth = {r['event_type']: (r['n'], r['s'])
+             for r in (spark.read.parquet(events_dir)
+                       .groupBy('event_type')
+                       .agg(F.count('*').alias('n'), F.sum('value').alias('s'))
+                       ).collect()}
+    assert set(final) == set(truth)
+    for k in truth:
+        assert final[k][0] == truth[k][0]
+        assert final[k][1] == pytest.approx(truth[k][1])
+    # state really spanned multiple micro-batches: more updates than keys
+    assert len(rows) > len(truth)
+
+
+def test_stream_cell_assign_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / 'pages')
+    from buzzard_spark import synth
+    synth.synthetic_pages(spark, 1000).write.parquet(pages_dir)
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (spark.readStream.schema(schema).parquet(pages_dir))
+    assigned = stream_ops.stream_cell_assign(stream, res=9)
+    sink = _run_stream(assigned.select('page_id', 'cell'), tmp_path,
+                       mode='append')
+    got = {r['page_id']: r['cell']
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    from buzzard_spark.operators.spatial_join import assign_cell
+    truth = {r['page_id']: r['cell']
+             for r in assign_cell(spark.read.parquet(pages_dir), 9)
+             .select('page_id', 'cell').collect()}
+    assert got == truth
