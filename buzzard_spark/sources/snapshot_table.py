@@ -173,12 +173,25 @@ class SnapshotTable:
                 good.append(m)
         return good
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        dirs = [os.path.join(self.root, m['data_dir'])
-                for m in self._valid_manifests()]
-        if not dirs:
+    def read(self, spark: SparkSession,
+             dedupe_keys: list[str] | None = None) -> DataFrame:
+        """Union of all valid snapshots. With ``dedupe_keys``, later
+        snapshots win per key (read-modify-write / set_data semantics)."""
+        manifests = self._valid_manifests()
+        if not manifests:
             raise FileNotFoundError(f'no valid snapshots under {self.root}')
-        return spark.read.parquet(*dirs)
+        if dedupe_keys is None:
+            dirs = [os.path.join(self.root, m['data_dir']) for m in manifests]
+            return spark.read.parquet(*dirs)
+        from pyspark.sql.window import Window
+        parts = None
+        for m in manifests:
+            df = (spark.read.parquet(os.path.join(self.root, m['data_dir']))
+                  .withColumn('_snap', F.lit(m['snapshot_id'])))
+            parts = df if parts is None else parts.unionByName(df)
+        w = Window.partitionBy(*dedupe_keys).orderBy(F.col('_snap').desc())
+        return (parts.withColumn('_rn', F.row_number().over(w))
+                .where(F.col('_rn') == 1).drop('_rn', '_snap'))
 
     def completed_keys(self, spark: SparkSession,
                        key_cols: list[str]) -> DataFrame | None:
