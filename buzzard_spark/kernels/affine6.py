@@ -71,8 +71,20 @@ def translation(tx, ty):
 
 
 def rotation_deg(deg):
-    rad = math.radians(deg)
-    ca, sa = math.cos(rad), math.sin(rad)
+    # quarter turns produce exact 0.0/±1.0 coefficients (the ``affine``
+    # package does the same, so reference-built grids keep exact axes)
+    deg = deg % 360.0
+    if deg == 0.0:
+        ca, sa = 1.0, 0.0
+    elif deg == 90.0:
+        ca, sa = 0.0, 1.0
+    elif deg == 180.0:
+        ca, sa = -1.0, 0.0
+    elif deg == 270.0:
+        ca, sa = 0.0, -1.0
+    else:
+        rad = math.radians(deg)
+        ca, sa = math.cos(rad), math.sin(rad)
     return (ca, -sa, 0.0, sa, ca, 0.0)
 
 

@@ -1029,6 +1029,105 @@ class Footprint:
         return big_fp._assemble_tiles(size, int(overlap[0]), int(overlap[1]),
                                       boundary_effect, boundary_effect_locus)
 
+    # -- conv2d arithmetic (pytorch semantics) ----------------------------------------
+    # (reference: buzzard/_footprint.py:2301-2632, parser :2685-2704)
+
+    @staticmethod
+    def _parse_conv2d_params(*args, allow_neg_padding=True):
+        names = ['kernel_size', 'stride', 'padding', 'dilation',
+                 'output_padding']
+        out = []
+        for k, v in zip(names, args):
+            v = np.asarray(v).flatten()
+            if v.size == 1:
+                v = np.asarray((v[0], v[0]))
+            if v.size != 2:
+                raise ValueError(f'{k} should have size 1 or 2')
+            w = v.astype(int, copy=False)
+            if np.any(v != w):
+                raise ValueError(f'{k} should be of type int')
+            if 'padding' not in k and np.any(v < 1):
+                raise ValueError(f'{k} should be greater or equal to 1')
+            if 'padding' in k and not allow_neg_padding and np.any(v < 0):
+                raise ValueError(f'{k} should be greater or equal to 0')
+            out.append(np.flipud(w))  # (y, x) -> (x, y)
+        return out
+
+    def _with_scaled_affine(self, tl, stride_mul, rsize):
+        coef = affine6.compose(self._coef,
+                               affine6.scaling(stride_mul[0], stride_mul[1]))
+        a, b, c, d, e, f = coef
+        return Footprint(gt=(tl[0], a, b, tl[1], d, e), rsize=rsize)
+
+    def forward_conv2d(self, kernel_size, stride=1, padding=0, dilation=1):
+        """Footprint as seen after a 2d convolution (many-to-one)."""
+        kernel_size, stride, padding, dilation = self._parse_conv2d_params(
+            kernel_size, stride, padding, dilation)
+        kernel_size = 1 + (kernel_size - 1) * dilation
+        rf_rad = (kernel_size - 1) / 2
+        tl1 = (self.tl
+               - self.pxlrvec * padding[0] - self.pxtbvec * padding[1]
+               + self.pxlrvec * rf_rad[0] + self.pxtbvec * rf_rad[1])
+        rsize0_padded = self.rsize + padding * 2
+        if np.any(rsize0_padded < kernel_size):
+            raise ValueError('padded input smaller than kernel span')
+        rsize1 = 1 + np.floor((rsize0_padded - (kernel_size - 1) - 1) / stride)
+        return self._with_scaled_affine(tl1, stride, rsize1)
+
+    def backward_conv2d(self, kernel_size, stride=1, padding=0, dilation=1):
+        """Inverse of forward_conv2d (one-to-one)."""
+        kernel_size, stride, padding, dilation = self._parse_conv2d_params(
+            kernel_size, stride, padding, dilation)
+        kernel_size = 1 + (kernel_size - 1) * dilation
+        rf_rad = (kernel_size - 1) / 2
+        tl0 = (self.tl
+               + self.pxlrvec / stride[0] * padding[0]
+               + self.pxtbvec / stride[1] * padding[1]
+               - self.pxlrvec / stride[0] * rf_rad[0]
+               - self.pxtbvec / stride[1] * rf_rad[1])
+        rsize0 = (self.rsize - 1) * stride - (padding * 2 - (kernel_size - 1) - 1)
+        return self._with_scaled_affine(tl0, 1 / stride, rsize0)
+
+    def forward_convtranspose2d(self, kernel_size, stride=1, padding=0,
+                                dilation=1, output_padding=0):
+        """Footprint as seen after a 2d transposed convolution."""
+        kernel_size, stride, padding, dilation, output_padding = \
+            self._parse_conv2d_params(kernel_size, stride, padding, dilation,
+                                      output_padding, allow_neg_padding=False)
+        padding_input = dilation * (kernel_size - 1) - padding
+        kernel_size = 1 + (kernel_size - 1) * dilation
+        rf_rad = (kernel_size - 1) / 2
+        tl1 = (self.tl
+               - self.pxlrvec / stride[0] * padding_input[0]
+               - self.pxtbvec / stride[1] * padding_input[1]
+               + self.pxlrvec / stride[0] * rf_rad[0]
+               + self.pxtbvec / stride[1] * rf_rad[1])
+        rsize_inner = self.rsize + (self.rsize - 1) * (stride - 1) + \
+            padding_input * 2
+        if np.any(rsize_inner < kernel_size):
+            raise ValueError('inner shape smaller than kernel span')
+        rsize1 = 1 + np.floor(rsize_inner - (kernel_size - 1) - 1) + \
+            output_padding
+        return self._with_scaled_affine(tl1, 1 / stride, rsize1)
+
+    def backward_convtranspose2d(self, kernel_size, stride=1, padding=0,
+                                 dilation=1, output_padding=0):
+        """Inverse of forward_convtranspose2d (one-to-one)."""
+        kernel_size, stride, padding, dilation, output_padding = \
+            self._parse_conv2d_params(kernel_size, stride, padding, dilation,
+                                      output_padding, allow_neg_padding=False)
+        padding_input = dilation * (kernel_size - 1) - padding
+        kernel_size = 1 + (kernel_size - 1) * dilation
+        rf_rad = (kernel_size - 1) / 2
+        tl0 = (self.tl
+               + self.pxlrvec * padding_input[0]
+               + self.pxtbvec * padding_input[1]
+               - self.pxlrvec * rf_rad[0]
+               - self.pxtbvec * rf_rad[1])
+        rsize_inner = self.rsize + (kernel_size - 1) - output_padding
+        rsize0 = (rsize_inner - padding_input * 2 + (stride - 1)) / stride
+        return self._with_scaled_affine(tl0, stride, rsize0)
+
     # -- serialization ----------------------------------------------------------------
 
     def __reduce__(self):

@@ -65,6 +65,10 @@ def eq(*items, tol=10e-5):
     return True
 
 
+def eqall(items, tol=10e-5):
+    return eq(*items, tol=tol)
+
+
 def fpeq(*items, tol=10e-5):
     for a, b in itertools.combinations(items, 2):
         if not (np.abs(a.gt - b.gt) <= tol).all():
