@@ -19,9 +19,11 @@ from buzzard_spark.functions import sqlgen
 from buzzard_spark.kernels.footprint import Footprint
 from buzzard_spark.operators import dedup as dedup_ops
 from buzzard_spark.operators import knn as knn_ops
+from buzzard_spark.operators import raster_ops
 from buzzard_spark.operators import similarity as similarity_ops
 from buzzard_spark.operators import spatial_join
 from buzzard_spark.operators import text as text_ops
+from buzzard_spark.operators import vector_source as vector_ops
 
 CELL_RES = 9          # BASELINE.json: "H3 res-9 index" analogue
 JOIN_RES = 4          # coarser cover grid for region join
@@ -90,6 +92,28 @@ def q_pip_polygon_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spatial_join.pip_join_wkb(pages, polys, JOIN_RES)
             .groupBy('region_id')
             .agg(F.count('*').alias('page_count')))
+
+
+def q_rasterize_pixel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scanline rasterization: burned-pixel count per region on
+    the 512×256 global grid (WKB rect regions through the generic burn path;
+    oracle = closed-form pixel-center interval arithmetic)."""
+    polys = synth.regions_rect_wkb(spark, N_REGIONS)
+    return raster_ops.rasterize_counts(spark, TILE_FP, polys, tile_size=64)
+
+
+VECTOR_MASK = (-60.0, -40.0, 60.0, 40.0)  # (minx, miny, maxx, maxy)
+N_FEATURES = 400
+
+
+def q_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector feature scan: bbox mask + field projection + post-filter
+    slicing (the reference's iter_data contract)."""
+    feats = synth.features(spark, N_FEATURES)
+    out = vector_ops.scan_features(
+        feats, fields=['volume', 'kind'], mask=VECTOR_MASK,
+        slicing=slice(5, 105))
+    return out.select('fid', 'volume', 'kind')
 
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'tile_assign': q_tile_assign,
     'knn_ring': q_knn_ring,
     'pip_polygon_count': q_pip_polygon_count,
+    'rasterize_pixel_count': q_rasterize_pixel_count,
+    'vector_scan': q_vector_scan,
     'lineitem_pricing': q_lineitem_pricing,
     'top_orders_per_customer': q_top_orders_per_customer,
     'events_hourly': q_events_hourly,
@@ -221,6 +247,31 @@ def _oracle_regions_cte() -> str:
     return ('regions AS (SELECT region_id, {minlat} AS minlat, {maxlat} AS maxlat, '
             '{minlng} AS minlng, {maxlng} AS maxlng '
             'FROM range({n}) t(region_id))').format(n=N_REGIONS, **cols)
+
+
+def _rasterize_oracle_sql() -> str:
+    """Closed-form truth for scanline rasterization of rectangles: the
+    pixel-center rule reduces to interval arithmetic in the grid's inverse
+    affine (same coefficients as the engine, bitwise)."""
+    from buzzard_spark.kernels import affine6
+    from buzzard_spark.functions.sqlgen import dlit
+
+    ia, ib, ic, id_, ie, if_ = affine6.inverse(TILE_FP._coef)
+    nx, ny = TILE_FP.rsizex, TILE_FP.rsizey
+    cols = sqlgen.region_cols_sql('region_id')
+    xa = f'({cols["minlng"]} * {dlit(ia)} + {dlit(ic)})'
+    xb = f'({cols["maxlng"]} * {dlit(ia)} + {dlit(ic)})'
+    ya = f'({cols["maxlat"]} * {dlit(ie)} + {dlit(if_)})'
+    yb = f'({cols["minlat"]} * {dlit(ie)} + {dlit(if_)})'
+    half = dlit(0.5)
+    i_lo = f'GREATEST(CAST(FLOOR({xa} - {half}) AS BIGINT) + 1, 0)'
+    i_hi = f'LEAST(CAST(FLOOR({xb} - {half}) AS BIGINT), {nx - 1})'
+    j_lo = f'GREATEST(CAST(CEIL({ya} - {half}) AS BIGINT), 0)'
+    j_hi = f'LEAST(CAST(CEIL({yb} - {half}) AS BIGINT) - 1, {ny - 1})'
+    n = (f'(GREATEST({i_hi} - {i_lo} + 1, 0) * '
+         f'GREATEST({j_hi} - {j_lo} + 1, 0))')
+    return ('SELECT region_id, {n} AS n_pixels FROM range({cnt}) t(region_id) '
+            'WHERE {n} > 0').format(n=n, cnt=N_REGIONS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -272,6 +323,29 @@ def oracle_sql() -> dict[str, str]:
                      {k: k for k in ('clat', 'clng', 'halfh', 'halfw')}),
                  **{k: v for k, v in sqlgen.region_cols_sql('region_id').items()
                     if k in ('clat', 'clng', 'halfh', 'halfw')}),
+        'rasterize_pixel_count': _rasterize_oracle_sql(),
+        'vector_scan': (
+            'WITH f AS (SELECT fid, {lat} AS lat, {lng} AS lng, '
+            'fid * 1.5E0 AS volume, '
+            "CASE WHEN fid % 3 = 0 THEN 'roof' WHEN fid % 3 = 1 THEN 'road' "
+            "ELSE 'field' END AS kind FROM range({n}) t(fid)), "
+            'b AS (SELECT fid, volume, kind, '
+            'CASE WHEN fid % 3 = 0 THEN lng WHEN fid % 3 = 1 THEN lng '
+            'ELSE lng - {h} END AS minx, '
+            'CASE WHEN fid % 3 = 0 THEN lat WHEN fid % 3 = 1 THEN lat '
+            'ELSE lat - {h} END AS miny, '
+            'CASE WHEN fid % 3 = 0 THEN lng WHEN fid % 3 = 1 THEN lng + {one} '
+            'ELSE lng + {h} END AS maxx, '
+            'CASE WHEN fid % 3 = 0 THEN lat WHEN fid % 3 = 1 THEN lat + {one} '
+            'ELSE lat + {h} END AS maxy FROM f) '
+            'SELECT fid, volume, kind FROM b '
+            'WHERE minx <= {mxx} AND maxx >= {mnx} AND miny <= {mxy} '
+            'AND maxy >= {mny} ORDER BY fid LIMIT 100 OFFSET 5'
+        ).format(lat=sqlgen.lat_sql('(fid * 31 + 7)'),
+                 lng=sqlgen.lng_sql('(fid * 31 + 7)'),
+                 n=N_FEATURES, h=sqlgen.dlit(0.5), one=sqlgen.dlit(1.0),
+                 mnx=sqlgen.dlit(VECTOR_MASK[0]), mny=sqlgen.dlit(VECTOR_MASK[1]),
+                 mxx=sqlgen.dlit(VECTOR_MASK[2]), mxy=sqlgen.dlit(VECTOR_MASK[3])),
         'lineitem_pricing': (
             'SELECT l_returnflag, l_linestatus, '
             'SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS sum_qty_c, '

@@ -63,6 +63,19 @@ def lng_cell_col_sql(lng_col: str, res: int) -> str:
                     s180=dlit(180.0), zero=dlit(0.0), xmax=dlit(nx - 1)))
 
 
+def lat_np(ids):
+    """numpy mirror of lat_sql — bitwise-identical doubles."""
+    import numpy as np
+    ids = np.asarray(ids, dtype=np.int64)
+    return -85.0 + ((ids * LAT_MULT) % HASH_MOD) / float(HASH_MOD) * 170.0
+
+
+def lng_np(ids):
+    import numpy as np
+    ids = np.asarray(ids, dtype=np.int64)
+    return -180.0 + ((ids * LNG_MULT) % HASH_MOD) / float(HASH_MOD) * 360.0
+
+
 def cell_sql(lat_col: str, lng_col: str, res: int) -> str:
     """Equirectangular cell id — mirrors kernels.cells.cell_of."""
     nx, _ = cells.dims(res)

@@ -159,6 +159,91 @@ def points_in_wkb(px, py, buf: bytes) -> np.ndarray:
     raise ValueError('points_in_wkb expects polygon/multipolygon, got %s' % kind)
 
 
+def clip_ring_rect(ring, minx, miny, maxx, maxy):
+    """Sutherland–Hodgman clip of one ring against an axis-aligned rect.
+    Returns the clipped (closed) ring or None if empty."""
+    ring = np.asarray(ring, dtype=np.float64)
+    pts = [tuple(p) for p in ring[:-1]] if (ring[0] == ring[-1]).all() \
+        else [tuple(p) for p in ring]
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur = points[i]
+            prv = points[i - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        return out
+
+    def x_cross(at):
+        def f(p, q):
+            t = (at - p[0]) / (q[0] - p[0])
+            return (at, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def y_cross(at):
+        def f(p, q):
+            t = (at - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), at)
+        return f
+
+    pts = clip_edge(pts, lambda p: p[0] >= minx, x_cross(minx))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[0] <= maxx, x_cross(maxx))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] >= miny, y_cross(miny))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] <= maxy, y_cross(maxy))
+    if len(pts) < 3:
+        return None
+    pts.append(pts[0])
+    return np.asarray(pts, dtype=np.float64)
+
+
+def clip_wkb_rect(buf, minx, miny, maxx, maxy):
+    """Clip a WKB polygon/multipolygon/point/linestring to a rect; returns
+    clipped WKB or None if nothing remains. Holes are clipped ring-wise
+    (adequate for holes that stay inside the rect)."""
+    kind, payload = wkb_decode(bytes(buf))
+    if kind == 'point':
+        x, y = payload
+        if minx <= x <= maxx and miny <= y <= maxy:
+            return wkb_point(x, y)
+        return None
+    if kind == 'linestring':
+        inside = ((payload[:, 0] >= minx) & (payload[:, 0] <= maxx) &
+                  (payload[:, 1] >= miny) & (payload[:, 1] <= maxy))
+        if not inside.any():
+            return None
+        return wkb_linestring(payload)  # conservative: kept whole if touched
+    if kind == 'polygon':
+        ext = clip_ring_rect(payload[0], minx, miny, maxx, maxy)
+        if ext is None:
+            return None
+        holes = [clip_ring_rect(h, minx, miny, maxx, maxy)
+                 for h in payload[1:]]
+        return wkb_polygon(ext, [h for h in holes if h is not None])
+    if kind == 'multipolygon':
+        parts = []
+        for rings in payload:
+            ext = clip_ring_rect(rings[0], minx, miny, maxx, maxy)
+            if ext is None:
+                continue
+            holes = [clip_ring_rect(h, minx, miny, maxx, maxy)
+                     for h in rings[1:]]
+            parts.append((ext, [h for h in holes if h is not None]))
+        if not parts:
+            return None
+        return wkb_multipolygon(parts)
+    raise ValueError('cannot clip %s' % kind)
+
+
 # -- polygon helpers ------------------------------------------------------------
 
 def ring_area(ring) -> float:

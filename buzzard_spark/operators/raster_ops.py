@@ -98,6 +98,48 @@ def rasterize(spark: SparkSession, fp, polys: DataFrame,
     return cand.groupBy('tile_y', 'tile_x').applyInPandas(_burn, TILE_SCHEMA)
 
 
+def rasterize_counts(spark: SparkSession, fp, polys: DataFrame,
+                     tile_size: int = 64) -> DataFrame:
+    """Per-region burned-pixel count: polygons ⨝ tiles, per-(tile, region)
+    scanline burn, map-side partial sums → (region_id, n_pixels).
+
+    The aggregation-shaped variant of ``rasterize`` — the distributed
+    answer to "how many pixels does each polygon cover on this grid".
+    """
+    a, b, c, d, e, f = fp._coef
+    tiles = tile_grid_df(spark, fp, tile_size)
+    tiles = tiles.select(
+        '*',
+        (F.col('x0') * a + c).alias('t_minx'),
+        ((F.col('x0') + F.col('w')) * a + c).alias('t_maxx'),
+        ((F.col('y0') + F.col('h')) * e + f).alias('t_miny'),
+        (F.col('y0') * e + f).alias('t_maxy'),
+    )
+    cand = tiles.join(
+        F.broadcast(polys),
+        (F.col('t_minx') <= F.col('maxlng')) & (F.col('t_maxx') >= F.col('minlng')) &
+        (F.col('t_miny') <= F.col('maxlat')) & (F.col('t_maxy') >= F.col('minlat')))
+
+    gt = tuple(float(v) for v in fp.gt)
+
+    def _count(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from buzzard_spark.kernels.footprint import Footprint
+        row = pdf.iloc[0]
+        tile_gt = list(gt)
+        tile_gt[0] = gt[0] + int(row.x0) * gt[1]
+        tile_gt[3] = gt[3] + int(row.y0) * gt[5]
+        tile_fp = Footprint(gt=tile_gt, rsize=(int(row.w), int(row.h)))
+        mask = raster.burn_polygons(tile_fp, [bytes(row['wkb'])])
+        return pd.DataFrame([{'region_id': int(row.region_id),
+                              'n_pixels': int(mask.sum())}])
+
+    return (cand.groupBy('tile_y', 'tile_x', 'region_id')
+            .applyInPandas(_count, 'region_id long, n_pixels long')
+            .groupBy('region_id')
+            .agg(F.sum('n_pixels').alias('n_pixels'))
+            .where(F.col('n_pixels') > 0))
+
+
 def _unpack_mask(buf, h, w):
     return np.unpackbits(
         np.frombuffer(bytes(buf), dtype=np.uint8),

@@ -86,6 +86,60 @@ def regions_pentagon(spark: SparkSession, count: int) -> DataFrame:
               'maxlat double, maxlng double')
 
 
+def regions_rect_wkb(spark: SparkSession, count: int) -> DataFrame:
+    """The rectangle regions as WKB polygons + bbox columns (for operators
+    that take arbitrary WKB geometry, e.g. the distributed rasterizer)."""
+    import numpy as np
+
+    from buzzard_spark.kernels import geometry
+
+    cols = sqlgen.region_cols_np(np.arange(count))
+    rows = []
+    for r in range(count):
+        lo_x, hi_x = cols['minlng'][r], cols['maxlng'][r]
+        lo_y, hi_y = cols['minlat'][r], cols['maxlat'][r]
+        ring = np.asarray([(lo_x, lo_y), (hi_x, lo_y), (hi_x, hi_y),
+                           (lo_x, hi_y), (lo_x, lo_y)])
+        rows.append((r, bytearray(geometry.wkb_polygon(ring)),
+                     float(lo_y), float(lo_x), float(hi_y), float(hi_x)))
+    return spark.createDataFrame(
+        rows, 'region_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+
+
+def features(spark: SparkSession, count: int) -> DataFrame:
+    """FIXTURES.md F7-style vector features: point / linestring / polygon by
+    fid % 3, WKB + bbox columns + typed fields."""
+    import numpy as np
+
+    from buzzard_spark.kernels import geometry
+
+    fids = np.arange(count)
+    lat = sqlgen.lat_np(fids * 31 + 7)
+    lng = sqlgen.lng_np(fids * 31 + 7)
+    kinds = ['roof', 'road', 'field']
+    rows = []
+    for i in range(count):
+        x, y = float(lng[i]), float(lat[i])
+        mode = i % 3
+        if mode == 0:
+            wkb = geometry.wkb_point(x, y)
+            bbox = (x, y, x, y)
+        elif mode == 1:
+            wkb = geometry.wkb_linestring([(x, y), (x + 1.0, y + 1.0)])
+            bbox = (x, y, x + 1.0, y + 1.0)
+        else:
+            ring = [(x - 0.5, y - 0.5), (x + 0.5, y - 0.5),
+                    (x + 0.5, y + 0.5), (x - 0.5, y + 0.5)]
+            wkb = geometry.wkb_polygon(ring)
+            bbox = (x - 0.5, y - 0.5, x + 0.5, y + 0.5)
+        rows.append((i, bytearray(wkb), *[float(v) for v in bbox],
+                     i * 1.5, kinds[mode]))
+    return spark.createDataFrame(
+        rows, 'fid long, wkb binary, minx double, miny double, '
+              'maxx double, maxy double, volume double, kind string')
+
+
 def regions(spark: SparkSession, count: int) -> DataFrame:
     """Synthetic rectangle regions with ~2% hot (oversized) members —
     the skew driver for the cover-cell join."""
