@@ -229,8 +229,32 @@ class Footprint:
     def __and__(self, other):
         return self.intersection(other)
 
+    @staticmethod
+    def _bounds_of_object(obj):
+        """Bounds of a Footprint / __geo_interface__ object / geojson dict /
+        (minx, miny, maxx, maxy) sequence."""
+        if isinstance(obj, Footprint):
+            return np.asarray(obj.bounds, dtype='float64')
+        gi = obj if isinstance(obj, dict) else getattr(obj, '__geo_interface__', None)
+        if gi is not None:
+            coords = np.asarray(gi['coordinates'], dtype='float64')
+            coords = coords.reshape(-1, coords.shape[-1])[:, :2]
+            return np.asarray([coords[:, 0].min(), coords[:, 1].min(),
+                               coords[:, 0].max(), coords[:, 1].max()])
+        try:
+            arr = np.asarray(obj, dtype='float64')
+        except (TypeError, ValueError):
+            arr = None
+        if arr is not None and arr.shape == (4,):
+            return arr
+        raise TypeError(
+            'intersection() argument must be a Footprint, a geometry or a '
+            'bounds 4-sequence, not %s' % type(obj))
+
     def intersection(self, *others, scale='self', rotation='auto',
-                     alignment='auto', homogeneous=False):
+                     alignment='auto', homogeneous=False, **_extra):
+        if _extra:
+            raise ValueError('Unknown keyword arguments %s' % list(_extra))
         """Footprint bounding the intersection of north-up footprints/boxes.
 
         Engine subset of the reference's intersection
@@ -244,17 +268,21 @@ class Footprint:
         if not others:
             raise ValueError('No other Footprint provided')
         fps = [self] + [o for o in others if isinstance(o, Footprint)]
-        boxes = [np.asarray(o.bounds if isinstance(o, Footprint) else o,
-                            dtype='float64')
-                 for o in [self] + list(others)]
+        boxes = [self._bounds_of_object(o) for o in [self] + list(others)]
         for b1, b2 in _combinations(boxes, 2):
             ix0, iy0 = max(b1[0], b2[0]), max(b1[1], b2[1])
             ix1, iy1 = min(b1[2], b2[2]), min(b1[3], b2[3])
             if ix0 > ix1 or iy0 > iy1:
                 raise ValueError('Intersection is empty')
-            if ix0 == ix1 or iy0 == iy1:
-                raise ValueError('Two geometries are only touching, '
-                                 'intersection is empty')
+            # degenerate inputs (points / axis-aligned segments) are valid
+            # geometries whose interior can lie inside the other box — only
+            # same-dimension boundary contact is "touching"
+            deg1 = b1[0] == b1[2] or b1[1] == b1[3]
+            deg2 = b2[0] == b2[2] or b2[1] == b2[3]
+            if not deg1 and not deg2:
+                if ix0 == ix1 or iy0 == iy1:
+                    raise ValueError('Two geometries are only touching, '
+                                     'intersection is empty')
         minx = max(b[0] for b in boxes)
         miny = max(b[1] for b in boxes)
         maxx = min(b[2] for b in boxes)
@@ -278,6 +306,8 @@ class Footprint:
                 scale_vec = np.asarray([scale_vec, -scale_vec], dtype='float64')
             elif scale_vec.shape == (1,):
                 scale_vec = np.asarray([scale_vec[0], -scale_vec[0]], dtype='float64')
+            if scale_vec.shape != (2,):
+                raise ValueError(f'scale has shape {scale_vec.shape}')
             if (scale_vec == 0).any():
                 raise ValueError('scale should be different than zero')
 
