@@ -1,0 +1,73 @@
+"""Physical-plan audits — the scale-readiness gates:
+
+- parquet scans under a bbox predicate must show PushedFilters (row-group
+  pruning — the engine's ReadAsArray-window pushdown),
+- column pruning must reach the scan (ReadSchema),
+- the region cover join must be a broadcast hash join,
+- the cell-assignment path must stay inside WholeStageCodegen with no
+  Python UDF (BatchEvalPython/ArrowEvalPython) nodes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from buzzard_spark import synth
+from buzzard_spark.operators import spatial_join
+
+
+@pytest.fixture(scope='module')
+def pages_parquet(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp('pages_pq'))
+    synth.synthetic_pages(spark, 20_000).write.mode('overwrite').parquet(out)
+    return out
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df):
+    return df._jdf.queryExecution().explainString(
+        spark_jexplain_mode(df.sparkSession, 'formatted'))
+
+
+def spark_jexplain_mode(spark, mode):
+    jvm = spark.sparkSession._jvm if hasattr(spark, 'sparkSession') else spark._jvm
+    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+
+
+def test_bbox_filter_pushdown(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    q = df.where((F.col('lat') > 10.0) & (F.col('lat') < 20.0) &
+                 (F.col('lng') > -30.0)).select('page_id')
+    plan = _formatted(q)
+    assert 'PushedFilters' in plan
+    assert 'GreaterThan(lat,10.0)' in plan
+    # column pruning reached the scan
+    assert 'ReadSchema' in plan
+    read_schema = [l for l in plan.splitlines() if 'ReadSchema' in l][0]
+    assert 'text' not in read_schema and 'html' not in read_schema
+
+
+def test_pip_join_is_broadcast_and_codegen(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    regions = synth.regions(spark, 100)
+    q = spatial_join.pip_count_by_region(pages, regions, 4)
+    q.collect()  # finalize the AQE plan
+    plan = _plan(q)
+    assert 'BroadcastHashJoin' in plan
+    assert 'SortMergeJoin' not in plan
+    assert 'BatchEvalPython' not in plan
+    assert 'ArrowEvalPython' not in plan
+    assert '*(' in plan  # whole-stage-codegen stage markers
+    # partial aggregation (map-side combine) before the shuffle
+    assert plan.count('HashAggregate') >= 2
+
+
+def test_cell_assign_no_python(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = spatial_join.assign_cell(pages, 9).groupBy('cell').count()
+    q.collect()
+    plan = _plan(q)
+    assert 'Python' not in plan
+    assert '*(' in plan  # whole-stage-codegen stage markers
