@@ -125,16 +125,20 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
-    # flagship throughput under the default master (best of 2, post-warmup)
-    run_flagship(spark, 500_000)
-    wall = min(run_flagship(spark, N_FLAGSHIP_PAGES),
-               run_flagship(spark, N_FLAGSHIP_PAGES))
-    pages_per_sec = N_FLAGSHIP_PAGES / wall
     spark.stop()
 
+    # flagship throughput in a clean subprocess JVM (the query sweep above
+    # leaves persisted state behind that would understate it)
+    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
     scaling = {}
     if os.environ.get('SPARK_GRAFT_BENCH_SCALING', '1') != '0':
         scaling = run_scaling(N_FLAGSHIP_PAGES)
+        wall = N_FLAGSHIP_PAGES / scaling[f'throughput_{cpus}'] \
+            if f'throughput_{cpus}' in scaling else \
+            _worker_wall(f'local[{cpus}]', N_FLAGSHIP_PAGES)
+    else:
+        wall = _worker_wall(f'local[{cpus}]', N_FLAGSHIP_PAGES)
+    pages_per_sec = N_FLAGSHIP_PAGES / wall
 
     print(json.dumps({
         'metric': 'spatial-join+tile-assignment bench',

@@ -82,7 +82,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     Output: (id_a, id_b, jaccard_pm) with jaccard in integer per-mille
     (deterministic across engines — no float hashing).
     """
-    sh = shingles(df, text_col, k)
+    # shingle arrays feed the signature AND both sides of the verify join —
+    # persist to avoid recomputing the split/transform lineage three times
+    sh = shingles(df, text_col, k).select(id_col, 'shingles').persist()
     sig = minhash_signature(sh, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     sh_only = sh.select(F.col(id_col).alias('_jid'), 'shingles')
