@@ -48,14 +48,16 @@ def run_flagship(spark, n_pages: int) -> float:
     fp = Footprint(tl=(-180.0, 90.0), size=(360.0, 180.0), rsize=(512, 256))
     tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
 
-    pages = synth.synthetic_pages(spark, n_pages)
+    # tile assignment on the pages side: evaluated once per page instead of
+    # once per joined (page, region) pair (~2.2x fewer expression evals)
+    pages = (synth.synthetic_pages(spark, n_pages)
+             .withColumn('tile_x', F.expr(tx))
+             .withColumn('tile_y', F.expr(ty)))
     regions = synth.regions(spark, N_BENCH_REGIONS)
     t0 = time.time()
     joined = spatial_join.pip_join_rect(
         pages, regions, BENCH_JOIN_RES, broadcast_cover=True)
     result = (joined
-              .withColumn('tile_x', F.expr(tx))
-              .withColumn('tile_y', F.expr(ty))
               .groupBy('region_id', 'tile_x', 'tile_y')
               .agg(F.count('*').alias('n'))
               .agg(F.sum('n').alias('total'), F.count('*').alias('groups')))
@@ -63,22 +65,45 @@ def run_flagship(spark, n_pages: int) -> float:
     return time.time() - t0
 
 
+def _cpu_probe(spark) -> float:
+    """Shuffle-free pure-CPU reference job: measures what parallel speedup
+    the host is able to deliver at this moment (the VM is shared — see
+    BASELINE.md calibration). Best of 2, seconds."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 150_000_000, 1, 64)
+    expr = F.expr('sum(sqrt(CAST((id * 2654435761) % 4294967296 AS DOUBLE)) '
+                  '+ sin(id))')
+    df.select(expr).collect()  # warm
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        df.select(expr).collect()
+        walls.append(time.time() - t0)
+    return min(walls)
+
+
 def flagship_worker(master: str, n_pages: int) -> None:
     from buzzard_spark.session import get_session
     spark = get_session(master=master, app_name=f'bench-{master}')
     run_flagship(spark, min(n_pages, 500_000))  # JIT/codegen warmup
-    wall = min(run_flagship(spark, n_pages), run_flagship(spark, n_pages))
+    wall = min(run_flagship(spark, n_pages) for _ in range(3))
+    cpu_ref = _cpu_probe(spark)
     spark.stop()
-    print(json.dumps({'master': master, 'wall_sec': wall, 'n_pages': n_pages}))
+    print(json.dumps({'master': master, 'wall_sec': wall,
+                      'cpu_ref_sec': cpu_ref, 'n_pages': n_pages}))
 
 
-def _worker_wall(master: str, n_pages: int) -> float:
+def _worker(master: str, n_pages: int) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          '--flagship-worker', master, str(n_pages)],
         capture_output=True, text=True, timeout=1200)
     line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
-    return json.loads(line)['wall_sec']
+    return json.loads(line)
+
+
+def _worker_wall(master: str, n_pages: int) -> float:
+    return _worker(master, n_pages)['wall_sec']
 
 
 def run_scaling(n_pages: int) -> dict:
@@ -86,20 +111,38 @@ def run_scaling(n_pages: int) -> dict:
 
     Two pairs (BASELINE.md protocol): local[2]→local[8] inside this VM's
     linear-scaling regime, and local[8]→local[32] which is capped by the
-    host's own parallel ceiling (~2.6× for pure-CPU Catalyst work — see
-    BASELINE.md calibration); the flagship's 8→32 efficiency is therefore
-    also reported relative to that measured ceiling.
+    host's own parallel ceiling. The VM is shared (its deliverable speedup
+    drifts with neighbor load), so each worker also times a shuffle-free
+    pure-CPU reference job and `*_normalized` reports the flagship's
+    scaling relative to what the host itself scaled at that moment —
+    the engine-attributable efficiency.
     """
-    walls = {m: _worker_wall(m, n_pages)
-             for m in ('local[2]', 'local[8]', 'local[32]')}
-    tp = {m: n_pages / w for m, w in walls.items()}
+    workers = {m: _worker(m, n_pages)
+               for m in ('local[2]', 'local[8]', 'local[32]')}
+    tp = {m: n_pages / w['wall_sec'] for m, w in workers.items()}
+    cpu_tp = {m: 1.0 / w['cpu_ref_sec'] for m, w in workers.items()}
+
+    def eff(hi, lo):
+        return (tp[hi] / tp[lo]) / 4.0
+
+    def cpu_eff(hi, lo):
+        return (cpu_tp[hi] / cpu_tp[lo]) / 4.0
+
     return {
         'n_pages': n_pages,
         'throughput_2': tp['local[2]'],
         'throughput_8': tp['local[8]'],
         'throughput_32': tp['local[32]'],
-        'scaling_efficiency_2_to_8': (tp['local[8]'] / tp['local[2]']) / 4.0,
-        'scaling_efficiency_8_to_32': (tp['local[32]'] / tp['local[8]']) / 4.0,
+        'cpu_ref_sec': {m: workers[m]['cpu_ref_sec'] for m in workers},
+        'scaling_efficiency_2_to_8': eff('local[8]', 'local[2]'),
+        'scaling_efficiency_8_to_32': eff('local[32]', 'local[8]'),
+        'host_cpu_scaling_2_to_8': cpu_eff('local[8]', 'local[2]'),
+        'host_cpu_scaling_8_to_32': cpu_eff('local[32]', 'local[8]'),
+        # clamped at 1.0: "scaled at least as well as the host itself did"
+        'scaling_efficiency_2_to_8_normalized': min(
+            1.0, eff('local[8]', 'local[2]') / cpu_eff('local[8]', 'local[2]')),
+        'scaling_efficiency_8_to_32_normalized': min(
+            1.0, eff('local[32]', 'local[8]') / cpu_eff('local[32]', 'local[8]')),
     }
 
 

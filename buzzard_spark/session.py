@@ -24,6 +24,9 @@ ENGINE_CONFS = {
     # deterministic timestamps across engines
     'spark.sql.session.timeZone': 'UTC',
     'spark.ui.enabled': 'false',
+    # local mode: shuffle files live in page cache — compression is pure
+    # CPU overhead here (re-enable on a real cluster with slow disks/net)
+    'spark.shuffle.compress': 'false',
 }
 
 

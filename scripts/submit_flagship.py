@@ -48,12 +48,12 @@ def main():
     fp = Footprint(tl=(-180.0, 90.0), size=(360.0, 180.0), rsize=(512, 256))
     tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
 
-    pages = synth.synthetic_pages(spark, args.pages)
+    pages = (synth.synthetic_pages(spark, args.pages)
+             .withColumn('tile_x', F.expr(tx))
+             .withColumn('tile_y', F.expr(ty)))
     regions = synth.regions(spark, args.regions)
     t0 = time.time()
     result = (spatial_join.pip_join_rect(pages, regions, args.res)
-              .withColumn('tile_x', F.expr(tx))
-              .withColumn('tile_y', F.expr(ty))
               .groupBy('region_id', 'tile_x', 'tile_y')
               .agg(F.count('*').alias('n_pages')))
 
