@@ -20,6 +20,14 @@ NOT a port of buzzard's actor scheduler.
 from buzzard_spark.env import Env, env
 from buzzard_spark.kernels.footprint import Footprint
 
+
+def Dataset(spark):
+    """Lazy import wrapper so `import buzzard_spark` works without pyspark
+    on the path (kernels stay numpy-only)."""
+    from buzzard_spark.dataset import Dataset as _Dataset
+    return _Dataset(spark)
+
+
 __version__ = '0.1.0'
 
-__all__ = ['Footprint', 'Env', 'env', '__version__']
+__all__ = ['Footprint', 'Env', 'env', 'Dataset', '__version__']

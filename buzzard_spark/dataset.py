@@ -45,18 +45,21 @@ class RasterProxy:
         return SnapshotTable(self.root)
 
     def tiles(self):
-        return self.table.read(self.spark, dedupe_keys=['tile_y', 'tile_x'])
+        return self.table.read(
+            self.spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
 
-    def get_data(self, fp=None, dst_nodata=None, interpolation='linear'):
+    def get_data(self, fp=None, dst_nodata=None, interpolation='linear',
+                 channels=None):
         return raster_io.get_data(
             self.spark, self.tiles(), self.fp, request_fp=fp,
             nodata=self.nodata, dst_nodata=dst_nodata,
-            interpolation=interpolation)
+            interpolation=interpolation, channels=channels)
 
-    def set_data(self, array, fp=None, mask=None):
+    def set_data(self, array, fp=None, mask=None, channel=0):
         return raster_io.set_data(
             self.spark, self.root, self.fp, self.tile_size,
-            np.asarray(array), request_fp=fp, mask=mask, nodata=self.nodata)
+            np.asarray(array), request_fp=fp, mask=mask,
+            nodata=self.nodata, channel=channel)
 
     def iter_data(self, fps, **kwargs):
         """Ordered pull-stream of windows — the queue_data analogue

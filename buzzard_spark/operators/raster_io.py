@@ -32,31 +32,48 @@ def _pixel_window(raster_fp, sfp):
 
 def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
              request_fp=None, nodata=None, dst_nodata=None,
-             interpolation='linear') -> np.ndarray:
+             interpolation='linear', channels=None) -> np.ndarray:
     """Windowed read: returns the request window as one ndarray, padded
     with nodata outside the raster (the reference's default chain
-    dst_nodata → raster nodata → 0)."""
+    dst_nodata → raster nodata → 0).
+
+    channels: None = all (flat (Y, X) when the table is single-channel),
+    int = that channel flat, list = (Y, X, len(channels)) — the reference's
+    channel normalization (buzzard/_a_source_raster.py:82-116).
+    """
     fp = request_fp if request_fp is not None else raster_fp
     onodata = dst_nodata if dst_nodata is not None else (
         nodata if nodata is not None else 0)
+    flat_int = isinstance(channels, int)
+    chan_list = None if channels is None else (
+        [channels] if flat_int else list(channels))
 
     sfp = remap_k.build_sampling_footprint(raster_fp, fp, interpolation)
-    sample_dtype = None
     if sfp is None:
         rows = []
     else:
         x0, y0, w, h = _pixel_window(raster_fp, sfp)
-        rows = (tiles.where(
+        sel = tiles.where(
             (F.col('x0') < x0 + w) & (F.col('x0') + F.col('w') > x0) &
             (F.col('y0') < y0 + h) & (F.col('y0') + F.col('h') > y0))
-            .collect())
+        if chan_list is not None:
+            sel = sel.where(F.col('channel').isin(chan_list))
+        rows = sel.collect()
     if not rows:
+        if chan_list is not None and len(chan_list) > 1:
+            return np.full(tuple(fp.shape) + (len(chan_list),), onodata)
         return np.full(tuple(fp.shape), onodata)
 
+    present = sorted({r['channel'] for r in rows})
+    order = chan_list if chan_list is not None else present
     sample_dtype = np.dtype(rows[0]['dtype'])
     fill = nodata if nodata is not None else 0
-    sample = np.full(tuple(sfp.shape), fill, dtype=sample_dtype)
+    sample = np.full(tuple(sfp.shape) + (len(order),), fill,
+                     dtype=sample_dtype)
     for row in rows:
+        if row['channel'] not in order:
+            continue
+        ci = order.index(row['channel'])
         arr = np.frombuffer(bytes(row['data']),
                             dtype=np.dtype(row['dtype'])).reshape(
                                 row['h'], row['w'])
@@ -64,57 +81,69 @@ def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
         sy0, sx0 = max(0, ty0), max(0, tx0)
         sy1 = min(h, ty0 + row['h'])
         sx1 = min(w, tx0 + row['w'])
-        sample[sy0:sy1, sx0:sx1] = arr[sy0 - ty0:sy1 - ty0,
-                                       sx0 - tx0:sx1 - tx0]
-    return remap_k.remap(sfp, fp, array=sample, src_nodata=nodata,
-                         dst_nodata=onodata, interpolation=interpolation)
+        sample[sy0:sy1, sx0:sx1, ci] = arr[sy0 - ty0:sy1 - ty0,
+                                           sx0 - tx0:sx1 - tx0]
+    if flat_int or (channels is None and len(order) == 1):
+        sample = sample[:, :, 0]
+    out = remap_k.remap(sfp, fp, array=sample, src_nodata=nodata,
+                        dst_nodata=onodata, interpolation=interpolation)
+    return out
 
 
 def set_data(spark: SparkSession, cache_root: str, raster_fp,
              tile_size: int, array: np.ndarray, request_fp=None,
-             mask: np.ndarray | None = None, nodata=None) -> dict:
+             mask: np.ndarray | None = None, nodata=None,
+             channel: int = 0) -> dict:
     """Masked write of `array` (located at request_fp, same grid) into the
     tile table: read-modify-write of intersecting tiles, committed as a new
-    snapshot (resumable, atomic)."""
+    snapshot (resumable, atomic). 2-D `array` writes `channel`; 3-D writes
+    channels 0..C-1; untouched channels keep their prior snapshot rows."""
     fp = request_fp if request_fp is not None else raster_fp
     assert fp.same_grid(raster_fp), 'set_data expects an aligned window'
     table = SnapshotTable(cache_root)
     x0, y0, w, h = _pixel_window(raster_fp, fp)
-    existing = table.read(spark, dedupe_keys=['tile_y', 'tile_x'])
+    if array.ndim == 2:
+        planes = {int(channel): array}
+    else:
+        planes = {c: array[:, :, c] for c in range(array.shape[2])}
+    existing = table.read(spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
     touched = existing.where(
         (F.col('x0') < x0 + w) & (F.col('x0') + F.col('w') > x0) &
-        (F.col('y0') < y0 + h) & (F.col('y0') + F.col('h') > y0))
+        (F.col('y0') < y0 + h) & (F.col('y0') + F.col('h') > y0) &
+        F.col('channel').isin(list(planes)))
 
     if mask is None:
         mask = np.ones(tuple(fp.shape), dtype=bool)
-    payload = {'array': array, 'mask': mask, 'x0': x0, 'y0': y0}
+    payload = {'planes': planes, 'mask': mask, 'x0': x0, 'y0': y0}
 
     def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, row in pdf.iterrows():
+            plane = payload['planes'][int(row['channel'])]
             arr = np.frombuffer(bytes(row['data']),
                                 dtype=np.dtype(row['dtype'])).reshape(
                                     row['h'], row['w']).copy()
             ty0, tx0 = int(row['y0']), int(row['x0'])
             iy0 = max(ty0, payload['y0'])
             ix0 = max(tx0, payload['x0'])
-            iy1 = min(ty0 + int(row['h']), payload['y0'] + payload['array'].shape[0])
-            ix1 = min(tx0 + int(row['w']), payload['x0'] + payload['array'].shape[1])
+            iy1 = min(ty0 + int(row['h']), payload['y0'] + plane.shape[0])
+            ix1 = min(tx0 + int(row['w']), payload['x0'] + plane.shape[1])
             sub_m = payload['mask'][iy0 - payload['y0']:iy1 - payload['y0'],
                                     ix0 - payload['x0']:ix1 - payload['x0']]
-            sub_a = payload['array'][iy0 - payload['y0']:iy1 - payload['y0'],
-                                     ix0 - payload['x0']:ix1 - payload['x0']]
+            sub_a = plane[iy0 - payload['y0']:iy1 - payload['y0'],
+                          ix0 - payload['x0']:ix1 - payload['x0']]
             view = arr[iy0 - ty0:iy1 - ty0, ix0 - tx0:ix1 - tx0]
             view[sub_m] = sub_a[sub_m].astype(arr.dtype, copy=False)
             out.append({
                 'tile_y': int(row['tile_y']), 'tile_x': int(row['tile_x']),
+                'channel': int(row['channel']),
                 'y0': ty0, 'x0': tx0, 'h': int(row['h']), 'w': int(row['w']),
                 'dtype': str(row['dtype']),
                 'data': bytearray(arr.tobytes()),
             })
         return pd.DataFrame(out)
 
-    updated = (touched.groupBy('tile_y', 'tile_x')
+    updated = (touched.groupBy('tile_y', 'tile_x', 'channel')
                .applyInPandas(_apply, DATA_TILE_SCHEMA))
     return table.append(updated, key_cols=['tile_y', 'tile_x'],
                         observe={'rows': F.count(F.lit(1))})

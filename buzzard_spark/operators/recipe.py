@@ -23,8 +23,26 @@ from pyspark.sql import functions as F
 from buzzard_spark.operators.raster_ops import tile_grid_df
 from buzzard_spark.sources.snapshot_table import SnapshotTable
 
-DATA_TILE_SCHEMA = ('tile_y long, tile_x long, y0 int, x0 int, h int, w int, '
-                    'dtype string, data binary')
+DATA_TILE_SCHEMA = ('tile_y long, tile_x long, channel int, y0 int, x0 int, '
+                    'h int, w int, dtype string, data binary')
+
+
+def tile_rows(tile_key: dict, arr: np.ndarray) -> list[dict]:
+    """(Y, X) or (Y, X, C) array → one DATA_TILE_SCHEMA row per channel
+    (the reference's channel-last blocks, buzzard/_a_source_raster.py:10-21)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim == 2:
+        planes = [(0, arr)]
+    else:
+        planes = [(c, np.ascontiguousarray(arr[:, :, c]))
+                  for c in range(arr.shape[2])]
+    out = []
+    for c, plane in planes:
+        row = dict(tile_key)
+        row.update({'channel': c, 'dtype': str(plane.dtype),
+                    'data': bytearray(plane.tobytes())})
+        out.append(row)
+    return out
 
 
 def cached_tile_compute(
@@ -56,14 +74,11 @@ def cached_tile_compute(
                 tile_gt[0] = gt[0] + int(row.x0) * gt[1]
                 tile_gt[3] = gt[3] + int(row.y0) * gt[5]
                 tile_fp = Footprint(gt=tile_gt, rsize=(int(row.w), int(row.h)))
-                arr = np.ascontiguousarray(compute(tile_fp))
-                out.append({
-                    'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
-                    'y0': int(row.y0), 'x0': int(row.x0),
-                    'h': int(row.h), 'w': int(row.w),
-                    'dtype': str(arr.dtype),
-                    'data': bytearray(arr.tobytes()),
-                })
+                arr = compute(tile_fp)
+                out.extend(tile_rows(
+                    {'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
+                     'y0': int(row.y0), 'x0': int(row.x0),
+                     'h': int(row.h), 'w': int(row.w)}, arr))
             return pd.DataFrame(out)
 
         computed = (pending.groupBy('tile_y', 'tile_x')
@@ -108,7 +123,7 @@ def derived_tile_compute(
     prim_union = None
     for name, pdf_tiles in primitives.items():
         tagged = pdf_tiles.select(
-            F.lit(name).alias('prim'),
+            F.lit(name).alias('prim'), F.col('channel').alias('pchan'),
             F.col('y0').alias('py0'), F.col('x0').alias('px0'),
             F.col('h').alias('ph'), F.col('w').alias('pw'),
             F.col('dtype').alias('pdtype'), F.col('data').alias('pdata'))
@@ -135,23 +150,27 @@ def derived_tile_compute(
         wh, ww = h + 2 * ctx, w + 2 * ctx
         windows = {}
         for name in prim_names:
-            sub = pdf[pdf['prim'] == name]
-            if len(sub):
-                dt = np.dtype(sub.iloc[0]['pdtype'])
-            else:
-                dt = np.dtype('float64')
-            win = np.full((wh, ww), fill, dtype=dt)
-            for _, prow in sub.iterrows():
-                arr = np.frombuffer(bytes(prow['pdata']), dtype=np.dtype(
-                    prow['pdtype'])).reshape(int(prow['ph']), int(prow['pw']))
-                ty0, tx0 = int(prow['py0']) - wy0, int(prow['px0']) - wx0
-                sy0, sx0 = max(0, ty0), max(0, tx0)
-                sy1 = min(wh, ty0 + int(prow['ph']))
-                sx1 = min(ww, tx0 + int(prow['pw']))
-                if sy1 > sy0 and sx1 > sx0:
-                    win[sy0:sy1, sx0:sx1] = arr[sy0 - ty0:sy1 - ty0,
-                                                sx0 - tx0:sx1 - tx0]
-            windows[name] = win
+            nsub = pdf[pdf['prim'] == name]
+            chans = sorted(nsub['pchan'].unique()) if len(nsub) else [0]
+            planes = []
+            for ch in chans:
+                sub = nsub[nsub['pchan'] == ch]
+                dt = np.dtype(sub.iloc[0]['pdtype']) if len(sub) else \
+                    np.dtype('float64')
+                win = np.full((wh, ww), fill, dtype=dt)
+                for _, prow in sub.iterrows():
+                    arr = np.frombuffer(bytes(prow['pdata']), dtype=np.dtype(
+                        prow['pdtype'])).reshape(int(prow['ph']), int(prow['pw']))
+                    ty0, tx0 = int(prow['py0']) - wy0, int(prow['px0']) - wx0
+                    sy0, sx0 = max(0, ty0), max(0, tx0)
+                    sy1 = min(wh, ty0 + int(prow['ph']))
+                    sx1 = min(ww, tx0 + int(prow['pw']))
+                    if sy1 > sy0 and sx1 > sx0:
+                        win[sy0:sy1, sx0:sx1] = arr[sy0 - ty0:sy1 - ty0,
+                                                    sx0 - tx0:sx1 - tx0]
+                planes.append(win)
+            windows[name] = planes[0] if len(planes) == 1 else \
+                np.dstack(planes)
         tile_gt = list(gt)
         tile_gt[0] = gt[0] + x0 * gt[1]
         tile_gt[3] = gt[3] + y0 * gt[5]
@@ -160,13 +179,11 @@ def derived_tile_compute(
         win_gt[0] = gt[0] + wx0 * gt[1]
         win_gt[3] = gt[3] + wy0 * gt[5]
         window_fp = Footprint(gt=win_gt, rsize=(ww, wh))
-        arr = np.ascontiguousarray(compute(tile_fp, window_fp, windows))
-        assert arr.shape == (h, w), (arr.shape, (h, w))
-        return pd.DataFrame([{
-            'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
-            'y0': y0, 'x0': x0, 'h': h, 'w': w,
-            'dtype': str(arr.dtype), 'data': bytearray(arr.tobytes()),
-        }])
+        arr = np.asarray(compute(tile_fp, window_fp, windows))
+        assert arr.shape[:2] == (h, w), (arr.shape, (h, w))
+        return pd.DataFrame(tile_rows(
+            {'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
+             'y0': y0, 'x0': x0, 'h': h, 'w': w}, arr))
 
     computed = (cand.groupBy('tile_y', 'tile_x')
                 .applyInPandas(_compute, DATA_TILE_SCHEMA))
@@ -176,16 +193,23 @@ def derived_tile_compute(
 
 
 def assemble(rows, fp, dtype=None, nodata=0) -> np.ndarray:
-    """Stitch collected tile rows into one array (driver-side; the
-    distributed analogue of the reference's concat_arrays merge,
-    reference: buzzard/utils/_merge_functions.py:3-22)."""
+    """Stitch collected tile rows into one (Y, X) or (Y, X, C) array
+    (driver-side; the distributed analogue of the reference's
+    concat_arrays merge, reference: buzzard/utils/_merge_functions.py:3-22)."""
     first = rows[0]
     dt = np.dtype(dtype or first['dtype'])
-    out = np.full(tuple(fp.shape), nodata, dtype=dt)
+    channels = sorted({row['channel'] for row in rows})
+    shape = tuple(fp.shape) if channels == [0] else \
+        tuple(fp.shape) + (len(channels),)
+    out = np.full(shape, nodata, dtype=dt)
     for row in rows:
         arr = np.frombuffer(bytes(row['data']),
                             dtype=np.dtype(row['dtype']))
         arr = arr.reshape(row['h'], row['w'])
-        out[row['y0']:row['y0'] + row['h'],
-            row['x0']:row['x0'] + row['w']] = arr
+        sl = (slice(row['y0'], row['y0'] + row['h']),
+              slice(row['x0'], row['x0'] + row['w']))
+        if channels == [0]:
+            out[sl] = arr
+        else:
+            out[sl + (channels.index(row['channel']),)] = arr
     return out

@@ -33,7 +33,8 @@ def _full(raster_fp):
 
 
 def _tiles(spark, cache):
-    return SnapshotTable(cache).read(spark, dedupe_keys=['tile_y', 'tile_x'])
+    return SnapshotTable(cache).read(
+        spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
 
 
 def test_full_read(spark, raster_fp, cache):
@@ -84,8 +85,46 @@ def test_set_data_masked_roundtrip(spark, raster_fp, tmp_path):
     mask[10:30, 5:25] = True
     set_data(spark, root, raster_fp, 30, patch, patch_fp, mask=mask)
 
-    tiles = SnapshotTable(root).read(spark, dedupe_keys=['tile_y', 'tile_x'])
+    tiles = SnapshotTable(root).read(
+        spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
     after = get_data(spark, tiles, raster_fp, nodata=-32000)
     truth = before.copy()
     truth[35:75, 25:65][mask] = 777.0
     assert np.array_equal(after, truth)
+
+
+def test_multichannel_roundtrip(spark, raster_fp, tmp_path):
+    root = str(tmp_path / 'mc')
+
+    def _rgb(tile_fp):
+        xs, ys = tile_fp.meshgrid_spatial
+        return np.dstack([xs, ys, xs * 0 + 7.0]).astype('float32')
+
+    cached_tile_compute(spark, raster_fp, 30, _rgb, root)
+    tiles = SnapshotTable(root).read(
+        spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
+
+    out = get_data(spark, tiles, raster_fp, nodata=-32000)
+    assert out.shape == (100, 100, 3)
+    xs, ys = raster_fp.meshgrid_spatial
+    assert np.array_equal(out[:, :, 0], xs.astype('float32'))
+    assert np.array_equal(out[:, :, 2], np.full((100, 100), 7.0, 'float32'))
+
+    # single-channel flat read + channel subset
+    c1 = get_data(spark, tiles, raster_fp, nodata=-32000, channels=1)
+    assert c1.shape == (100, 100)
+    assert np.array_equal(c1, ys.astype('float32'))
+    c20 = get_data(spark, tiles, raster_fp, nodata=-32000, channels=[2, 0])
+    assert c20.shape == (100, 100, 2)
+    assert np.array_equal(c20[:, :, 1], xs.astype('float32'))
+
+    # masked write to one channel leaves the others intact
+    patch_fp = raster_fp.clip(0, 0, 40, 40)
+    set_data(spark, root, raster_fp, 30,
+             np.full((40, 40), -5.0, 'float32'), patch_fp, channel=2)
+    tiles2 = SnapshotTable(root).read(
+        spark, dedupe_keys=['tile_y', 'tile_x', 'channel'])
+    out2 = get_data(spark, tiles2, raster_fp, nodata=-32000)
+    assert (out2[:40, :40, 2] == -5.0).all()
+    assert (out2[50:, 50:, 2] == 7.0).all()
+    assert np.array_equal(out2[:, :, 0], xs.astype('float32'))
