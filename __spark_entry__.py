@@ -149,6 +149,26 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr('SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT))').alias('sum_value_m')))
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    per-user session count + longest session length in events."""
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    sess = (ev
+            .withColumn('prev_ts', F.lag('ts').over(w))
+            .withColumn('new_sess',
+                        F.expr('CASE WHEN prev_ts IS NULL OR '
+                               'ts > prev_ts + INTERVAL 30 MINUTES '
+                               'THEN 1 ELSE 0 END'))
+            .withColumn('sess_id', F.sum('new_sess').over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy('user_id', 'sess_id')
+            .agg(F.count('*').alias('n'))
+            .groupBy('user_id')
+            .agg(F.count('*').alias('n_sessions'),
+                 F.max('n').alias('longest_session')))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
     return docs.select('doc_id', F.md5(F.encode('text', 'utf-8')).alias('fp'))
@@ -226,6 +246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'lineitem_pricing': q_lineitem_pricing,
     'top_orders_per_customer': q_top_orders_per_customer,
     'events_hourly': q_events_hourly,
+    'user_sessions': q_user_sessions,
     'doc_fingerprint': q_doc_fingerprint,
     'dedup_exact': q_dedup_exact,
     'token_count': q_token_count,
@@ -363,6 +384,19 @@ def oracle_sql() -> dict[str, str]:
             'event_type, COUNT(*) AS n_events, '
             'SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT)) AS sum_value_m '
             'FROM events GROUP BY 1, 2'),
+        'user_sessions': (
+            'WITH s AS (SELECT user_id, ts, '
+            'CASE WHEN lag(ts) OVER w IS NULL OR '
+            "ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            'AS new_sess FROM events WINDOW w AS '
+            '(PARTITION BY user_id ORDER BY ts, event_id)), '
+            'g AS (SELECT user_id, SUM(new_sess) OVER '
+            '(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) '
+            'AS sess_id FROM s), '
+            'c AS (SELECT user_id, sess_id, COUNT(*) AS n FROM g '
+            'GROUP BY 1, 2) '
+            'SELECT user_id, COUNT(*) AS n_sessions, '
+            'CAST(MAX(n) AS BIGINT) AS longest_session FROM c GROUP BY 1'),
         'doc_fingerprint': 'SELECT doc_id, md5(text) AS fp FROM documents',
         'dedup_exact': (
             'SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, '

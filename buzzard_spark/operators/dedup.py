@@ -102,6 +102,41 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
             .select('id_a', 'id_b', 'jaccard_pm'))
 
 
+def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
+                   max_iters: int = 15) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation (alternating large-star/small-star
+    style; near-dup clusters have tiny diameter so a handful of join
+    rounds converges — each round is one shuffle, no driver data).
+
+    ids: one row per document. pairs: (id_a, id_b) undirected edges.
+    Returns (doc_id, cluster_id) with cluster_id = min member id —
+    keep-first dedup keeps rows where doc_id == cluster_id.
+    """
+    labels = ids.select(F.col(id_col).alias('node'),
+                        F.col(id_col).alias('comp'))
+    edges = (pairs.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst'))
+             .unionByName(pairs.select(F.col('id_b').alias('src'),
+                                       F.col('id_a').alias('dst')))
+             .distinct().persist())
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy('src').agg(F.min('comp').alias('ncomp')))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, 'left')
+                      .select('node',
+                              F.least('comp', F.coalesce('ncomp', 'comp'))
+                              .alias('comp'))).persist()
+        changed = (new_labels.alias('n')
+                   .join(labels.alias('o'), F.col('n.node') == F.col('o.node'))
+                   .where(F.col('n.comp') != F.col('o.comp')).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col('node').alias(id_col),
+                         F.col('comp').alias('cluster_id'))
+
+
 def simhash64(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
               out: str = 'simhash') -> DataFrame:
     """64-bit SimHash: per bit, sign of the sum over tokens of ±1 from the

@@ -41,6 +41,22 @@ def test_near_dup_pairs_matches_bruteforce(spark):
     assert got == truth
 
 
+def test_dedup_clusters_transitive(spark):
+    """Pairs (a,b), (b,c), (x,y) → clusters {a,b,c} and {x,y}; chain of 6
+    exercises multi-round propagation."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], 'doc_id long')
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (7, 8), (8, 9), (9, 10), (10, 11),
+         (3, 11)],  # 3 attaches to the long chain
+        'id_a long, id_b long')
+    got = {r['doc_id']: r['cluster_id']
+           for r in dedup.dedup_clusters(ids, pairs).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == 5
+    assert got[7] == got[8] == got[9] == got[10] == got[11] == got[3] == 3
+    assert got[4] == 4  # singleton
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, 'aa bb'), (2, 'aa bb'), (3, 'cc')], 'doc_id long, text string')
