@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from buzzard_spark import synth
 from buzzard_spark.functions import sqlgen
+from buzzard_spark.kernels import cells
 from buzzard_spark.kernels.footprint import Footprint
 from buzzard_spark.operators import dedup as dedup_ops
 from buzzard_spark.operators import knn as knn_ops
@@ -66,6 +67,22 @@ def q_cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir)
     return (spatial_join.assign_cell(pages, CELL_RES)
             .groupBy('cell').agg(F.count('*').alias('n_pages')))
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: res-9 cell counts re-aggregated to their res-5
+    parents (integer shift arithmetic on the cell id — kernels.cells.parent).
+    The oracle is direct assignment at res 5, so this also pins the
+    parent/child consistency of the index."""
+    fine = q_cell_assign_counts(spark, sf_dir)  # res-9 counts
+    nx9, _ = cells.dims(CELL_RES)
+    nx5, _ = cells.dims(5)
+    shift = CELL_RES - 5
+    parent = (f'((cell DIV {nx9}) DIV {1 << shift}) * {nx5} + '
+              f'((cell % {nx9}) DIV {1 << shift})')
+    return (fine.withColumn('parent_cell', F.expr(parent))
+            .groupBy('parent_cell')
+            .agg(F.sum('n_pages').alias('n_pages')))
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,6 +255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
     'cell_assign_counts': q_cell_assign_counts,
+    'cell_rollup': q_cell_rollup,
     'tile_assign': q_tile_assign,
     'knn_ring': q_knn_ring,
     'pip_polygon_count': q_pip_polygon_count,
@@ -316,6 +334,10 @@ def oracle_sql() -> dict[str, str]:
             'WITH {pages} SELECT {cell} AS cell, COUNT(*) AS n_pages '
             'FROM pages GROUP BY 1'
         ).format(pages=pages, cell=sqlgen.cell_sql('lat', 'lng', CELL_RES)),
+        'cell_rollup': (
+            'WITH {pages} SELECT {cell} AS parent_cell, '
+            'COUNT(*) AS n_pages FROM pages GROUP BY 1'
+        ).format(pages=pages, cell=sqlgen.cell_sql('lat', 'lng', 5)),
         'tile_assign': (
             'WITH {pages} SELECT page_id, {tx} AS tile_x, {ty} AS tile_y FROM pages'
         ).format(pages=pages, tx=tx, ty=ty),
