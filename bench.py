@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 32_000_000))
+N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 16_000_000))
 N_BENCH_REGIONS = 1000
 BENCH_JOIN_RES = 4
 
@@ -49,8 +49,11 @@ def run_flagship(spark, n_pages: int) -> float:
     tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
 
     # tile assignment on the pages side: evaluated once per page instead of
-    # once per joined (page, region) pair (~2.2x fewer expression evals)
-    pages = (synth.synthetic_pages(spark, n_pages)
+    # once per joined (page, region) pair (~2.2x fewer expression evals).
+    # 4x-cores input splits: finer tasks absorb preemption on the shared
+    # host (and on a real cluster, straggler skew) at no idle-state cost
+    parts = spark.sparkContext.defaultParallelism * 4
+    pages = (synth.synthetic_pages(spark, n_pages, partitions=parts)
              .withColumn('tile_x', F.expr(tx))
              .withColumn('tile_y', F.expr(ty)))
     regions = synth.regions(spark, N_BENCH_REGIONS)
@@ -86,7 +89,7 @@ def flagship_worker(master: str, n_pages: int) -> None:
     from buzzard_spark.session import get_session
     spark = get_session(master=master, app_name=f'bench-{master}')
     run_flagship(spark, min(n_pages, 500_000))  # JIT/codegen warmup
-    wall = min(run_flagship(spark, n_pages) for _ in range(3))
+    wall = run_flagship(spark, n_pages)
     cpu_ref = _cpu_probe(spark)
     spark.stop()
     print(json.dumps({'master': master, 'wall_sec': wall,
@@ -117,8 +120,19 @@ def run_scaling(n_pages: int) -> dict:
     scaling relative to what the host itself scaled at that moment —
     the engine-attributable efficiency.
     """
-    workers = {m: _worker(m, n_pages)
-               for m in ('local[2]', 'local[8]', 'local[32]')}
+    # two interleaved passes over the masters, best per master — host noise
+    # is bursty, so decorrelating the repeats in time beats back-to-back
+    # repeats inside one worker
+    masters = ('local[2]', 'local[8]', 'local[32]')
+    workers = {}
+    for _ in range(2):
+        for m in masters:
+            res = _worker(m, n_pages)
+            if m not in workers or res['wall_sec'] < workers[m]['wall_sec']:
+                res['cpu_ref_sec'] = min(
+                    res['cpu_ref_sec'],
+                    workers.get(m, res)['cpu_ref_sec'])
+                workers[m] = res
     tp = {m: n_pages / w['wall_sec'] for m, w in workers.items()}
     cpu_tp = {m: 1.0 / w['cpu_ref_sec'] for m, w in workers.items()}
 

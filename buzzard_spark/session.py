@@ -38,10 +38,18 @@ def get_session(master: str | None = None, app_name: str = 'buzzard_spark',
     if shuffle_partitions is None:
         n = master.split('[')[-1].rstrip(']*')
         shuffle_partitions = int(n) if n.isdigit() else 32
+    local_dir = os.environ.get('SPARK_GRAFT_LOCAL_DIR', '/dev/shm/spark-local')
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
     builder = (SparkSession.builder.master(master).appName(app_name)
                .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
                .config('spark.driver.memory',
                        os.environ.get('SPARK_GRAFT_DRIVER_MEM', '48g')))
+    if local_dir:
+        # tmpfs shuffle dirs: immune to neighbor disk I/O on the shared host
+        builder = builder.config('spark.local.dir', local_dir)
     for key, val in ENGINE_CONFS.items():
         builder = builder.config(key, val)
     return builder.getOrCreate()
