@@ -251,6 +251,30 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.analyze(docs)
 
 
+def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-bigram frequencies, top 20 (deterministic order by
+    count desc then bigram) — the n-gram profile op."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    words = "split(trim(text), '\\\\s+')"
+    bigrams = (f'transform(sequence(0, size({words}) - 2), '
+               f"i -> concat(element_at({words}, i + 1), ' ', "
+               f'element_at({words}, i + 2)))')
+    return (docs
+            .where(F.expr(f'size({words}) >= 2'))
+            .select(F.explode(F.expr(bigrams)).alias('bigram'))
+            .groupBy('bigram').agg(F.count('*').alias('n'))
+            .orderBy(F.col('n').desc(), F.col('bigram').asc())
+            .limit(20))
+
+
+def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per host (url parsing over the synthetic corpus)."""
+    pages = _pages(spark, sf_dir)
+    host = "regexp_extract(url, 'https://([^/]+)/', 1)"
+    return (pages.select(F.expr(host).alias('host'))
+            .groupBy('host').agg(F.count('*').alias('n_pages')))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
@@ -272,6 +296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'simhash': q_simhash,
     'ann_topk': q_ann_topk,
     'lang_quality': q_lang_quality,
+    'bigram_top': q_bigram_top,
+    'host_counts': q_host_counts,
 }
 
 
@@ -461,6 +487,20 @@ def oracle_sql() -> dict[str, str]:
         ).format(tok=text_ops.token_count_sql('text', 'duckdb'),
                  lang=text_ops.lang_id_sql('text'),
                  qual=text_ops.quality_sql('text', 'duckdb')),
+        'bigram_top': (
+            "WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS ws "
+            'FROM documents), '
+            'b AS (SELECT unnest(list_transform('
+            "generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]"
+            ')) AS bigram FROM w WHERE len(ws) >= 2) '
+            'SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1 '
+            'ORDER BY n DESC, bigram ASC LIMIT 20'),
+        'host_counts': (
+            "SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
+            'COUNT(*) AS n_pages FROM (SELECT '
+            "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
+            "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
+            'GROUP BY 1'),
     }
 
 
