@@ -104,11 +104,32 @@ class RecipeProxy(RasterProxy):
 
 
 class VectorProxy:
-    """One registered vector source (DataFrame with wkb + bbox columns)."""
+    """One registered vector source (DataFrame with wkb + bbox columns).
 
-    def __init__(self, spark, df):
+    With a ``root``, the source is a snapshot table and supports
+    ``insert_data`` (the reference's feature append,
+    buzzard/_a_stored_vector.py) — atomic, resumable commits.
+    """
+
+    def __init__(self, spark, df=None, root=None):
         self.spark = spark
-        self.df = df
+        self._df = df
+        self.root = root
+
+    @property
+    def df(self):
+        if self.root is not None:
+            return SnapshotTable(self.root).read(self.spark)
+        return self._df
+
+    def insert_data(self, rows_df):
+        """Append features (same schema) as a new snapshot."""
+        if self.root is None:
+            raise ValueError('insert_data requires a table-backed vector '
+                             '(Dataset.create_vector)')
+        from pyspark.sql import functions as F
+        return SnapshotTable(self.root).append(
+            rows_df, observe={'rows': F.count(F.lit(1))})
 
     def __len__(self):
         return self.df.count()
@@ -188,7 +209,42 @@ class Dataset:
                              primitives=primitives, context_px=context_px,
                              nodata=nodata))
 
+    def wrap_numpy(self, key, fp, array, tile_size=256, nodata=None):
+        """In-RAM ndarray → registered raster without a backing table —
+        the NumpyRaster analogue (reference: buzzard/_numpy_raster.py).
+        The array is cut into tile rows via createDataFrame."""
+        import pandas as pd
+
+        from buzzard_spark.operators.recipe import (DATA_TILE_SCHEMA,
+                                                    tile_rows)
+        rows = []
+        arr = np.asarray(array)
+        assert arr.shape[:2] == tuple(fp.shape)
+        for ty, y0 in enumerate(range(0, fp.rsizey, tile_size)):
+            for tx, x0 in enumerate(range(0, fp.rsizex, tile_size)):
+                sub = arr[y0:y0 + tile_size, x0:x0 + tile_size]
+                rows.extend(tile_rows(
+                    {'tile_y': ty, 'tile_x': tx, 'y0': y0, 'x0': x0,
+                     'h': sub.shape[0], 'w': sub.shape[1]}, sub))
+        cols = [f.split()[0] for f in DATA_TILE_SCHEMA.split(', ')]
+        df = self.spark.createDataFrame(pd.DataFrame(rows)[cols],
+                                        DATA_TILE_SCHEMA)
+
+        proxy = RasterProxy(self.spark, None, fp, tile_size, nodata)
+        proxy.tiles = lambda: df
+        proxy.set_data = None  # in-RAM wrapper is read-only on the table side
+        return self._register(key, proxy)
+
     # -- vectors --------------------------------------------------------------
 
     def register_vector(self, key, df):
         return self._register(key, VectorProxy(self.spark, df))
+
+    def create_vector(self, key, root, initial_df=None):
+        """Table-backed vector source supporting insert_data appends."""
+        proxy = VectorProxy(self.spark, root=root)
+        if initial_df is not None:
+            from pyspark.sql import functions as F
+            SnapshotTable(root).append(
+                initial_df, observe={'rows': F.count(F.lit(1))})
+        return self._register(key, proxy)

@@ -73,6 +73,27 @@ def test_recipe_chain(ds, spark, tmp_path):
     assert np.array_equal(windows[1], truth[20:40, 20:40])
 
 
+def test_numpy_wrap(ds, spark):
+    fp = Footprint(tl=(0, 40), size=(40, 40), rsize=(40, 40))
+    xs, ys = fp.meshgrid_spatial
+    arr = (xs * 2 + ys).astype('float32')
+    ds.wrap_numpy('mem', fp, arr, tile_size=16)
+    assert np.array_equal(ds['mem'].get_data(), arr)
+    win = ds['mem'].get_data(fp.clip(5, 5, 25, 25))
+    assert np.array_equal(win, arr[5:25, 5:25])
+
+
+def test_vector_table_insert(ds, spark, tmp_path):
+    feats = synth.features(spark, 30)
+    ds.create_vector('roads', str(tmp_path / 'roads'), initial_df=feats)
+    assert len(ds['roads']) == 30
+    more = synth.features(spark, 40).where('fid >= 30')
+    ds['roads'].insert_data(more)
+    assert len(ds['roads']) == 40
+    rows = list(ds['roads'].iter_data(fields=['kind'], slicing=slice(0, 3)))
+    assert len(rows) == 3
+
+
 def test_vector_registry(ds, spark):
     feats = synth.features(spark, 90)
     ds.register_vector('feats', feats)
