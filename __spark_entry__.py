@@ -163,6 +163,9 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch analogue of the
     streaming rollup; see buzzard_spark.streaming)."""
+    # date_trunc boundaries are session-timezone-dependent; pin UTC so the
+    # DuckDB oracle (naive timestamps = UTC) matches under any driver session
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
     ev = spark.read.parquet(f'{sf_dir}/events.parquet')
     return (ev.groupBy(
         F.date_trunc('hour', F.col('ts')).cast('long').alias('hour_epoch'),

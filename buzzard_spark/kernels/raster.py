@@ -46,8 +46,7 @@ def _burn_rings_centers(out, rings_px, value):
     """Even-odd scanline at pixel centers (GDAL default rule)."""
     h, w = out.shape
     ys = np.arange(h) + 0.5
-    for ring in rings_px:
-        pass  # rings handled jointly below
+    # all rings' edges participate jointly in the even-odd rule
     x1 = np.concatenate([r[:-1, 0] for r in rings_px])
     y1 = np.concatenate([r[:-1, 1] for r in rings_px])
     x2 = np.concatenate([r[1:, 0] for r in rings_px])
