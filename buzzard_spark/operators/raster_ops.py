@@ -98,6 +98,44 @@ def rasterize(spark: SparkSession, fp, polys: DataFrame,
     return cand.groupBy('tile_y', 'tile_x').applyInPandas(_burn, TILE_SCHEMA)
 
 
+def rasterize_lines(spark: SparkSession, fp, lines: DataFrame,
+                    tile_size: int = 256) -> DataFrame:
+    """linestrings (line_id, wkb, minlat, minlng, maxlat, maxlng) → tile
+    mask rows via per-tile DDA burn (kernels.raster.burn_lines)."""
+    a, b, c, d, e, f = fp._coef
+    tiles = tile_grid_df(spark, fp, tile_size)
+    tiles = tiles.select(
+        '*',
+        (F.col('x0') * a + c).alias('t_minx'),
+        ((F.col('x0') + F.col('w')) * a + c).alias('t_maxx'),
+        ((F.col('y0') + F.col('h')) * e + f).alias('t_miny'),
+        (F.col('y0') * e + f).alias('t_maxy'),
+    )
+    cand = tiles.join(
+        F.broadcast(lines),
+        (F.col('t_minx') <= F.col('maxlng')) & (F.col('t_maxx') >= F.col('minlng')) &
+        (F.col('t_miny') <= F.col('maxlat')) & (F.col('t_maxy') >= F.col('minlat')))
+
+    gt = tuple(float(v) for v in fp.gt)
+
+    def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from buzzard_spark.kernels.footprint import Footprint
+        row = pdf.iloc[0]
+        y0, x0, h, w = int(row.y0), int(row.x0), int(row.h), int(row.w)
+        tile_gt = list(gt)
+        tile_gt[0] = gt[0] + x0 * gt[1]
+        tile_gt[3] = gt[3] + y0 * gt[5]
+        tile_fp = Footprint(gt=tile_gt, rsize=(w, h))
+        mask = raster.burn_lines(tile_fp, [bytes(b_) for b_ in pdf['wkb']])
+        return pd.DataFrame([{
+            'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
+            'y0': y0, 'x0': x0, 'h': h, 'w': w,
+            'mask': bytearray(np.packbits(mask).tobytes()),
+        }])
+
+    return cand.groupBy('tile_y', 'tile_x').applyInPandas(_burn, TILE_SCHEMA)
+
+
 def rasterize_counts(spark: SparkSession, fp, polys: DataFrame,
                      tile_size: int = 64) -> DataFrame:
     """Per-region burned-pixel count: polygons ⨝ tiles, per-(tile, region)

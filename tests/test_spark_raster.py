@@ -67,6 +67,31 @@ def test_distributed_polygonize_matches_kernel(spark, fullfp, truth):
     assert any(r['n_rings'] > 1 for r in result)
 
 
+def test_distributed_rasterize_lines_matches_kernel(spark):
+    fp = Footprint(tl=(0, 24), size=(30, 24), rsize=(30, 24))
+    lines = [
+        np.asarray([(2.5, 20.5), (27.5, 20.5)]),
+        np.asarray([(5.5, 22.5), (5.5, 3.5), (25.5, 3.5)]),
+        np.asarray([(1.2, 1.8), (28.7, 21.9)]),
+    ]
+    rows = []
+    for i, line in enumerate(lines):
+        wkb = geometry.wkb_linestring(line)
+        rows.append((i, bytearray(wkb),
+                     float(line[:, 1].min()), float(line[:, 0].min()),
+                     float(line[:, 1].max()), float(line[:, 0].max())))
+    lines_df = spark.createDataFrame(
+        rows, 'line_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+    tiles = raster_ops.rasterize_lines(spark, fp, lines_df, tile_size=7)
+    out = np.zeros(tuple(fp.shape), dtype=bool)
+    for row in tiles.collect():
+        mask = raster_ops._unpack_mask(row['mask'], row['h'], row['w'])
+        out[row['y0']:row['y0'] + row['h'], row['x0']:row['x0'] + row['w']] |= mask
+    truth = raster.burn_lines(fp, lines)
+    assert (out == truth).all()
+
+
 def test_polygonize_empty(spark):
     fp = Footprint(tl=(0, 0), size=(12, 12), rsize=(12, 12))
     empty = spark.createDataFrame([], raster_ops.TILE_SCHEMA)
