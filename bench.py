@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 16_000_000))
+N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 32_000_000))
 N_BENCH_REGIONS = 1000
 BENCH_JOIN_RES = 4
 
@@ -50,10 +50,10 @@ def run_flagship(spark, n_pages: int) -> float:
 
     # tile assignment on the pages side: evaluated once per page instead of
     # once per joined (page, region) pair (~2.2x fewer expression evals).
-    # 4x-cores input splits: finer tasks absorb preemption on the shared
-    # host (and on a real cluster, straggler skew) at no idle-state cost
-    parts = spark.sparkContext.defaultParallelism * 4
-    pages = (synth.synthetic_pages(spark, n_pages, partitions=parts)
+    # input splits = cores: with ~200k distinct (region, tile) groups, the
+    # map-side partial-agg output grows linearly with task count, so finer
+    # splits inflate the shuffle (measured 4x splits => ~4x slower at 32c)
+    pages = (synth.synthetic_pages(spark, n_pages)
              .withColumn('tile_x', F.expr(tx))
              .withColumn('tile_y', F.expr(ty)))
     regions = synth.regions(spark, N_BENCH_REGIONS)
