@@ -163,12 +163,14 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch analogue of the
     streaming rollup; see buzzard_spark.streaming)."""
-    # date_trunc boundaries are session-timezone-dependent; pin UTC so the
-    # DuckDB oracle (naive timestamps = UTC) matches under any driver session
-    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    # ts is TIMESTAMP_NTZ (naive wall time): pin its interpretation to UTC
+    # per-expression (to_utc_timestamp), then truncate on the raw epoch —
+    # session-timezone-independent, no session-state mutation, and equal to
+    # the DuckDB oracle's epoch(date_trunc('hour', ts)) on naive timestamps
     ev = spark.read.parquet(f'{sf_dir}/events.parquet')
     return (ev.groupBy(
-        F.date_trunc('hour', F.col('ts')).cast('long').alias('hour_epoch'),
+        F.expr("(CAST(to_utc_timestamp(ts, 'UTC') AS BIGINT) DIV 3600) * 3600")
+        .alias('hour_epoch'),
         'event_type')
         .agg(F.count('*').alias('n_events'),
              F.expr('SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT))').alias('sum_value_m')))
@@ -236,8 +238,9 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64-based — no SQL oracle;
-    rows-only driver check, locality pinned by pytest)."""
+    """64-bit SimHash fingerprints over an md5-derived token hash — the
+    same nibble arithmetic runs in the DuckDB oracle, so values are exact
+    across engines (locality additionally pinned by pytest)."""
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
     return dedup_ops.simhash64(docs)
 
@@ -423,10 +426,14 @@ def oracle_sql() -> dict[str, str]:
                  n=N_FEATURES, h=sqlgen.dlit(0.5), one=sqlgen.dlit(1.0),
                  mnx=sqlgen.dlit(VECTOR_MASK[0]), mny=sqlgen.dlit(VECTOR_MASK[1]),
                  mxx=sqlgen.dlit(VECTOR_MASK[2]), mxy=sqlgen.dlit(VECTOR_MASK[3])),
+        # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT which
+        # lands in pandas as float64 and breaks the driver's value hash
         'lineitem_pricing': (
             'SELECT l_returnflag, l_linestatus, '
-            'SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS sum_qty_c, '
-            'SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS sum_price_c, '
+            'CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) '
+            'AS sum_qty_c, '
+            'CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) '
+            'AS sum_price_c, '
             'COUNT(*) AS count_order '
             'FROM lineitem GROUP BY l_returnflag, l_linestatus'),
         'top_orders_per_customer': (
@@ -438,7 +445,8 @@ def oracle_sql() -> dict[str, str]:
         'events_hourly': (
             'SELECT CAST(epoch(date_trunc(\'hour\', ts)) AS BIGINT) AS hour_epoch, '
             'event_type, COUNT(*) AS n_events, '
-            'SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT)) AS sum_value_m '
+            'CAST(SUM(CAST(ROUND(value * 1000.0, 0) AS BIGINT)) AS BIGINT) '
+            'AS sum_value_m '
             'FROM events GROUP BY 1, 2'),
         'user_sessions': (
             'WITH s AS (SELECT user_id, ts, '
@@ -460,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         'token_count': (
             "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
             'AS BIGINT) AS n_tokens FROM documents'),
+        'simhash': text_ops.simhash_duckdb_sql('documents'),
         # near-dup pairs via an exact inverted-shingle index (the LSH engine
         # path must equal this all-pairs truth at threshold 0.6)
         'dedup_near_pairs': (

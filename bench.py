@@ -181,6 +181,9 @@ def main() -> None:
         dt = time.time() - t0
         per_query[name] = round(dt, 3)
         total += dt
+        # operators that persist() intermediates (knn, near-dup) hold them
+        # only until their result is materialized — release between queries
+        spark.catalog.clearCache()
 
     spark.stop()
 

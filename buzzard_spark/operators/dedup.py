@@ -38,55 +38,106 @@ def shingles(df: DataFrame, text_col: str = 'text', k: int = 3,
         f'CASE WHEN size({words}) >= {k} THEN {sh} ELSE array() END'))
 
 
-def minhash_signature(df: DataFrame, n_hashes: int = 32,
+def minhash_signature(df: DataFrame, n_hashes: int = 64,
                       shingle_col: str = 'shingles',
                       out: str = 'sig') -> DataFrame:
-    """n_hashes-wide MinHash signature: per permutation j, the minimum of
-    xxhash64(shingle || '#j') over the shingle set."""
-    mins = ', '.join(
-        f"array_min(transform({shingle_col}, s -> xxhash64(concat(s, '#%d'))))" % j
-        for j in range(n_hashes))
-    return df.withColumn(out, F.expr(f'array({mins})'))
+    """n_hashes-wide MinHash signature.
+
+    Each shingle is hashed to int64 once (``xxhash64(s)``); permutation j
+    is ``xxhash64(shingle_id, j)`` — pure 64-bit rehashing, no per-perm
+    string concat/alloc. The whole signature is one fold over the shingle
+    array (the shingle-id array is materialized exactly once per row).
+    """
+    ids = f'transform({shingle_col}, s -> xxhash64(s))'
+    sig = (f'aggregate({ids}, '
+           f'transform(sequence(0, {n_hashes - 1}), j -> 9223372036854775807L), '
+           f'(acc, h) -> zip_with(acc, sequence(0, {n_hashes - 1}), '
+           '(m, j) -> least(m, xxhash64(h, j))))')
+    return df.withColumn(out, F.expr(sig))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = 'doc_id',
-                        n_hashes: int = 32, bands: int = 16,
-                        sig_col: str = 'sig') -> DataFrame:
+                        n_hashes: int = 64, bands: int = 32,
+                        sig_col: str = 'sig',
+                        bucket_cap: int = 1000) -> DataFrame:
     """Band the signature; docs sharing any band bucket become (a, b) pairs.
 
-    Bucket key = xxhash64 of the band slice; pairs deduped across bands.
+    Bucket key = xxhash64 of (band index, band slice); pairs are deduped
+    across bands. Buckets larger than ``bucket_cap`` would otherwise emit
+    O(n²) pairs (at web scale, boilerplate-heavy corpora make giant buckets
+    the COMMON case): those buckets degrade to a star on the bucket's min
+    id — O(n) pairs that preserve intra-bucket connectivity for clustering
+    (route byte-identical docs through ``exact_dedup`` first; see
+    ``near_dup_pairs``).
     """
     rows = n_hashes // bands
     band_expr = (
-        "transform(sequence(0, {b}), bb -> xxhash64(concat("
-        "CAST(bb AS STRING), '#', "
-        "array_join(transform(slice({sig}, bb * {r} + 1, {r}), "
-        "x -> CAST(x AS STRING)), ','))))"
+        'transform(sequence(0, {b}), bb -> '
+        'xxhash64(bb, slice({sig}, bb * {r} + 1, {r})))'
     ).format(b=bands - 1, sig=sig_col, r=rows)
-    banded = df.select(
-        F.col(id_col).alias('_id'), sig_col,
-        F.explode(F.expr(band_expr)).alias('band_key'))
-    a = banded.alias('a')
-    b = banded.alias('b')
-    return (a.join(b, (F.col('a.band_key') == F.col('b.band_key')) &
-                      (F.col('a._id') < F.col('b._id')))
-            .select(F.col('a._id').alias('id_a'), F.col('b._id').alias('id_b'))
-            .distinct())
+    banded = (df.select(F.col(id_col).alias('_id'),
+                        F.explode(F.expr(band_expr)).alias('band_key'))
+              .persist())
+    sizes = banded.groupBy('band_key').agg(F.count('*').alias('_bn'),
+                                           F.min('_id').alias('_bmin'))
+    tagged = banded.join(sizes, 'band_key')
+    a = tagged.where(F.col('_bn') <= bucket_cap).alias('a')
+    b = tagged.where(F.col('_bn') <= bucket_cap).alias('b')
+    normal = (a.join(b, (F.col('a.band_key') == F.col('b.band_key')) &
+                        (F.col('a._id') < F.col('b._id')))
+              .select(F.col('a._id').alias('id_a'), F.col('b._id').alias('id_b')))
+    star = (tagged.where((F.col('_bn') > bucket_cap) &
+                         (F.col('_id') != F.col('_bmin')))
+            .select(F.col('_bmin').alias('id_a'), F.col('_id').alias('id_b')))
+    # banded stays persisted until the caller materializes the result
+    # (it is scanned by sizes, tagged and the self-join build side);
+    # bench/driver clear the session cache between queries
+    return normal.unionByName(star).distinct()
 
 
 def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
-                   text_col: str = 'text', k: int = 3, n_hashes: int = 32,
-                   bands: int = 16, threshold: float = 0.6) -> DataFrame:
+                   text_col: str = 'text', k: int = 3, n_hashes: int = 64,
+                   bands: int = 32, threshold: float = 0.6,
+                   bucket_cap: int = 1000) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     Output: (id_a, id_b, jaccard_pm) with jaccard in integer per-mille
     (deterministic across engines — no float hashing).
+
+    Scale structure (the degenerate-corpus guards a 10^12-page crawl needs):
+
+    - **Exact duplicates are pre-routed** through a content-hash groupBy:
+      only the class representative (min id) enters LSH; the other members
+      attach by star edges (rep, member, J=1000‰). Byte-identical
+      boilerplate — the common case at web scale — therefore costs O(n),
+      never O(n²) LSH bucket blowup. For exact-dup classes of size > 2 the
+      emitted pair set is the star, whose transitive closure equals the
+      all-pairs set (``dedup_clusters`` output is identical).
+    - **Band buckets are capped** (``bucket_cap``) in lsh_candidate_pairs:
+      an oversized bucket of merely-near-identical docs degrades to a star
+      on its min id instead of a quadratic self-join.
+
+    Recall at the threshold: with 32 bands of 2 rows a true pair at
+    J=0.6 is missed with probability (1 - 0.36)^32 ≈ 6.5e-7 — effectively
+    deterministic vs the driver's exact all-pairs oracle.
     """
-    # shingle arrays feed the signature AND both sides of the verify join —
-    # persist to avoid recomputing the split/transform lineage three times
-    sh = shingles(df, text_col, k).select(id_col, 'shingles').persist()
-    sig = minhash_signature(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    base = df.select(id_col, text_col)
+    # empty-shingle docs (< k tokens) can never share a shingle — the exact
+    # oracle excludes them, so the star path must too
+    sh_all = shingles(base, text_col, k).select(
+        id_col, 'shingles', F.md5(F.encode(text_col, 'utf-8')).alias('_fp'))
+    sh = sh_all.where(F.size('shingles') > 0).persist()
+    reps = sh.groupBy('_fp').agg(F.min(id_col).alias('_rep'))
+    star = (sh.join(reps, '_fp')
+            .where(F.col(id_col) != F.col('_rep'))
+            .select(F.col('_rep').alias('id_a'),
+                    F.col(id_col).alias('id_b'),
+                    F.lit(1000).cast('long').alias('jaccard_pm')))
+    rep_sh = (sh.join(reps.withColumnRenamed('_rep', id_col)
+                      .select(id_col), id_col, 'left_semi'))
+    sig = minhash_signature(rep_sh, n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands,
+                               bucket_cap=bucket_cap)
     sh_only = sh.select(F.col(id_col).alias('_jid'), 'shingles')
     joined = (cand
               .join(sh_only.withColumnRenamed('shingles', 'sh_a'),
@@ -95,11 +146,12 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
                     cand.id_b == F.col('_jid')).drop('_jid'))
     jac = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
            'CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)')
-    return (joined
-            .withColumn('jaccard_pm',
-                        F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
-            .where(F.expr(f'{jac} >= {threshold}E0'))
-            .select('id_a', 'id_b', 'jaccard_pm'))
+    lsh_pairs = (joined
+                 .withColumn('jaccard_pm',
+                             F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
+                 .where(F.expr(f'{jac} >= {threshold}E0'))
+                 .select('id_a', 'id_b', 'jaccard_pm'))
+    return lsh_pairs.unionByName(star)
 
 
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
@@ -130,24 +182,38 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
         changed = (new_labels.alias('n')
                    .join(labels.alias('o'), F.col('n.node') == F.col('o.node'))
                    .where(F.col('n.comp') != F.col('o.comp')).count())
+        # the count() above materialized new_labels — the superseded round's
+        # cache (and eventually the edge cache) can be released immediately
+        labels.unpersist()  # no-op on the first (never-persisted) frame
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col('node').alias(id_col),
                          F.col('comp').alias('cluster_id'))
 
 
 def simhash64(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
-              out: str = 'simhash') -> DataFrame:
+              out: str = 'simhash', token_hash: str = 'md5') -> DataFrame:
     """64-bit SimHash: per bit, sign of the sum over tokens of ±1 from the
-    token's xxhash64 bit — all JVM via nested transform/aggregate."""
+    token's 64-bit hash bit — all JVM, single fold per row.
+
+    token_hash='md5' (default) uses the md5-nibble hash shared with the
+    DuckDB oracle (operators.text.simhash_spark_expr) — value-exact across
+    engines. token_hash='xxhash64' is the faster JVM-native variant for
+    the pure-scale path (no cross-engine parity needed).
+    """
+    if token_hash == 'md5':
+        from buzzard_spark.operators.text import simhash_spark_expr
+        return df.select(id_col, F.expr(simhash_spark_expr(text_col)).alias(out))
     words = f"split(trim({text_col}), '\\\\s+')"
     hashes = f'transform({words}, w -> xxhash64(w))'
-    bit_terms = (
-        'transform(sequence(0, 63), b -> '
-        f'aggregate({hashes}, 0L, (acc, h) -> acc + '
-        'CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))')
-    pack = (f'aggregate(zip_with({bit_terms}, sequence(0, 63), '
+    # single fold: per token update all 64 signed bit-sums, then pack —
+    # the token-hash array is materialized exactly once per row
+    sums = (f'aggregate({hashes}, transform(sequence(0, 63), b -> 0), '
+            '(acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + '
+            '(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)))')
+    pack = (f'aggregate(zip_with({sums}, sequence(0, 63), '
             '(t, b) -> CASE WHEN t > 0 THEN shiftleft(1L, b) ELSE 0L END), '
             '0L, (acc, x) -> acc | x)')
     return df.select(id_col, F.expr(pack).alias(out))

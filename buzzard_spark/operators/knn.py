@@ -30,20 +30,24 @@ DIST2 = ('(lat - qlat) * (lat - qlat) + (lng - qlng) * (lng - qlng)')
 
 
 def ring_cells(queries: DataFrame, res: int, k_ring: int) -> DataFrame:
-    """Explode each query row into its ring-``k_ring`` candidate cells."""
+    """Explode each query row into its ring-``k_ring`` candidate cells.
+
+    The candidate set is built as an ``array_distinct`` array before the
+    explode (pure expression, no shuffle): when ``2*k_ring + 1 > nx`` the
+    longitude pmod wrap would otherwise emit duplicate cells, seating the
+    same page in several top-k slots downstream.
+    """
     nx, ny = cells.dims(res)
     q = assign_cell(queries, res, lat='qlat', lng='qlng', out='qcell')
     q = q.withColumn('_qx', F.expr(f'qcell % {nx}')) \
          .withColumn('_qy', F.expr(f'qcell DIV {nx}'))
-    q = q.withColumn(
-        '_dy', F.explode(F.expr(
-            f'sequence(GREATEST(_qy - {k_ring}, 0L), '
-            f'LEAST(_qy + {k_ring}, {ny - 1}L))')))
-    q = q.withColumn(
-        '_dx', F.explode(F.expr(f'sequence(_qx - {k_ring}, _qx + {k_ring})')))
-    q = q.withColumn('cell', F.expr(
-        f'_dy * {nx} + pmod(_dx, {nx})'))
-    return q.drop('_qx', '_qy', '_dy', '_dx')
+    cand = (
+        f'array_distinct(flatten(transform('
+        f'sequence(GREATEST(_qy - {k_ring}, 0L), LEAST(_qy + {k_ring}, {ny - 1}L)), '
+        f'yy -> transform(sequence(_qx - {k_ring}, _qx + {k_ring}), '
+        f'xx -> yy * {nx} + pmod(xx, {nx})))))')
+    q = q.withColumn('cell', F.explode(F.expr(cand)))
+    return q.drop('_qx', '_qy')
 
 
 def _topk(cand: DataFrame, k: int) -> DataFrame:

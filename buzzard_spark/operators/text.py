@@ -69,6 +69,61 @@ def quality_sql(text_col: str, dialect: str = 'spark') -> str:
     return (f'({mean_len} / {dlit(8.0)} + {stop_ratio} * {dlit(2.0)})')
 
 
+# ---------------------------------------------------------------------------
+# SimHash on an md5-derived 64-bit token hash — arithmetic both engines share
+# (Catalyst and DuckDB evaluate the identical nibble decode), so the driver
+# oracle is exact. Bit b (0 = LSB) of a token's hash = bit (b % 4) of the
+# md5-hex nibble at 1-based position 16 - b DIV 4.
+
+_HEX = '0123456789abcdef'
+_MIN_BIGINT = '(-9223372036854775807 - 1)'
+
+
+def _simhash_pows_spark() -> str:
+    vals = [str(1 << b) + 'L' for b in range(63)]
+    vals.append('(-9223372036854775807L - 1L)')
+    return 'array(' + ', '.join(vals) + ')'
+
+
+def simhash_spark_expr(text_col: str) -> str:
+    """Single-pass Catalyst expression: words → per-token md5 nibble array →
+    64 signed bit-sums (one fold, the nibble arrays are materialized exactly
+    once) → packed int64. Zero Python, zero shuffles."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    digs = (f'transform({words}, w -> transform(sequence(1, 16), '
+            f"i -> position(substr(md5(w), i, 1) IN '{_HEX}') - 1))")
+    sums = (f'aggregate({digs}, '
+            'transform(sequence(0, 63), b -> 0), '
+            '(acc, dd) -> zip_with(acc, sequence(0, 63), (a, b) -> a + '
+            '(CASE WHEN (shiftright(element_at(dd, CAST(16 - b DIV 4 AS INT)), '
+            'b % 4) & 1) = 1 THEN 1 ELSE -1 END)))')
+    pack = (f'aggregate(zip_with({sums}, sequence(0, 63), (s, b) -> '
+            f'CASE WHEN s > 0 THEN element_at({_simhash_pows_spark()}, '
+            'CAST(b + 1 AS INT)) ELSE 0L END), 0L, (acc, x) -> acc | x)')
+    return pack
+
+
+def simhash_duckdb_sql(table: str, text_col: str = 'text',
+                       id_col: str = 'doc_id') -> str:
+    """Full DuckDB statement computing the identical simhash per row."""
+    words = f"string_split_regex(trim({text_col}), '\\s+')"
+    digs = (f'list_transform({words}, w -> list_transform('
+            'generate_series(1, 16), '
+            f"i -> position(substr(md5(w), i, 1) IN '{_HEX}') - 1))")
+    sums = ('list_transform(generate_series(0, 63), b -> '
+            'list_sum(list_transform(digs, dd -> '
+            'CASE WHEN (dd[CAST(16 - b // 4 AS INT)] >> (b % 4)) & 1 = 1 '
+            'THEN 1 ELSE -1 END)))')
+    pows = ', '.join([str(1 << b) for b in range(63)] + [_MIN_BIGINT])
+    pack = ('CAST(list_aggregate(list_transform(generate_series(1, 64), '
+            'i -> CASE WHEN sums[i] > 0 THEN pows[i] ELSE 0 END), '
+            "'bit_or') AS BIGINT)")
+    return (f'WITH d AS (SELECT {id_col}, {digs} AS digs FROM {table}), '
+            f's AS (SELECT {id_col}, {sums} AS sums, '
+            f'[{pows}]::BIGINT[] AS pows FROM d) '
+            f'SELECT {id_col}, {pack} AS simhash FROM s')
+
+
 def analyze(df: DataFrame, text_col: str = 'text',
             id_col: str = 'doc_id') -> DataFrame:
     """One-pass text profile: tokens, predicted lang, quality."""

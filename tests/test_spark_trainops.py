@@ -41,6 +41,46 @@ def test_near_dup_pairs_matches_bruteforce(spark):
     assert got == truth
 
 
+def test_near_dup_identical_docs_linear_pairs(spark):
+    """1,000 byte-identical docs: exact-dup pre-routing must emit the O(n)
+    star (999 pairs at J=1000‰), never the O(n²) LSH bucket blowup."""
+    rows = [(i, 'alpha bravo charlie delta echo foxtrot') for i in range(1000)]
+    rows.append((5000, 'zulu yankee xray whiskey victor'))  # unrelated
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = dedup.near_dup_pairs(df, threshold=0.6).collect()
+    assert len(got) == 999
+    assert all(r['id_a'] == 0 and r['jaccard_pm'] == 1000 for r in got)
+    assert {r['id_b'] for r in got} == set(range(1, 1000))
+
+
+def test_near_dup_exact_class_star_is_cluster_equivalent(spark):
+    """Exact-dup class members connect through the rep star; clustering over
+    the emitted pairs equals clustering over all-pairs truth."""
+    base = 'alpha bravo charlie delta echo foxtrot golf hotel'
+    rows = [(0, base), (1, base), (2, base),
+            (3, ' '.join(base.split()[:-1])),   # near-dup of the class
+            (4, 'zulu yankee xray whiskey victor uniform tango sierra')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    pairs = dedup.near_dup_pairs(df, threshold=0.6)
+    ids = df.select('doc_id')
+    got = {r['doc_id']: r['cluster_id']
+           for r in dedup.dedup_clusters(ids, pairs).collect()}
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[4] == 4
+
+
+def test_lsh_bucket_cap_star(spark):
+    """A band bucket larger than bucket_cap degrades to a star on its min
+    id: pair count is O(bucket), connectivity preserved."""
+    rows = [(i, 'alpha bravo charlie delta echo foxtrot') for i in range(50)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    sh = dedup.shingles(df)
+    sig = dedup.minhash_signature(sh)
+    pairs = dedup.lsh_candidate_pairs(sig, bucket_cap=10).collect()
+    assert len(pairs) == 49  # star, not 50*49/2
+    assert all(r['id_a'] == 0 for r in pairs)
+
+
 def test_dedup_clusters_transitive(spark):
     """Pairs (a,b), (b,c), (x,y) → clusters {a,b,c} and {x,y}; chain of 6
     exercises multi-round propagation."""
