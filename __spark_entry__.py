@@ -234,7 +234,15 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (threshold 0.6)."""
     corpus = _docs_with_near_dups(spark, sf_dir)
-    return dedup_ops.near_dup_pairs(corpus, threshold=0.6)
+    return dedup_ops.near_dup_pairs(_spread(corpus), threshold=0.6)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as 1-2 splits; CPU-heavy per-row operators
+    must fan out to all cores first (at production scale the table has
+    thousands of splits and this is a no-op — here the one-off round-robin
+    shuffle of a few MB is free next to the per-row compute)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +250,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same nibble arithmetic runs in the DuckDB oracle, so values are exact
     across engines (locality additionally pinned by pytest)."""
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
-    return dedup_ops.simhash64(docs)
+    return dedup_ops.simhash64(_spread(docs))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +278,7 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = (f'transform(sequence(0, size({words}) - 2), '
                f"i -> concat(element_at({words}, i + 1), ' ', "
                f'element_at({words}, i + 2)))')
-    return (docs
+    return (_spread(docs)
             .where(F.expr(f'size({words}) >= 2'))
             .select(F.explode(F.expr(bigrams)).alias('bigram'))
             .groupBy('bigram').agg(F.count('*').alias('n'))

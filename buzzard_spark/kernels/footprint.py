@@ -230,17 +230,35 @@ class Footprint:
         return self.intersection(other)
 
     @staticmethod
-    def _bounds_of_object(obj):
-        """Bounds of a Footprint / __geo_interface__ object / geojson dict /
-        (minx, miny, maxx, maxy) sequence."""
+    def _points_of_object(obj):
+        """Exact boundary points when the object carries real geometry
+        (a convex polygon ring as an (N, 2) array or a __geo_interface__
+        polygon); None for Footprints / plain bounds boxes (their corner
+        points derive from bounds — the box fast path)."""
         if isinstance(obj, Footprint):
-            return np.asarray(obj.bounds, dtype='float64')
+            return None
         gi = obj if isinstance(obj, dict) else getattr(obj, '__geo_interface__', None)
         if gi is not None:
             coords = np.asarray(gi['coordinates'], dtype='float64')
-            coords = coords.reshape(-1, coords.shape[-1])[:, :2]
-            return np.asarray([coords[:, 0].min(), coords[:, 1].min(),
-                               coords[:, 0].max(), coords[:, 1].max()])
+            return coords.reshape(-1, coords.shape[-1])[:, :2]
+        try:
+            arr = np.asarray(obj, dtype='float64')
+        except (TypeError, ValueError):
+            return None
+        if arr.ndim == 2 and arr.shape[1] == 2 and arr.shape[0] >= 3:
+            return arr
+        return None
+
+    @staticmethod
+    def _bounds_of_object(obj):
+        """Bounds of a Footprint / __geo_interface__ object / geojson dict /
+        polygon ring array / (minx, miny, maxx, maxy) sequence."""
+        if isinstance(obj, Footprint):
+            return np.asarray(obj.bounds, dtype='float64')
+        pts = Footprint._points_of_object(obj)
+        if pts is not None:
+            return np.asarray([pts[:, 0].min(), pts[:, 1].min(),
+                               pts[:, 0].max(), pts[:, 1].max()])
         try:
             arr = np.asarray(obj, dtype='float64')
         except (TypeError, ValueError):
@@ -257,18 +275,23 @@ class Footprint:
             raise ValueError('Unknown keyword arguments %s' % list(_extra))
         """Footprint bounding the intersection of north-up footprints/boxes.
 
-        Engine subset of the reference's intersection
+        Engine port of the reference's intersection
         (reference: buzzard/_footprint.py:421-537,
-        buzzard/_footprint_intersection.py:20-178): inputs are Footprints or
-        (minx, miny, maxx, maxy) boxes; scale ∈ {'self','highest','lowest',
-        (x,y), n}; rotation ∈ {'auto', angle}; alignment ∈ {'auto','tl',(x,y)}.
-        ``rotation='fit'`` (min rotated rect) is out of engine scope — the
-        distributed spatial join covers arbitrary-geometry overlays.
+        buzzard/_footprint_intersection.py:20-178): inputs are Footprints,
+        (minx, miny, maxx, maxy) boxes, or CONVEX polygons ((N, 2) ring
+        arrays / __geo_interface__ polygons — shapely-free via
+        Sutherland–Hodgman); scale ∈ {'self','highest','lowest',(x,y), n};
+        rotation ∈ {'auto', 'fit', angle} where 'fit' fits the minimum
+        rotated rectangle of the exact intersection (rotating calipers);
+        alignment ∈ {'auto','tl',(x,y)}.
         """
         if not others:
             raise ValueError('No other Footprint provided')
         fps = [self] + [o for o in others if isinstance(o, Footprint)]
-        boxes = [self._bounds_of_object(o) for o in [self] + list(others)]
+        objs = [self] + list(others)
+        boxes = [self._bounds_of_object(o) for o in objs]
+        poly_pts = [self._points_of_object(o) for o in objs]
+        has_poly = any(p is not None for p in poly_pts)
         for b1, b2 in _combinations(boxes, 2):
             ix0, iy0 = max(b1[0], b2[0]), max(b1[1], b2[1])
             ix1, iy1 = min(b1[2], b2[2]), min(b1[3], b2[3])
@@ -311,13 +334,15 @@ class Footprint:
             if (scale_vec == 0).any():
                 raise ValueError('scale should be different than zero')
 
+        fitrot = False
         if isinstance(rotation, str):
             if rotation == 'auto':
                 rotfp = resofp if resofp is not None else self
                 rot = rotfp.angle
             elif rotation == 'fit':
-                raise NotImplementedError(
-                    "rotation='fit' is outside the engine's north-up scope")
+                rotfp = None
+                rot = None
+                fitrot = True
             else:
                 raise ValueError('bad rotation parameter')
         else:
@@ -344,23 +369,73 @@ class Footprint:
                 if not self.same_grid(fp):
                     raise ValueError('%s does not lie on the same grid as self' % fp)
 
-        # bound the intersection box in the rotated/scaled tmp frame
-        # (reference: _footprint_intersection.py:120-136)
-        centroid = ((minx + maxx) / 2., (miny + maxy) / 2.)
-        tmp_to_spatial = affine6.compose(
-            affine6.translation(*centroid),
-            affine6.compose(affine6.rotation_deg(rot),
-                            affine6.scaling(scale_vec[0], scale_vec[1])))
-        spatial_to_tmp = affine6.inverse(tmp_to_spatial)
-        corners = np.asarray([
-            (minx, miny), (minx, maxy), (maxx, maxy), (maxx, miny)],
-            dtype='float64')
-        tx, ty = affine6.apply(spatial_to_tmp, corners[:, 0], corners[:, 1])
-        rect_tl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.min()))
-        rect_bl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.max()))
-        rect_br = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.max()))
-        rect_tr = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.min()))
-        rect_coords = np.asarray([rect_tl, rect_bl, rect_br, rect_tr])
+        # exact intersection polygon — needed for min-rotated-rect fitting
+        # and whenever a real (convex) polygon geometry was passed
+        # (reference intersects shapely geoms, _footprint_intersection.py:73-80;
+        # here: iterative Sutherland–Hodgman over convex rings)
+        geom_pts = None
+        if fitrot or has_poly:
+            from buzzard_spark.kernels import geometry as _geometry
+
+            def _ring_of(i):
+                if poly_pts[i] is not None:
+                    return poly_pts[i]
+                b = boxes[i]
+                return np.asarray([(b[0], b[1]), (b[2], b[1]),
+                                   (b[2], b[3]), (b[0], b[3])])
+
+            geom_pts = _ring_of(0)
+            for i in range(1, len(objs)):
+                geom_pts = _geometry.clip_ring_convex(geom_pts, _ring_of(i))
+            if len(geom_pts) == 0:
+                raise ValueError('Intersection is empty')
+            if len(geom_pts) < 3 or abs(_geometry.ring_area(
+                    np.vstack([geom_pts, geom_pts[:1]]))) == 0.0:
+                if fitrot:
+                    raise ValueError('Two geometries are only touching, '
+                                     'intersection is empty')
+
+        if fitrot:
+            # min rotated rect of the intersection; tl = corner nearest the
+            # scale-sign "above" point; corner order flips with scale parity
+            # (reference: _footprint_intersection.py:88-118)
+            from buzzard_spark.kernels import geometry as _geometry
+            mrr = _geometry.min_rotated_rect(geom_pts)  # CCW
+            rbx0, rby0 = mrr[:, 0].min(), mrr[:, 1].min()
+            rbx1, rby1 = mrr[:, 0].max(), mrr[:, 1].max()
+            abovex = rbx0 if scale_vec[0] > 0 else rbx1
+            abovey = rby0 if scale_vec[1] > 0 else rby1
+            quad = (abovex - mrr[:, 0]) ** 2 + (abovey - mrr[:, 1]) ** 2
+            tli = int(quad.argmin())
+            if (scale_vec[0] > 0) != (scale_vec[1] > 0):
+                order = [tli, (tli + 1) % 4, (tli + 2) % 4, (tli + 3) % 4]
+            else:
+                order = [tli, (tli - 1) % 4, (tli - 2) % 4, (tli - 3) % 4]
+            rect_tl, rect_bl, rect_br, rect_tr = (mrr[i] for i in order)
+            rect_coords = np.asarray([rect_tl, rect_bl, rect_br, rect_tr])
+            lrvec = rect_tr - rect_tl
+            rot = float(np.arctan2(lrvec[1], lrvec[0]) * 180.0 / np.pi)
+        else:
+            # bound the intersection in the rotated/scaled tmp frame
+            # (reference: _footprint_intersection.py:120-136)
+            centroid = ((minx + maxx) / 2., (miny + maxy) / 2.)
+            tmp_to_spatial = affine6.compose(
+                affine6.translation(*centroid),
+                affine6.compose(affine6.rotation_deg(rot),
+                                affine6.scaling(scale_vec[0], scale_vec[1])))
+            spatial_to_tmp = affine6.inverse(tmp_to_spatial)
+            if geom_pts is not None and len(geom_pts) >= 3:
+                corners = np.asarray(geom_pts, dtype='float64')
+            else:
+                corners = np.asarray([
+                    (minx, miny), (minx, maxy), (maxx, maxy), (maxx, miny)],
+                    dtype='float64')
+            tx, ty = affine6.apply(spatial_to_tmp, corners[:, 0], corners[:, 1])
+            rect_tl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.min()))
+            rect_bl = np.asarray(affine6.apply(tmp_to_spatial, tx.min(), ty.max()))
+            rect_br = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.max()))
+            rect_tr = np.asarray(affine6.apply(tmp_to_spatial, tx.max(), ty.min()))
+            rect_coords = np.asarray([rect_tl, rect_bl, rect_br, rect_tr])
 
         precision.check_significant(
             precision.significant_min_of(rect_coords, np.abs(scale_vec).min()))

@@ -244,6 +244,131 @@ def clip_wkb_rect(buf, minx, miny, maxx, maxy):
     raise ValueError('cannot clip %s' % kind)
 
 
+def geojson_of_wkb(buf) -> dict:
+    """WKB → geojson geometry dict (the reference's geojson codec,
+    buzzard/_a_source_vector.py:86-107)."""
+    kind, payload = wkb_decode(bytes(buf))
+    if kind == 'point':
+        return {'type': 'Point', 'coordinates': [float(payload[0]),
+                                                 float(payload[1])]}
+    if kind == 'linestring':
+        return {'type': 'LineString',
+                'coordinates': [[float(x), float(y)] for x, y in payload]}
+    if kind == 'polygon':
+        return {'type': 'Polygon',
+                'coordinates': [[[float(x), float(y)] for x, y in ring]
+                                for ring in payload]}
+    if kind == 'multipolygon':
+        return {'type': 'MultiPolygon',
+                'coordinates': [[[[float(x), float(y)] for x, y in ring]
+                                 for ring in rings] for rings in payload]}
+    raise ValueError('cannot encode geometry type %s' % kind)
+
+
+def coords_of_wkb(buf):
+    """WKB → raw coordinate nesting (the reference's 'coordinates' codec —
+    same nesting as geojson coordinates)."""
+    return geojson_of_wkb(buf)['coordinates']
+
+
+def clip_ring_convex(subject, clip_ring):
+    """Sutherland–Hodgman clip of ``subject`` against a CONVEX ``clip_ring``
+    (any orientation, open or closed). Returns the clipped open ring as an
+    (N, 2) float64 array (N may be < 3 when the intersection is degenerate
+    or empty)."""
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) > 1 and (clip[0] == clip[-1]).all():
+        clip = clip[:-1]
+    if ring_area(np.vstack([clip, clip[:1]])) < 0:
+        clip = clip[::-1]
+    sub = np.asarray(subject, dtype=np.float64)
+    pts = [tuple(p) for p in sub[:-1]] if len(sub) > 1 and \
+        (sub[0] == sub[-1]).all() else [tuple(p) for p in sub]
+    for i in range(len(clip)):
+        if not pts:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % len(clip)]
+
+        def side(p):
+            return (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax)
+
+        out = []
+        n = len(pts)
+        for j in range(n):
+            cur, prv = pts[j], pts[j - 1]
+            cs, ps = side(cur), side(prv)
+            if cs >= 0:
+                if ps < 0:
+                    t = ps / (ps - cs)
+                    out.append((prv[0] + t * (cur[0] - prv[0]),
+                                prv[1] + t * (cur[1] - prv[1])))
+                out.append(cur)
+            elif ps >= 0:
+                t = ps / (ps - cs)
+                out.append((prv[0] + t * (cur[0] - prv[0]),
+                            prv[1] + t * (cur[1] - prv[1])))
+        pts = out
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def convex_hull(points):
+    """Convex hull (Andrew monotone chain), CCW, no repeated last point."""
+    pts = sorted(set(map(tuple, np.asarray(points, dtype=np.float64))))
+    if len(pts) <= 2:
+        return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def min_rotated_rect(points):
+    """Minimum-area rotated bounding rectangle of a point set via rotating
+    calipers over the convex hull. Returns 4 corners, CCW (the reference's
+    shapely ``minimum_rotated_rectangle`` contract,
+    buzzard/_footprint_intersection.py:91-118)."""
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        p = hull[0]
+        return np.asarray([p, p, p, p])
+    if len(hull) == 2:
+        a, b = hull
+        return np.asarray([a, b, b, a])
+    best = None
+    for i in range(len(hull)):
+        e = hull[(i + 1) % len(hull)] - hull[i]
+        norm = float(np.hypot(e[0], e[1]))
+        if norm == 0:
+            continue
+        u = e / norm
+        v = np.asarray([-u[1], u[0]])
+        pu = hull @ u
+        pv = hull @ v
+        area = (pu.max() - pu.min()) * (pv.max() - pv.min())
+        if best is None or area < best[0]:
+            best = (area, u, v, pu.min(), pu.max(), pv.min(), pv.max())
+    _, u, v, u0, u1, v0, v1 = best
+    corners = np.asarray([
+        u0 * u + v0 * v,
+        u1 * u + v0 * v,
+        u1 * u + v1 * v,
+        u0 * u + v1 * v,
+    ])
+    return corners  # CCW: (u, v) is a right-handed orthonormal frame
+
+
 # -- polygon helpers ------------------------------------------------------------
 
 def ring_area(ring) -> float:

@@ -203,28 +203,11 @@ _DIRS = {(1, 0): 0, (0, 1): 1, (-1, 0): 2, (0, -1): 3}
 _VECS = [(1, 0), (0, 1), (-1, 0), (0, -1)]
 
 
-def _trace_rings(comp_mask):
-    """Boundary rings of one component (pixel-is-area corners, raster coords).
-
-    Directed edges keep the filled pixel on the RIGHT of travel; at
-    pinch vertices the sharpest right turn is taken, which preserves
-    4-connectivity (diagonal contact does not merge)."""
-    h, w = comp_mask.shape
-    pad = np.zeros((h + 2, w + 2), dtype=bool)
-    pad[1:-1, 1:-1] = comp_mask
-    edges = {}  # (vx, vy, dir) -> used?
-
-    ys, xs = np.nonzero(comp_mask)
-    for x, y in zip(xs, ys):
-        if not pad[y, x + 1]:        # empty above -> east edge on top
-            edges[(x, y, 0)] = False
-        if not pad[y + 1, x + 2]:    # empty right -> south edge on right
-            edges[(x + 1, y, 1)] = False
-        if not pad[y + 2, x + 1]:    # empty below -> west edge on bottom
-            edges[(x + 1, y + 1, 2)] = False
-        if not pad[y + 1, x]:        # empty left -> north edge on left
-            edges[(x, y + 1, 3)] = False
-
+def _walk_edges(edges):
+    """Assemble closed rings from a directed boundary-edge dict
+    {(vx, vy, dir): used}. Directed edges keep the filled pixel on the
+    RIGHT of travel; at pinch vertices the sharpest right turn is taken,
+    which preserves 4-connectivity (diagonal contact does not merge)."""
     rings = []
     for start in edges:
         if edges[start]:
@@ -247,6 +230,97 @@ def _trace_rings(comp_mask):
         ring.append(ring[0])
         rings.append(np.asarray(ring, dtype=np.float64))
     return rings
+
+
+def _trace_rings(comp_mask):
+    """Boundary rings of one component (pixel-is-area corners, raster
+    coords) from a dense mask."""
+    h, w = comp_mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = comp_mask
+    edges = {}  # (vx, vy, dir) -> used?
+
+    ys, xs = np.nonzero(comp_mask)
+    for x, y in zip(xs, ys):
+        if not pad[y, x + 1]:        # empty above -> east edge on top
+            edges[(x, y, 0)] = False
+        if not pad[y + 1, x + 2]:    # empty right -> south edge on right
+            edges[(x + 1, y, 1)] = False
+        if not pad[y + 2, x + 1]:    # empty below -> west edge on bottom
+            edges[(x + 1, y + 1, 2)] = False
+        if not pad[y + 1, x]:        # empty left -> north edge on left
+            edges[(x, y + 1, 3)] = False
+
+    return _walk_edges(edges)
+
+
+def _uncovered(s, e, row):
+    """Sub-intervals of [s, e) not covered by the sorted disjoint intervals
+    ``row`` = (starts, ends) — interval subtraction for run exposure."""
+    if row is None:
+        yield (s, e)
+        return
+    rs, re = row
+    i = int(np.searchsorted(re, s, side='right'))
+    cur = s
+    while cur < e and i < len(rs):
+        a, b = int(rs[i]), int(re[i])
+        if a >= e:
+            break
+        if a > cur:
+            yield (cur, min(a, e))
+        cur = max(cur, b)
+        i += 1
+    if cur < e:
+        yield (cur, e)
+
+
+def trace_rings_from_runs(ys, xs, xe):
+    """Boundary rings of ONE component given its scanline runs (pixel
+    coords, any frame) — O(perimeter) memory and time: the dense mask is
+    never materialized, so a continent-scale component (huge area, modest
+    boundary) traces without rebuilding its area. Same ring contract as
+    ``_trace_rings`` (pixel-is-area corners, holes preserved, right-turn
+    rule at pinch vertices).
+
+    ys/xs/xe: arrays — run at row ys[i] covers pixels [xs[i], xe[i]).
+    Runs of one row must be disjoint (they are, from ``_label_components``).
+    """
+    ys = np.asarray(ys, dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.int64)
+    xe = np.asarray(xe, dtype=np.int64)
+    order = np.lexsort((xs, ys))
+    ys, xs, xe = ys[order], xs[order], xe[order]
+    # coalesce abutting runs: tile seams split a row's run at x boundaries,
+    # which would otherwise fabricate interior left/right edges at the seam
+    if len(ys):
+        keep = np.r_[True, (ys[1:] != ys[:-1]) | (xs[1:] != xe[:-1])]
+        grp = np.cumsum(keep) - 1
+        n = int(grp[-1]) + 1
+        ys2 = ys[keep]
+        xs2 = xs[keep]
+        xe2 = np.zeros(n, dtype=np.int64)
+        np.maximum.at(xe2, grp, xe)
+        ys, xs, xe = ys2, xs2, xe2
+    rows = {}
+    if len(ys):
+        bounds = np.flatnonzero(np.diff(ys)) + 1
+        for seg in np.split(np.arange(len(ys)), bounds):
+            rows[int(ys[seg[0]])] = (xs[seg], xe[seg])
+    edges = {}
+    for y, (s_arr, e_arr) in rows.items():
+        up = rows.get(y - 1)
+        dn = rows.get(y + 1)
+        for s, e in zip(s_arr.tolist(), e_arr.tolist()):
+            edges[(s, y + 1, 3)] = False       # exposed left → north edge
+            edges[(e, y, 1)] = False           # exposed right → south edge
+            for a, b in _uncovered(s, e, up):  # exposed top → east edges
+                for x in range(a, b):
+                    edges[(x, y, 0)] = False
+            for a, b in _uncovered(s, e, dn):  # exposed bottom → west edges
+                for x in range(a, b):
+                    edges[(x + 1, y + 1, 2)] = False
+    return _walk_edges(edges)
 
 
 def find_polygons(fp, mask):

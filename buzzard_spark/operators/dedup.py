@@ -30,12 +30,35 @@ def exact_dedup(df: DataFrame, text_col: str = 'text',
 
 def shingles(df: DataFrame, text_col: str = 'text', k: int = 3,
              out: str = 'shingles') -> DataFrame:
-    """Distinct word k-gram array (JVM: split + transform-with-index)."""
+    """Distinct word k-gram array as STRINGS (JVM: split +
+    transform-with-index). Human-readable variant; the dedup pipeline uses
+    ``shingle_ids`` (hashed, no per-shingle string allocation)."""
     words = f"split(trim({text_col}), '\\\\s+')"
     sh = (f'array_distinct(transform(sequence(0, size({words}) - {k}), '
           f"i -> array_join(slice({words}, i + 1, {k}), ' ')))")
     return df.withColumn(out, F.expr(
         f'CASE WHEN size({words}) >= {k} THEN {sh} ELSE array() END'))
+
+
+def shingle_ids(df: DataFrame, text_col: str = 'text', k: int = 3,
+                out: str = 'shingles') -> DataFrame:
+    """Distinct word k-gram set as int64 ids: xxhash64 over the k words
+    directly — no shingle strings are ever materialized, and set ops
+    (distinct / intersect / union) run on longs. Set semantics are
+    identical to string shingles up to 64-bit hash collisions (~1e-19 per
+    pair at |S| ≈ 10³), so exact-Jaccard verification against a string
+    oracle is value-identical."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    hands = ', '.join(f'element_at(w, i + {j + 1})' for j in range(k))
+    # bind the split result ONCE as a lambda variable (array-wrap trick:
+    # lambdas are interpreted, an inline `words` would re-split per use)
+    sh = (f'element_at(transform(array({words}), w -> '
+          f'CASE WHEN size(w) >= {k} THEN '
+          f'array_distinct(transform(sequence(0, size(w) - {k}), '
+          f'i -> xxhash64({hands}))) '
+          f'ELSE array(CAST(NULL AS BIGINT)) END), 1)')
+    return df.withColumn(out, F.expr(
+        f'filter({sh}, x -> x IS NOT NULL)'))
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 64,
@@ -123,8 +146,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     """
     base = df.select(id_col, text_col)
     # empty-shingle docs (< k tokens) can never share a shingle — the exact
-    # oracle excludes them, so the star path must too
-    sh_all = shingles(base, text_col, k).select(
+    # oracle excludes them, so the star path must too. Shingle sets are
+    # int64 ids (shingle_ids): no string shingles anywhere in the pipeline.
+    sh_all = shingle_ids(base, text_col, k).select(
         id_col, 'shingles', F.md5(F.encode(text_col, 'utf-8')).alias('_fp'))
     sh = sh_all.where(F.size('shingles') > 0).persist()
     reps = sh.groupBy('_fp').agg(F.min(id_col).alias('_rep'))
@@ -146,51 +170,44 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
                     cand.id_b == F.col('_jid')).drop('_jid'))
     jac = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
            'CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)')
-    lsh_pairs = (joined
+    rep_pairs = (joined
                  .withColumn('jaccard_pm',
                              F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
                  .where(F.expr(f'{jac} >= {threshold}E0'))
                  .select('id_a', 'id_b', 'jaccard_pm'))
-    return lsh_pairs.unionByName(star)
+    # expand rep-level pairs back to all CROSS-class member pairs (members
+    # share their rep's shingle set, so the Jaccard carries over verbatim):
+    # the all-pairs contract between different duplicate classes is kept;
+    # only the intra-class quadratic set stays a star.
+    rep_of = sh.join(reps, '_fp').select(F.col(id_col).alias('_mid'), '_rep')
+    expanded = (rep_pairs
+                .join(rep_of.withColumnRenamed('_rep', 'id_a')
+                      .withColumnRenamed('_mid', '_ma'), 'id_a')
+                .join(rep_of.withColumnRenamed('_rep', 'id_b')
+                      .withColumnRenamed('_mid', '_mb'), 'id_b')
+                .select(F.least('_ma', '_mb').alias('id_a'),
+                        F.greatest('_ma', '_mb').alias('id_b'),
+                        'jaccard_pm'))
+    return expanded.unionByName(star)
 
 
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
-                   max_iters: int = 15) -> DataFrame:
-    """Resolve near-dup pairs into clusters: connected components by
-    iterative min-label propagation (alternating large-star/small-star
-    style; near-dup clusters have tiny diameter so a handful of join
-    rounds converges — each round is one shuffle, no driver data).
+                   max_iters: int = 25) -> DataFrame:
+    """Resolve near-dup pairs into clusters: distributed connected
+    components (alternating large-star/small-star, operators.graph) —
+    O(log² n) rounds of joins, no driver-side graph state.
 
     ids: one row per document. pairs: (id_a, id_b) undirected edges.
     Returns (doc_id, cluster_id) with cluster_id = min member id —
     keep-first dedup keeps rows where doc_id == cluster_id.
     """
-    labels = ids.select(F.col(id_col).alias('node'),
-                        F.col(id_col).alias('comp'))
-    edges = (pairs.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst'))
-             .unionByName(pairs.select(F.col('id_b').alias('src'),
-                                       F.col('id_a').alias('dst')))
-             .distinct().persist())
-    for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges.dst == labels.node)
-                        .groupBy('src').agg(F.min('comp').alias('ncomp')))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.src, 'left')
-                      .select('node',
-                              F.least('comp', F.coalesce('ncomp', 'comp'))
-                              .alias('comp'))).persist()
-        changed = (new_labels.alias('n')
-                   .join(labels.alias('o'), F.col('n.node') == F.col('o.node'))
-                   .where(F.col('n.comp') != F.col('o.comp')).count())
-        # the count() above materialized new_labels — the superseded round's
-        # cache (and eventually the edge cache) can be released immediately
-        labels.unpersist()  # no-op on the first (never-persisted) frame
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col('node').alias(id_col),
-                         F.col('comp').alias('cluster_id'))
+    from buzzard_spark.operators.graph import connected_components
+
+    nodes = ids.select(F.col(id_col).alias('node'))
+    out = connected_components(nodes, pairs.select('id_a', 'id_b'),
+                               id_col='node', max_iters=max_iters)
+    return out.select(F.col('node').alias(id_col),
+                      F.col('comp').alias('cluster_id'))
 
 
 def simhash64(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',

@@ -32,7 +32,8 @@ def _pixel_window(raster_fp, sfp):
 
 def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
              request_fp=None, nodata=None, dst_nodata=None,
-             interpolation='linear', channels=None) -> np.ndarray:
+             interpolation='linear', channels=None,
+             channel_nodata=None) -> np.ndarray:
     """Windowed read: returns the request window as one ndarray, padded
     with nodata outside the raster (the reference's default chain
     dst_nodata → raster nodata → 0).
@@ -40,10 +41,20 @@ def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
     channels: None = all (flat (Y, X) when the table is single-channel),
     int = that channel flat, list = (Y, X, len(channels)) — the reference's
     channel normalization (buzzard/_a_source_raster.py:82-116).
+
+    channel_nodata: per-channel source nodata (channels_schema['nodata'],
+    indexed by absolute channel id); channels whose nodata differs are
+    remapped independently so nodata-mask propagation stays per-channel.
     """
     fp = request_fp if request_fp is not None else raster_fp
     onodata = dst_nodata if dst_nodata is not None else (
         nodata if nodata is not None else 0)
+
+    def _src_nodata(abs_channel):
+        if channel_nodata is not None and abs_channel < len(channel_nodata) \
+                and channel_nodata[abs_channel] is not None:
+            return channel_nodata[abs_channel]
+        return nodata
     flat_int = isinstance(channels, int)
     chan_list = None if channels is None else (
         [channels] if flat_int else list(channels))
@@ -67,9 +78,10 @@ def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
     present = sorted({r['channel'] for r in rows})
     order = chan_list if chan_list is not None else present
     sample_dtype = np.dtype(rows[0]['dtype'])
-    fill = nodata if nodata is not None else 0
-    sample = np.full(tuple(sfp.shape) + (len(order),), fill,
-                     dtype=sample_dtype)
+    sample = np.empty(tuple(sfp.shape) + (len(order),), dtype=sample_dtype)
+    for ci, ch in enumerate(order):
+        f = _src_nodata(ch)
+        sample[:, :, ci] = f if f is not None else 0
     for row in rows:
         if row['channel'] not in order:
             continue
@@ -83,11 +95,21 @@ def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
         sx1 = min(w, tx0 + row['w'])
         sample[sy0:sy1, sx0:sx1, ci] = arr[sy0 - ty0:sy1 - ty0,
                                            sx0 - tx0:sx1 - tx0]
-    if flat_int or (channels is None and len(order) == 1):
-        sample = sample[:, :, 0]
-    out = remap_k.remap(sfp, fp, array=sample, src_nodata=nodata,
-                        dst_nodata=onodata, interpolation=interpolation)
-    return out
+    flat = flat_int or (channels is None and len(order) == 1)
+    src_nodatas = [_src_nodata(ch) for ch in order]
+    if flat:
+        return remap_k.remap(sfp, fp, array=sample[:, :, 0],
+                             src_nodata=src_nodatas[0], dst_nodata=onodata,
+                             interpolation=interpolation)
+    if len(set(src_nodatas)) == 1:
+        return remap_k.remap(sfp, fp, array=sample,
+                             src_nodata=src_nodatas[0], dst_nodata=onodata,
+                             interpolation=interpolation)
+    planes = [remap_k.remap(sfp, fp, array=sample[:, :, ci],
+                            src_nodata=src_nodatas[ci], dst_nodata=onodata,
+                            interpolation=interpolation)
+              for ci in range(len(order))]
+    return np.stack(planes, axis=-1)
 
 
 def set_data(spark: SparkSession, cache_root: str, raster_fp,

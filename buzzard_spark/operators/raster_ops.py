@@ -217,11 +217,159 @@ def tile_runs(mask_tiles: DataFrame) -> DataFrame:
             .applyInPandas(_runs, RUN_SCHEMA))
 
 
-def _resolve_components(runs: DataFrame, tile_size: int):
-    """Cross-tile union-find over border-run adjacency. Returns a driver
-    dict {(tile_y, tile_x, lab): component_id}. The border graph is
-    O(raster perimeter / tile) — tiny next to the raster itself."""
-    r = runs
+LINE_SCHEMA = 'chain_id long, wkb binary, n_pts int'
+
+
+def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
+    """Pixel rows (tile_y, tile_x, y, x, own bool): each tile's set pixels
+    plus a 1-pixel halo of its 8 neighbors' adjacent border pixels (halo
+    rows carry own=false). Lets every tile evaluate 3×3 neighborhoods of
+    its own pixels exactly. Emission is JVM-free only inside the pandas
+    kernel; the shuffle is keyed by destination tile."""
+    def _emit(key, pdf: pd.DataFrame):
+        out = []
+        for _, row in pdf.iterrows():
+            h, w = int(row.h), int(row.w)
+            ty, tx = int(row.tile_y), int(row.tile_x)
+            mask = _unpack_mask(row['mask'], h, w)
+            ys, xs = np.nonzero(mask)
+            gy = ys + int(row.y0)
+            gx = xs + int(row.x0)
+            for y, x in zip(gy.tolist(), gx.tolist()):
+                out.append((ty, tx, y, x, True))
+                # replicate border pixels into neighbor tiles as halo
+                ny0 = y - int(row.y0)
+                nx0 = x - int(row.x0)
+                dys = [0] + ([-1] if ny0 == 0 else []) + \
+                    ([1] if ny0 == h - 1 else [])
+                dxs = [0] + ([-1] if nx0 == 0 else []) + \
+                    ([1] if nx0 == w - 1 else [])
+                for dy in dys:
+                    for dx in dxs:
+                        if dy or dx:
+                            out.append((ty + dy, tx + dx, y, x, False))
+        return pd.DataFrame(
+            out, columns=['tile_y', 'tile_x', 'y', 'x', 'own'])
+
+    return (mask_tiles.groupBy('tile_y', 'tile_x').applyInPandas(
+        _emit, 'tile_y int, tile_x int, y int, x int, own boolean'))
+
+
+def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
+                    tile_size: int = 256) -> DataFrame:
+    """Distributed ``find_lines``: tile masks → merged polyline rows
+    (chain_id, wkb linestring, n_pts), world coordinates
+    (reference semantics: buzzard/_footprint.py:1538-1717 — thin mask →
+    pixel graph → merge degree-2 chains; kernel twin kernels.raster
+    .find_lines, conformance pinned by tests/test_spark_raster.py).
+
+    Scale shape (mirrors ``polygonize`` — nothing mask-sized on driver):
+
+    1. per-tile pixel-graph edge extraction with a 1-px halo shuffle (each
+       edge emitted exactly once, by the tile owning its first endpoint),
+    2. node degrees = groupBy count; edges sharing a degree-2 node belong
+       to one chain → distributed connected components over the edge graph
+       (junction nodes split chains exactly like the kernel's walk),
+    3. one reducer per chain orders its edges into the polyline —
+       O(chain length), the longest single polyline is the natural lower
+       bound for any vectorizer's output row.
+    """
+    from buzzard_spark.operators.graph import connected_components
+
+    pixels = _tile_halo_pixels(mask_tiles)
+
+    def _edges(key, pdf: pd.DataFrame):
+        # kernel edge rule (kernels.raster.find_lines): 4-neighbors always;
+        # diagonals only when no 4-connected detour exists
+        nodes = set(zip(pdf['x'].tolist(), pdf['y'].tolist()))
+        own = set(zip(pdf.loc[pdf['own'], 'x'].tolist(),
+                      pdf.loc[pdf['own'], 'y'].tolist()))
+        out = []
+        for x, y in own:
+            for di, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (1, -1))):
+                q = (x + dx, y + dy)
+                if q not in nodes:
+                    continue
+                if dx and dy and ((x + dx, y) in nodes or (x, y + dy) in nodes):
+                    continue
+                out.append((x, y, q[0], q[1], di))
+        return pd.DataFrame(out, columns=['ax', 'ay', 'bx', 'by', 'dir'])
+
+    edges_px = (pixels.groupBy('tile_y', 'tile_x')
+                .applyInPandas(_edges,
+                               'ax int, ay int, bx int, by int, dir int'))
+    # pack pixel → int64 node id; edge id = (origin pixel, direction) —
+    # collision-free for rasters up to 2^21 px per side (same bound as
+    # polygonize's packed border-run nodes)
+    pk = '(CAST({y} AS BIGINT) * 2097152 + {x})'
+    edges_px = (edges_px
+                .withColumn('na', F.expr(pk.format(y='ay', x='ax')))
+                .withColumn('nb', F.expr(pk.format(y='by', x='bx')))
+                .withColumn('eid', F.expr('na * 4 + dir'))
+                .persist())
+    if edges_px.isEmpty():
+        edges_px.unpersist()
+        return spark.createDataFrame([], LINE_SCHEMA)
+    ends = (edges_px.select(F.col('eid'), F.col('na').alias('node'))
+            .unionByName(edges_px.select('eid', F.col('nb').alias('node'))))
+    deg2 = (ends.groupBy('node').agg(F.count('*').alias('d'),
+                                     F.min('eid').alias('e1'),
+                                     F.max('eid').alias('e2'))
+            .where(F.col('d') == 2))
+    pairs = deg2.select(F.col('e1').alias('id_a'), F.col('e2').alias('id_b'))
+    chains = connected_components(
+        edges_px.select(F.col('eid')).distinct(), pairs, id_col='eid')
+    tagged = edges_px.join(chains, 'eid').withColumnRenamed('comp', 'chain_id')
+
+    coef = tuple(float(v) for v in fp._coef)
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(key[0])
+        adj = {}
+        for ax, ay, bx, by in zip(pdf['ax'], pdf['ay'], pdf['bx'], pdf['by']):
+            a, b = (int(ax), int(ay)), (int(bx), int(by))
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        # within-chain degrees are 1 (open ends) or 2 by construction:
+        # walk from the min open end, or around the cycle from the min node
+        endpoints = sorted(p for p, v in adj.items() if len(v) == 1)
+        start = endpoints[0] if endpoints else min(adj)
+        path = [start]
+        prev = None
+        cur = start
+        while True:
+            nxt = [q for q in adj[cur] if q != prev]
+            if not nxt:
+                break               # reached the other open end
+            prev, cur = cur, min(nxt)
+            path.append(cur)
+            if cur == start:
+                break               # closed the cycle
+        px = np.asarray([p[0] + 0.5 for p in path])
+        py = np.asarray([p[1] + 0.5 for p in path])
+        a, b, c, d, e_, f_ = coef
+        line = np.column_stack(
+            [px * a + py * b + c, px * d + py * e_ + f_])
+        from buzzard_spark.kernels import geometry as geom
+        return pd.DataFrame([{
+            'chain_id': cid,
+            'wkb': bytearray(geom.wkb_linestring(line)),
+            'n_pts': len(path),
+        }])
+
+    return tagged.groupBy('chain_id').applyInPandas(_assemble, LINE_SCHEMA)
+
+
+# packed node id for the border-run graph: (tile_y, tile_x, lab) → int64.
+# 21 bits each ⇒ up to 2^21 tiles per axis and 2^21 labels per tile
+# (tile_size up to 2048); 63 bits total, no overflow.
+_NODE_PACK = '((CAST(tile_y AS BIGINT) * 2097152 + tile_x) * 2097152 + lab)'
+
+
+def _border_edges(runs: DataFrame, tile_size: int) -> DataFrame:
+    """Cross-tile adjacency of border runs as packed-node edge rows
+    (id_a, id_b) — stays distributed (O(total tile-border length) rows)."""
+    r = runs.withColumn('node', F.expr(_NODE_PACK))
     # vertical adjacency: bottom row of tile (ty) ↔ top row of tile (ty+1)
     bottom = r.where((F.col('y') + 1) % tile_size == 0).alias('a')
     top = r.where(F.col('y') % tile_size == 0).alias('b')
@@ -235,64 +383,52 @@ def _resolve_components(runs: DataFrame, tile_size: int):
     horiz = right.join(
         left,
         (F.col('a.xe') == F.col('b.xs')) & (F.col('a.y') == F.col('b.y')))
-    sel = [F.col('a.tile_y').alias('aty'), F.col('a.tile_x').alias('atx'),
-           F.col('a.lab').alias('alab'), F.col('b.tile_y').alias('bty'),
-           F.col('b.tile_x').alias('btx'), F.col('b.lab').alias('blab')]
-    edges = (vert.select(*sel).unionByName(horiz.select(*sel)).collect())
-    nodes = [tuple(row) for row in
-             runs.select('tile_y', 'tile_x', 'lab').distinct().collect()]
-
-    parent = {n: n for n in nodes}
-
-    def find(n):
-        while parent[n] != n:
-            parent[n] = parent[parent[n]]
-            n = parent[n]
-        return n
-
-    for row in edges:
-        na = (row[0], row[1], row[2])
-        nb = (row[3], row[4], row[5])
-        ra, rb = find(na), find(nb)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    roots = sorted({find(n) for n in nodes})
-    gid_of_root = {root: i for i, root in enumerate(roots)}
-    return {n: gid_of_root[find(n)] for n in nodes}
+    sel = [F.col('a.node').alias('id_a'), F.col('b.node').alias('id_b')]
+    return vert.select(*sel).unionByName(horiz.select(*sel))
 
 
 def polygonize(spark: SparkSession, fp, mask_tiles: DataFrame,
                tile_size: int = 256) -> DataFrame:
     """Distributed find_polygons: tile masks → polygon rows
-    (component_id, wkb multirings, area, n_rings), world coordinates."""
-    runs = tile_runs(mask_tiles).persist()
-    mapping = _resolve_components(runs, tile_size)
-    if not mapping:
+    (component_id, wkb multirings, area, n_rings), world coordinates.
+    component_id = packed min (tile_y, tile_x, lab) node of the component
+    (stable, but not dense).
+
+    Scale shape (nothing graph- or mask-sized touches the driver):
+
+    1. per-tile run-length labeling (``tile_runs``, applyInPandas),
+    2. cross-tile connectivity = distributed connected components over the
+       border-run adjacency graph (operators.graph, large-star/small-star
+       joins) — replaces a driver-side union-find,
+    3. one reducer per component traces rings directly from its runs
+       (``kernels.raster.trace_rings_from_runs``): O(perimeter) memory —
+       the component's dense bbox mask (O(area), OOM at continent scale)
+       is never rebuilt.
+    """
+    from buzzard_spark.operators.graph import connected_components
+
+    runs = tile_runs(mask_tiles).withColumn('node', F.expr(_NODE_PACK)) \
+        .persist()
+    if runs.isEmpty():
+        runs.unpersist()
         return spark.createDataFrame([], POLY_SCHEMA)
-    map_df = spark.createDataFrame(
-        [(ty, tx, lab, gid) for (ty, tx, lab), gid in mapping.items()],
-        'tile_y int, tile_x int, lab int, component_id long')
-    tagged = runs.join(F.broadcast(map_df), ['tile_y', 'tile_x', 'lab'])
+    edges = _border_edges(runs.drop('node'), tile_size)
+    labels = connected_components(
+        runs.select('node').distinct(), edges, id_col='node')
+    tagged = runs.join(labels, 'node').withColumnRenamed('comp',
+                                                         'component_id')
 
     coef = tuple(float(v) for v in fp._coef)
 
     def _trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gid = int(key[0])
-        ys = pdf['y'].to_numpy()
-        xs = pdf['xs'].to_numpy()
-        xe = pdf['xe'].to_numpy()
-        y_min, y_max = int(ys.min()), int(ys.max())
-        x_min, x_max = int(xs.min()), int(xe.max())
-        mask = np.zeros((y_max - y_min + 1, x_max - x_min), dtype=bool)
-        for y, s, e in zip(ys, xs, xe):
-            mask[y - y_min, s - x_min:e - x_min] = True
-        rings_px = raster._trace_rings(mask)
+        rings_px = raster.trace_rings_from_runs(
+            pdf['y'].to_numpy(), pdf['xs'].to_numpy(), pdf['xe'].to_numpy())
         rings_w = []
         a, b, c, d, e_, f_ = coef
         for ring in rings_px:
-            gx = ring[:, 0] + x_min
-            gy = ring[:, 1] + y_min
+            gx = ring[:, 0]
+            gy = ring[:, 1]
             rings_w.append(np.column_stack(
                 [gx * a + gy * b + c, gx * d + gy * e_ + f_]))
         areas = [abs(geometry.ring_area(r)) for r in rings_w]

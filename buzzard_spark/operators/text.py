@@ -85,13 +85,26 @@ def _simhash_pows_spark() -> str:
     return 'array(' + ', '.join(vals) + ')'
 
 
+def _nibble_sql(h: str, i: str, dialect: str = 'spark') -> str:
+    """Hex digit value of char i (1-based) of hex string h — branch-free
+    ascii arithmetic: '0'-'9' → a-48, 'a'-'f' → a-87
+    (= a - 48 - 39·(a intdiv 97)). Only the two one-byte reads repeat; pass
+    a PRE-HASHED hex variable for ``h`` (HOF lambdas are interpreted — no
+    CSE — so an inline md5 here would re-hash per digit)."""
+    idiv = 'DIV' if dialect == 'spark' else '//'
+    return f'(ascii(substr({h}, {i}, 1)) - 48 - '\
+           f'39 * (ascii(substr({h}, {i}, 1)) {idiv} 97))'
+
+
 def simhash_spark_expr(text_col: str) -> str:
-    """Single-pass Catalyst expression: words → per-token md5 nibble array →
-    64 signed bit-sums (one fold, the nibble arrays are materialized exactly
-    once) → packed int64. Zero Python, zero shuffles."""
+    """Single-pass Catalyst expression: words → per-token md5 (hoisted:
+    exactly one md5 per token — lambdas are interpreted, an inline md5
+    would re-hash per digit) → nibble array → 64 signed bit-sums (one
+    fold) → packed int64. Zero Python, zero shuffles."""
     words = f"split(trim({text_col}), '\\\\s+')"
-    digs = (f'transform({words}, w -> transform(sequence(1, 16), '
-            f"i -> position(substr(md5(w), i, 1) IN '{_HEX}') - 1))")
+    hexes = f'transform({words}, w -> md5(w))'
+    digs = (f'transform({hexes}, h -> transform(sequence(1, 16), '
+            f"i -> {_nibble_sql('h', 'i')}))")
     sums = (f'aggregate({digs}, '
             'transform(sequence(0, 63), b -> 0), '
             '(acc, dd) -> zip_with(acc, sequence(0, 63), (a, b) -> a + '
@@ -107,9 +120,10 @@ def simhash_duckdb_sql(table: str, text_col: str = 'text',
                        id_col: str = 'doc_id') -> str:
     """Full DuckDB statement computing the identical simhash per row."""
     words = f"string_split_regex(trim({text_col}), '\\s+')"
-    digs = (f'list_transform({words}, w -> list_transform('
+    hexes = f'list_transform({words}, w -> md5(w))'
+    digs = (f'list_transform({hexes}, h -> list_transform('
             'generate_series(1, 16), '
-            f"i -> position(substr(md5(w), i, 1) IN '{_HEX}') - 1))")
+            f"i -> {_nibble_sql('h', 'i', 'duckdb')}))")
     sums = ('list_transform(generate_series(0, 63), b -> '
             'list_sum(list_transform(digs, dd -> '
             'CASE WHEN (dd[CAST(16 - b // 4 AS INT)] >> (b % 4)) & 1 = 1 '

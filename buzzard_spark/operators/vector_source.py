@@ -7,6 +7,13 @@ buzzard/_a_gdal_vector.py:94-125):
   the engine's SetSpatialFilterRect),
 - exact refine + clip (WKB rect clip in an Arrow pandas UDF),
 - slicing           (applied after the filter, deterministic fid order).
+
+Slicing is the reference's ``SetNextByIndex`` (OFFSET/LIMIT on the ordered
+feature stream). A naive global ``Window.orderBy(fid)`` funnels every
+surviving row through one task; instead the scan range-partitions by fid,
+ranks within each range partition (parallel windows), and shifts ranks by
+the per-partition counts — the distributed zipWithIndex pattern. Driver
+traffic is one row per partition; no single-partition exchange anywhere.
 """
 
 from __future__ import annotations
@@ -15,6 +22,39 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _sliced_by_order(df: DataFrame, fid_col: str, start: int,
+                     stop: int | None, nparts: int | None = None) -> DataFrame:
+    """Rows [start:stop] of df ordered by fid — scale-safe two-phase rank.
+
+    Phase 1: range-repartition on fid (contiguous, ordered ranges) and count
+    rows per partition (tiny agg — one output row per partition).
+    Phase 2: per-partition rank (parallel window) + broadcast cumulative
+    offsets → global position; filter to the slice.
+    """
+    spark = df.sparkSession
+    if nparts is None:
+        nparts = spark.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(nparts, F.col(fid_col))
+              .withColumn('_pid', F.spark_partition_id()))
+    counts = sorted((r['_pid'], r['n']) for r in
+                    ranged.groupBy('_pid').agg(F.count('*').alias('n'))
+                    .collect())
+    if not counts:
+        return df.limit(0)
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, '_pid int, _off long')
+    w = Window.partitionBy('_pid').orderBy(F.col(fid_col).asc())
+    pos = F.col('_off') + F.row_number().over(w) - 1
+    out = (ranged.join(F.broadcast(off_df), '_pid')
+           .withColumn('_pos', pos)
+           .where((F.col('_pos') >= start) if stop is None else
+                  ((F.col('_pos') >= start) & (F.col('_pos') < stop))))
+    return out.drop('_pid', '_off', '_pos')
 
 
 def scan_features(features: DataFrame, fields: list[str] | None = None,
@@ -46,12 +86,7 @@ def scan_features(features: DataFrame, fields: list[str] | None = None,
                    .where(F.col(geom_col).isNotNull())
     if slicing is not None:
         assert slicing.step in (None, 1), 'only step-1 slicing supported'
-        w = Window.orderBy(F.col(fid_col).asc())
-        cond = F.col('_pos') >= (slicing.start or 0)
-        if slicing.stop is not None:
-            cond = cond & (F.col('_pos') < slicing.stop)
-        df = (df.withColumn('_pos', F.row_number().over(w) - 1)
-              .where(cond).drop('_pos'))
+        df = _sliced_by_order(df, fid_col, slicing.start or 0, slicing.stop)
     if fields is None:
         return df
     keep = [fid_col, geom_col] + list(fields)

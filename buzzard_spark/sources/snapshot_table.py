@@ -3,9 +3,12 @@
 Real Iceberg jars are unavailable offline, so the engine ships a minimal
 snapshot layer with the properties the north rule needs:
 
-- **atomic commits**: data files land under ``data/snap-N/``; the manifest
-  ``_manifest/snap-N.json`` is written temp+rename, then ``CURRENT`` is
-  flipped temp+rename — readers never see a half-written snapshot.
+- **atomic CAS commits**: data files land under a writer-unique
+  ``data/snap-N-<token>/``; the manifest ``_manifest/snap-N.json`` is
+  claimed with O_EXCL (unique snapshot ids even under concurrent writers —
+  a losing writer re-chains onto the winner and takes the next id), then
+  ``CURRENT`` moves forward via temp+rename — readers never see a
+  half-written snapshot and no commit silently replaces another.
 - **per-partition lineage + metrics**: each manifest records, per data
   file, rows / bytes / per-column min-max (from the parquet footers — free)
   plus the job-level metrics observed via ``Observation`` during the write.
@@ -14,16 +17,17 @@ snapshot layer with the properties the north rule needs:
   engine's re-expression of the reference's cache supervisor
   ("pixels never computed twice", reference: buzzard/_dataset.py:1037-1041,
   buzzard/_actors/cached/cache_supervisor.py).
-- **integrity**: file sizes are checked against the manifest on read, like
-  the reference's checksum pass (reference:
-  buzzard/_cached_raster_recipe.py:146-166); mismatching files invalidate
-  their keys so they are recomputed.
+- **integrity**: file size AND md5 are checked against the manifest on
+  read (once per process per file), like the reference's checksum pass
+  (reference: buzzard/_cached_raster_recipe.py:146-166); mismatching files
+  invalidate their keys so they are recomputed — same-size bit-rot included.
 
 Keep the surface small so real Iceberg drops in behind the same calls.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -34,11 +38,23 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
+def _md5_file(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
         self.manifest_dir = os.path.join(root, '_manifest')
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # checksum results cached per (path, mtime, size): each data file is
+        # verified once per process, like the reference's one-shot
+        # file-checker pass (buzzard/_actors/cached/file_checker.py)
+        self._verified: dict[tuple, bool] = {}
 
     # -- manifest plumbing -------------------------------------------------------
 
@@ -83,12 +99,15 @@ class SnapshotTable:
         (runs through Spark's Observation API — one pass, no extra job).
         """
         parent = self.current_snapshot_id()
-        snap_id = (parent or 0) + 1
-        data_dir = os.path.join(self.root, 'data', f'snap-{snap_id}')
+        # data lands in a writer-unique dir: two concurrent appends can
+        # never clobber each other's files (the manifest references it)
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(self.root, 'data',
+                                f'snap-{(parent or 0) + 1}-{token}')
 
         obs = None
         if observe:
-            obs = Observation(f'snap-{snap_id}')
+            obs = Observation(f'snap-{token}')
             df = df.observe(obs, *[expr.alias(name)
                                    for name, expr in observe.items()])
         df.write.mode('overwrite').parquet(data_dir)
@@ -125,6 +144,7 @@ class SnapshotTable:
                 'path': os.path.relpath(path, self.root),
                 'rows': meta.num_rows,
                 'bytes': os.path.getsize(path),
+                'md5': _md5_file(path),
                 'column_minmax': col_stats,
             })
 
@@ -135,41 +155,70 @@ class SnapshotTable:
                     spark.read.parquet(data_dir)
                     .select(*key_cols).distinct().collect()]
 
-        manifest = {
-            'snapshot_id': snap_id,
-            'parent': parent,
-            'created_ms': int(time.time() * 1000),
-            'data_dir': os.path.relpath(data_dir, self.root),
-            'files': files,
-            'rows': sum(f['rows'] for f in files),
-            'bytes': sum(f['bytes'] for f in files),
-            'key_cols': key_cols,
-            'keys': keys,
-            'metrics': dict(obs.get) if obs is not None else {},
-        }
-        self._atomic_write(
-            os.path.join(self.manifest_dir, f'snap-{snap_id}.json'),
-            json.dumps(manifest, default=str))
-        self._atomic_write(self._current_path(), str(snap_id))
+        # compare-and-swap commit: the manifest file is created with O_EXCL
+        # (the linearization point — snapshot ids are claimed uniquely); on
+        # a claim conflict the id advances past the winner and the parent
+        # pointer follows, keeping the lineage linear. CURRENT then only
+        # moves forward (a raced flip regresses it by at most one commit
+        # and the next commit converges it).
+        snap_id = (parent or 0) + 1
+        while True:
+            manifest = {
+                'snapshot_id': snap_id,
+                'parent': parent,
+                'created_ms': int(time.time() * 1000),
+                'data_dir': os.path.relpath(data_dir, self.root),
+                'files': files,
+                'rows': sum(f['rows'] for f in files),
+                'bytes': sum(f['bytes'] for f in files),
+                'key_cols': key_cols,
+                'keys': keys,
+                'metrics': dict(obs.get) if obs is not None else {},
+            }
+            path = os.path.join(self.manifest_dir, f'snap-{snap_id}.json')
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                parent = snap_id     # lost the claim: chain onto the winner
+                snap_id += 1
+                continue
+            with os.fdopen(fd, 'w') as f:
+                f.write(json.dumps(manifest, default=str))
+            break
+        cur = self.current_snapshot_id()
+        if cur is None or cur < snap_id:
+            self._atomic_write(self._current_path(), str(snap_id))
         return manifest
 
     # -- read / resume -----------------------------------------------------------
 
+    def _file_ok(self, f: dict) -> bool:
+        path = os.path.join(self.root, f['path'])
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return False
+        if st.st_size != f['bytes']:
+            return False
+        md5 = f.get('md5')
+        if md5 is None:          # manifest predates checksums: size only
+            return True
+        cache_key = (path, st.st_mtime_ns, st.st_size)
+        if cache_key not in self._verified:
+            self._verified[cache_key] = _md5_file(path) == md5
+        return self._verified[cache_key]
+
     def _valid_manifests(self) -> list[dict]:
-        """Manifests whose files all pass the size-integrity check; a
-        snapshot with a corrupted/missing file is dropped from the lineage
-        (its keys become incomplete → recomputed), like the reference's
-        corrupted-cache recovery."""
+        """Manifests whose files all pass size + md5 integrity; a snapshot
+        with a corrupted/missing file is dropped from the lineage (its keys
+        become incomplete → recomputed), matching the reference's
+        checksummed corrupted-cache recovery (reference:
+        buzzard/_cached_raster_recipe.py:146-166 — same-size bit-rot is
+        caught, not just truncation). Each file is hashed once per process
+        (mtime/size-keyed cache)."""
         good = []
         for m in self.manifests():
-            ok = True
-            for f in m['files']:
-                path = os.path.join(self.root, f['path'])
-                if not os.path.exists(path) or \
-                        os.path.getsize(path) != f['bytes']:
-                    ok = False
-                    break
-            if ok:
+            if all(self._file_ok(f) for f in m['files']):
                 good.append(m)
         return good
 

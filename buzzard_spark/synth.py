@@ -34,15 +34,43 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+N_LAT_STRIPS = 4096
+
+
+def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None,
+                    layout: str = 'hash') -> DataFrame:
     """Scale-free pages table for benchmarks: (page_id, url, warc_ts, html,
     text, lang, lat, lng). html/text are deterministic functions of the id
-    (byte-identical per url at any partitioning — the north-rule invariant)."""
+    (byte-identical per url at any partitioning — the north-rule invariant).
+
+    layout='hash': geoparsed lat/lng are pure hashes of the id — row order
+    is spatially random (a table written in crawl order).
+
+    layout='clustered': the same uniform distribution, but row order is
+    latitude-clustered (``N_LAT_STRIPS`` equal-count strips, monotone in
+    page_id; longitude stays hashed). This models the layout a production
+    Iceberg deployment writes: a spatial sort order / Z-order clustering on
+    the cell column, which Iceberg applies at write time precisely so that
+    downstream per-(region, tile) aggregations see few distinct groups per
+    file — map-side combine then emits O(groups) total instead of
+    O(groups × tasks), which is what makes the aggregation scale with
+    executor count (BASELINE.md round-2 notes).
+    """
     df = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
     df = df.withColumnRenamed('id', 'page_id')
     text = F.expr("concat('page ', CAST(page_id AS STRING), ' ', "
                   "md5(CAST(page_id AS STRING)), ' ', "
                   "md5(CAST(page_id * 31 AS STRING)))")
+    if layout == 'clustered':
+        strip = f'CAST((page_id * {N_LAT_STRIPS}L) DIV {int(n)}L AS DOUBLE)'
+        frac = (f'(((page_id * {sqlgen.LAT_MULT}) % {sqlgen.HASH_MOD}) '
+                f'/ {sqlgen.dlit(sqlgen.HASH_MOD)})')
+        lat = (f'({sqlgen.dlit(-85.0)} + (({strip} + {frac}) '
+               f'/ {sqlgen.dlit(N_LAT_STRIPS)}) * {sqlgen.dlit(170.0)})')
+    elif layout == 'hash':
+        lat = sqlgen.lat_sql('page_id')
+    else:
+        raise ValueError(f'unknown layout {layout!r}')
     return df.select(
         'page_id',
         F.expr("concat('https://host', CAST(page_id % 1000 AS STRING), "
@@ -54,7 +82,7 @@ def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None) 
         text.alias('text'),
         F.expr("element_at(array('en','fr','de','es','pt'), "
                "CAST(page_id % 5 AS INT) + 1)").alias('lang'),
-        F.expr(sqlgen.lat_sql('page_id')).alias('lat'),
+        F.expr(lat).alias('lat'),
         F.expr(sqlgen.lng_sql('page_id')).alias('lng'),
     )
 

@@ -83,6 +83,77 @@ def test_numpy_wrap(ds, spark):
     assert np.array_equal(win, arr[5:25, 5:25])
 
 
+def test_numpy_wrap_writable(ds, spark):
+    """wrap_numpy rasters accept masked set_data and share memory with the
+    wrapped array (reference NumpyRaster contract,
+    buzzard/_numpy_raster.py:68-144)."""
+    fp = Footprint(tl=(0, 40), size=(40, 40), rsize=(40, 40))
+    arr = np.zeros((40, 40), dtype='float32')
+    ds.wrap_numpy('memw', fp, arr, tile_size=16)
+    patch_fp = fp.clip(10, 10, 30, 30)
+    mask = np.zeros((20, 20), dtype=bool)
+    mask[5:15, 5:15] = True
+    ds['memw'].set_data(np.full((20, 20), 7.0, 'float32'), patch_fp,
+                        mask=mask)
+    # write is visible through get_data AND through the wrapped array
+    out = ds['memw'].get_data()
+    assert (out[15:25, 15:25] == 7.0).all()
+    assert out.sum() == 7.0 * 100
+    assert (arr == out).all()
+    # fill() goes through the same in-RAM path
+    ds['memw'].fill(1.0)
+    assert (arr == 1.0).all()
+
+
+def test_channels_schema(ds, spark, tmp_path):
+    """Per-channel nodata/interpretation/offset/scale/mask — normalized and
+    persisted through create/open (reference channels_schema,
+    buzzard/_a_source_raster.py:204-228)."""
+    from buzzard_spark.channels import sanitize_channels_schema
+
+    fp = Footprint(tl=(0, 30), size=(30, 30), rsize=(30, 30))
+    root = str(tmp_path / 'rgb')
+    ds.create_raster(
+        'rgb', root, fp, tile_size=16, dtype='float32', fill=0.0,
+        channel_count=3,
+        channels_schema={'nodata': [-1.0, None, -3.0],
+                         'interpretation': ['redband', 'greenband',
+                                            'blueband'],
+                         'scale': 2.0})
+    r = ds['rgb']
+    assert len(r) == 3
+    assert r.get_nodata(0) == -1.0 and r.get_nodata(2) == -3.0
+    assert r.get_nodata(1) is None
+    assert r.channels_schema['interpretation'] == ['redband', 'greenband',
+                                                   'blueband']
+    assert r.channels_schema['scale'] == [2.0, 2.0, 2.0]
+    assert r.channels_schema['mask'] == ['all_valid'] * 3
+
+    # 3-channel write/read round-trip; int channel reads flat
+    data = np.stack([np.full((30, 30), v, 'float32') for v in (1, 2, 3)],
+                    axis=-1)
+    r.set_data(data)
+    out = r.get_data(channels=[0, 1, 2])
+    assert out.shape == (30, 30, 3)
+    assert (out[..., 1] == 2).all()
+    flat = r.get_data(channels=2)
+    assert flat.shape == (30, 30) and (flat == 3).all()
+
+    # survives open_raster
+    ds2 = Dataset(spark)
+    ds2.open_raster('rgb', root)
+    assert ds2['rgb'].get_nodata(2) == -3.0
+    assert len(ds2['rgb']) == 3
+
+    # validation: unknown keys / bad enums / wrong length
+    with pytest.raises(ValueError, match='Unknown'):
+        sanitize_channels_schema({'bogus': 1}, 1)
+    with pytest.raises(ValueError, match='interpretation'):
+        sanitize_channels_schema({'interpretation': 'notacolor'}, 1)
+    with pytest.raises(ValueError, match='nodata'):
+        sanitize_channels_schema({'nodata': [1.0, 2.0]}, 3)
+
+
 def test_vector_table_insert(ds, spark, tmp_path):
     feats = synth.features(spark, 30)
     ds.create_vector('roads', str(tmp_path / 'roads'), initial_df=feats)
@@ -92,6 +163,101 @@ def test_vector_table_insert(ds, spark, tmp_path):
     assert len(ds['roads']) == 40
     rows = list(ds['roads'].iter_data(fields=['kind'], slicing=slice(0, 3)))
     assert len(rows) == 3
+
+
+def test_sr_modes(spark, tmp_path):
+    """The four sr modes (reference: buzzard/_dataset.py:199-275) —
+    footprint relocation on open, vector reprojection on register, fallback
+    and forced resolution, and the mode-2 missing-sr error."""
+    from buzzard_spark.kernels import crs
+
+    fp = Footprint(tl=(0.0, 10.0), size=(10.0, 10.0), rsize=(10, 10))
+
+    # mode 1: no conversion at all
+    ds1 = Dataset(spark)
+    ds1.create_raster('r', str(tmp_path / 'm1'), fp, tile_size=10, fill=1.0,
+                      sr='lonlat')
+    assert ds1['r'].fp == fp
+
+    # mode 2: stored sr converted into work sr
+    ds2 = Dataset(spark, sr_work='webmercator')
+    ds2.create_raster('r', str(tmp_path / 'm2'), fp, tile_size=10, fill=1.0,
+                      sr='lonlat')
+    want = crs.normalize_footprint(fp, 'lonlat', 'webmercator')
+    assert ds2['r'].fp == want
+    assert ds2['r'].fp_stored == fp
+    # mode 2 without stored sr: error
+    with pytest.raises(ValueError, match='no stored sr'):
+        ds2.create_raster('r2', str(tmp_path / 'm2b'), fp, tile_size=10)
+
+    # mode 3: fallback fills missing sr; stored wins when present
+    ds3 = Dataset(spark, sr_work='webmercator', sr_fallback='lonlat')
+    ds3.create_raster('r', str(tmp_path / 'm3'), fp, tile_size=10, fill=1.0)
+    assert ds3['r'].fp == want
+    ds3.create_raster('r_wm', str(tmp_path / 'm3b'), fp, tile_size=10,
+                      fill=1.0, sr='webmercator')
+    assert ds3['r_wm'].fp == fp  # already in work sr
+
+    # mode 4: forced overrides stored
+    ds4 = Dataset(spark, sr_work='webmercator', sr_forced='lonlat')
+    ds4.create_raster('r', str(tmp_path / 'm4'), fp, tile_size=10, fill=1.0,
+                      sr='webmercator')
+    assert ds4['r'].fp == want  # stored ignored, treated as lonlat
+
+    # open_raster re-applies the active mode
+    ds5 = Dataset(spark, sr_work='webmercator', sr_fallback='lonlat')
+    ds5.open_raster('r', str(tmp_path / 'm3'))
+    assert ds5['r'].fp == want
+
+    # vector reprojection: geometry and bbox move together
+    feats = synth.features(spark, 6)
+    dsv = Dataset(spark, sr_work='webmercator', sr_fallback='lonlat')
+    dsv.register_vector('f', feats)
+    from buzzard_spark.kernels import geometry
+    fwd = crs.get_transform('lonlat', 'webmercator')
+    src_rows = {r['fid']: r for r in feats.collect()}
+    for row in dsv['f'].df.collect():
+        src = src_rows[row['fid']]
+        kind, payload = geometry.wkb_decode(bytes(row['wkb']))
+        skind, spayload = geometry.wkb_decode(bytes(src['wkb']))
+        assert kind == skind
+        if kind == 'point':
+            wx, wy = fwd(spayload[0], spayload[1])
+            assert payload[0] == pytest.approx(float(wx))
+            assert payload[1] == pytest.approx(float(wy))
+        mx = fwd(np.asarray([src['minx']]), np.asarray([0.0]))[0][0]
+        assert row['minx'] == pytest.approx(float(mx))
+
+    # invalid configurations
+    with pytest.raises(ValueError, match='mutually'):
+        Dataset(spark, sr_work='lonlat', sr_fallback='a', sr_forced='b')
+    with pytest.raises(ValueError, match='require sr_work'):
+        Dataset(spark, sr_fallback='lonlat')
+
+
+def test_vector_geojson_codecs(ds, spark):
+    """iter_data geom_type codecs + iter_geojson/get_geojson — the
+    reference's geometry codec matrix (buzzard/_a_source_vector.py:86-107)."""
+    feats = synth.features(spark, 9)
+    ds.register_vector('gj', feats)
+    rows = list(ds['gj'].iter_data(fields=['kind'], slicing=slice(0, 3),
+                                   geom_type='geojson'))
+    assert len(rows) == 3
+    geom, kind = rows[0]
+    assert geom['type'] == 'Point' and kind == 'roof'
+    assert rows[1][0]['type'] == 'LineString'
+    assert rows[2][0]['type'] == 'Polygon'
+    assert len(rows[2][0]['coordinates'][0]) == 5  # closed ring
+
+    coords = list(ds['gj'].iter_data(fields=[], slicing=slice(0, 1),
+                                     geom_type='coordinates'))
+    assert len(coords) == 1 and len(coords[0]) == 2  # bare [x, y]
+
+    f = ds['gj'].get_geojson(1)
+    assert f['type'] == 'Feature'
+    assert f['geometry']['type'] == 'LineString'
+    assert f['properties']['kind'] == 'road'
+    assert f['properties']['fid'] == 1
 
 
 def test_vector_registry(ds, spark):

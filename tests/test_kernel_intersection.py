@@ -233,6 +233,20 @@ def test_corner_cases(fps1px):
             fps.AH.intersection(fps.E.intersection(fps.E, rotation=42),
                                 homogeneous=True)
 
+    # fit (reference: test_footprint_intersection.py:329-340) — a 45°
+    # stripe polygon; 'fit' must equal an explicit rotation=45
+    stripe = np.asarray([fps.A.tr, fps.I.tr, fps.I.bl, fps.A.bl])
+    assert fpeq(
+        fps.AI,
+        fps.AI.intersection(stripe),
+        fps.AI.intersection(stripe, rotation=0),
+    )
+    with buzz.Env(allow_complex_footprint=True):
+        assert fpeq(
+            fps.AI.intersection(stripe, rotation='fit'),
+            fps.AI.intersection(stripe, rotation=45),
+        )
+
     # misc: touching / disjoint neighbors
     with pytest.raises(ValueError, match='touch'):
         fps.A.intersection(fps.B)

@@ -64,6 +64,25 @@ def test_pip_join_is_broadcast_and_codegen(spark, pages_parquet):
     assert plan.count('HashAggregate') >= 2
 
 
+def test_sliced_scan_no_single_partition_exchange(spark):
+    """Slicing must not funnel the scan through one task: no global
+    (partition-less) window, no SinglePartition exchange; result identical
+    to the naive ordered slice."""
+    from buzzard_spark.operators import vector_source
+
+    feats = synth.features(spark, 400)
+    out = vector_source.scan_features(
+        feats, fields=['volume'], mask=(-60.0, -40.0, 60.0, 40.0),
+        slicing=slice(5, 105))
+    plan = _plan(out)
+    assert 'SinglePartition' not in plan
+    got = sorted(r['fid'] for r in out.collect())
+    naive = (vector_source.scan_features(
+        feats, fields=['volume'], mask=(-60.0, -40.0, 60.0, 40.0))
+        .orderBy('fid').collect())[5:105]
+    assert got == sorted(r['fid'] for r in naive)
+
+
 def test_cell_assign_no_python(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     q = spatial_join.assign_cell(pages, 9).groupBy('cell').count()

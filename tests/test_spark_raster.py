@@ -92,7 +92,136 @@ def test_distributed_rasterize_lines_matches_kernel(spark):
     assert (out == truth).all()
 
 
+def test_polygonize_component_spanning_many_tiles(spark):
+    """One serpentine component crossing >100 tiles (plus holes formed
+    between passes is NOT the case here — pure snake), distributed output
+    must burn back bit-for-bit. Exercises the distributed connected
+    components (long chain: worst case for label propagation) and the
+    run-based O(perimeter) ring tracer."""
+    w, h = 64, 64
+    fp = Footprint(tl=(0, h), size=(w, h), rsize=(w, h))
+    mask = np.zeros((h, w), dtype=bool)
+    for band in range(0, h, 4):           # horizontal bars every 4 rows
+        mask[band, :] = True
+    for band in range(0, h - 4, 8):       # connectors alternating sides
+        mask[band:band + 5, w - 1] = True
+        if band + 4 < h:
+            mask[band + 4:band + 9, 0] = True
+    mask[h - 1, :] = False                # keep it a single open snake
+
+    polys_df = _polys_df_from_mask(spark, fp, mask)
+    tiles = raster_ops.rasterize(spark, fp, polys_df, tile_size=4)
+    # 16x16 = 256 tiles; the snake touches well over 100 of them
+    result = raster_ops.polygonize(spark, fp, tiles, tile_size=4).collect()
+
+    kernel_polys = raster.find_polygons(fp, mask)
+    assert len(result) == len(kernel_polys) == 1
+    burned = raster.burn_polygons(fp, [bytes(r['wkb']) for r in result])
+    assert (burned == mask).all()
+
+
+def _polys_df_from_mask(spark, fp, mask):
+    polys = raster.find_polygons(fp, mask)
+    rows = []
+    for i, rings in enumerate(polys):
+        wkb = geometry.wkb_polygon(rings[0], rings[1:])
+        xs = rings[0][:, 0]
+        ys = rings[0][:, 1]
+        rows.append((i, bytearray(wkb), float(ys.min()), float(xs.min()),
+                     float(ys.max()), float(xs.max())))
+    return spark.createDataFrame(
+        rows, 'region_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+
+
+def test_trace_rings_from_runs_matches_dense(spark):
+    """Run-based tracer == dense-mask tracer on masks with holes/pinches."""
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        mask = rng.rand(20, 24) > 0.55
+        labels, n = raster._label_components(mask)
+        for comp in range(1, n + 1):
+            cm = labels == comp
+            ys, xs = np.nonzero(cm)
+            runs = []
+            for y in np.unique(ys):
+                row = cm[y]
+                d = np.diff(np.r_[0, row.view(np.int8), 0])
+                for s, e in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+                    runs.append((y, s, e))
+            arr = np.asarray(runs)
+            got = raster.trace_rings_from_runs(arr[:, 0], arr[:, 1], arr[:, 2])
+            want = raster._trace_rings(cm)
+            assert _canon_rings(got) == _canon_rings(want)
+
+
+def _canon_rings(rings):
+    """Rotation-invariant canonical form (start vertex differs by edge
+    insertion order; the cycle itself must be identical)."""
+    out = []
+    for r in rings:
+        verts = [tuple(v) for v in r.tolist()][:-1]  # drop closing dup
+        k = verts.index(min(verts))
+        out.append(tuple(verts[k:] + verts[:k]))
+    return sorted(out)
+
+
 def test_polygonize_empty(spark):
     fp = Footprint(tl=(0, 0), size=(12, 12), rsize=(12, 12))
     empty = spark.createDataFrame([], raster_ops.TILE_SCHEMA)
     assert raster_ops.polygonize(spark, fp, empty, tile_size=6).count() == 0
+
+
+def _canon_lines(lines):
+    """Reverse- and (for cycles) rotation-invariant polyline canonical form."""
+    out = []
+    for line in lines:
+        pts = [tuple(p) for p in np.asarray(line).tolist()]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+            k = pts.index(min(pts))
+            pts = pts[k:] + pts[:k]
+            rev = [pts[0]] + pts[1:][::-1]
+            pts = min(pts, rev)
+            pts = pts + [pts[0]]
+        else:
+            pts = min(pts, pts[::-1])
+        out.append(tuple(pts))
+    return sorted(out)
+
+
+def test_distributed_vectorize_lines_matches_kernel(spark):
+    """Cross-tile polyline stitching == kernel find_lines on the full mask
+    (junction splits, cycles, diagonal runs — tiles cut every chain)."""
+    fp = Footprint(tl=(0, 24), size=(30, 24), rsize=(30, 24))
+    lines = [
+        np.asarray([(2.5, 20.5), (27.5, 20.5)]),             # long horizontal
+        np.asarray([(5.5, 22.5), (5.5, 3.5), (25.5, 3.5)]),  # L crossing it
+        np.asarray([(1.2, 1.8), (28.7, 21.9)]),              # diagonal
+        np.asarray([(10.5, 8.5), (15.5, 8.5), (15.5, 13.5),  # closed loop
+                    (10.5, 13.5), (10.5, 8.5)]),
+    ]
+    rows = []
+    for i, line in enumerate(lines):
+        wkb = geometry.wkb_linestring(line)
+        rows.append((i, bytearray(wkb),
+                     float(line[:, 1].min()), float(line[:, 0].min()),
+                     float(line[:, 1].max()), float(line[:, 0].max())))
+    lines_df = spark.createDataFrame(
+        rows, 'line_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+    tiles = raster_ops.rasterize_lines(spark, fp, lines_df, tile_size=7)
+    got_rows = raster_ops.vectorize_lines(spark, fp, tiles, tile_size=7) \
+        .collect()
+    got = [geometry.wkb_decode(bytes(r['wkb']))[1] for r in got_rows]
+
+    mask = raster.burn_lines(fp, lines)
+    want = raster.find_lines(fp, mask)
+    assert _canon_lines(got) == _canon_lines(want)
+
+
+def test_vectorize_lines_empty(spark):
+    fp = Footprint(tl=(0, 0), size=(12, 12), rsize=(12, 12))
+    empty = spark.createDataFrame([], raster_ops.TILE_SCHEMA)
+    assert raster_ops.vectorize_lines(spark, fp, empty, tile_size=6) \
+        .count() == 0
