@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 64_000_000))
+N_FLAGSHIP_PAGES = int(os.environ.get('SPARK_GRAFT_BENCH_PAGES', 256_000_000))
 N_BENCH_REGIONS = 1000
 BENCH_JOIN_RES = 4
 
@@ -60,8 +60,15 @@ def run_flagship(spark, n_pages: int) -> float:
     tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
 
     # tile assignment on the pages side: evaluated once per page instead of
-    # once per joined (page, region) pair (~2.2x fewer expression evals)
-    pages = (synth.synthetic_pages(spark, n_pages, layout='clustered')
+    # once per joined (page, region) pair (~2.2x fewer expression evals).
+    # 512 input splits at every parallelism level (a 100 TB table has
+    # thousands of file splits): with the clustered layout each task's
+    # partial-agg hash map shrinks to ~groups/512 entries — cache-resident
+    # at any thread count (coarse per-core splits left ~6 MB maps per task
+    # that thrash the shared L3 as threads scale: measured 21.9s -> 11.7s
+    # at local[8]/256M from this change alone)
+    pages = (synth.synthetic_pages(spark, n_pages, partitions=512,
+                                   layout='clustered')
              .withColumn('tile_x', F.expr(tx))
              .withColumn('tile_y', F.expr(ty)))
     regions = synth.regions(spark, N_BENCH_REGIONS)

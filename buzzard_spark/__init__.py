@@ -21,11 +21,12 @@ from buzzard_spark.env import Env, env
 from buzzard_spark.kernels.footprint import Footprint
 
 
-def Dataset(spark):
+def Dataset(spark, **kwargs):
     """Lazy import wrapper so `import buzzard_spark` works without pyspark
-    on the path (kernels stay numpy-only)."""
+    on the path (kernels stay numpy-only). kwargs: sr_work / sr_fallback /
+    sr_forced (the reference's 4 sr modes)."""
     from buzzard_spark.dataset import Dataset as _Dataset
-    return _Dataset(spark)
+    return _Dataset(spark, **kwargs)
 
 
 __version__ = '0.1.0'

@@ -80,12 +80,68 @@ class RasterProxy:
             np.asarray(array), request_fp=fp, mask=mask,
             nodata=self.nodata, channel=channel)
 
+    def queue_data(self, fps, max_queue_size=5, **kwargs):
+        """Ordered pull-stream with bounded async prefetch — the
+        reference's queue_data (buzzard/_a_async_raster.py:23-80,144-160):
+        a producer thread runs the NEXT windows' Spark actions while the
+        consumer processes the current array, overlapping compute with
+        consumption; the bounded queue is the backpressure (production
+        stalls when the consumer lags) and closing/dropping the iterator
+        cancels outstanding production."""
+        import queue as _queue
+        import threading
+
+        q = _queue.Queue(maxsize=max_queue_size)
+        stop = threading.Event()
+        _END = object()
+
+        def _produce():
+            try:
+                for fp in fps:
+                    if stop.is_set():
+                        return
+                    arr = self.get_data(fp, **kwargs)
+                    while not stop.is_set():
+                        try:
+                            q.put(arr, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            continue
+            except BaseException as exc:  # re-raised on the consumer side
+                while not stop.is_set():
+                    try:
+                        q.put(exc, timeout=0.1)
+                        return
+                    except _queue.Full:
+                        continue
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        return
+                    except _queue.Full:
+                        continue
+
+        thread = threading.Thread(target=_produce, daemon=True)
+        thread.start()
+
+        def _consume():
+            try:
+                while True:
+                    item = q.get()
+                    if item is _END:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+
+        return _consume()
+
     def iter_data(self, fps, **kwargs):
-        """Ordered pull-stream of windows — the queue_data analogue
-        (reference: buzzard/_a_async_raster.py:23-160). Spark's lazy jobs
-        provide the backpressure: each window is one bounded action."""
-        for fp in fps:
-            yield self.get_data(fp, **kwargs)
+        """Ordered window iteration (prefetch pipelined via queue_data)."""
+        return self.queue_data(fps, **kwargs)
 
     def fill(self, value):
         arr = np.full(tuple(self.fp.shape), value)

@@ -105,9 +105,18 @@ def tile_xy_sql(lat_col: str, lng_col: str, fp) -> tuple[str, str]:
     # north-up: b == d == 0
     x_expr = '({lng} * {a} + {c})'.format(lng=lng_col, a=dlit(a), c=dlit(c))
     y_expr = '({lat} * {e} + {f})'.format(lat=lat_col, e=dlit(e), f=dlit(f))
-    tx = ('CAST(FLOOR(ROUND({x} * {agd}, 0) / {agd}) AS BIGINT)'
+    # snap-to-abstract-grid via FLOOR(u + 0.5), NOT SQL ROUND: Spark's
+    # ROUND on doubles allocates a BigDecimal per call — measured 10x
+    # slower end-to-end AND it pushes the stage's generated method past
+    # the JVM JIT limit (whole stage falls back to the bytecode
+    # interpreter). FLOOR arithmetic is identical text in Spark and
+    # DuckDB, so oracle parity is exact by construction; it differs from
+    # ROUND only for exactly-half-integer u < 0 (measure-zero for
+    # hash-derived coordinates, same caveat the HALF_UP/HALF_EVEN gap
+    # already carried).
+    tx = ('CAST(FLOOR(FLOOR({x} * {agd} + 5E-1) / {agd}) AS BIGINT)'
           .format(x=x_expr, agd=dlit(agd)))
-    ty = ('CAST(FLOOR(ROUND({y} * {agd}, 0) / {agd}) AS BIGINT)'
+    ty = ('CAST(FLOOR(FLOOR({y} * {agd} + 5E-1) / {agd}) AS BIGINT)'
           .format(y=y_expr, agd=dlit(agd)))
     return tx, ty
 

@@ -83,6 +83,31 @@ def test_numpy_wrap(ds, spark):
     assert np.array_equal(win, arr[5:25, 5:25])
 
 
+def test_queue_data_prefetch_and_cancel(ds, spark, tmp_path):
+    """queue_data: ordered values == sequential reads; bounded queue;
+    dropping the iterator cancels production (reference
+    buzzard/_a_async_raster.py:23-80 semantics)."""
+    import time
+
+    fp = Footprint(tl=(0, 60), size=(60, 60), rsize=(60, 60))
+    ds.create_raster('qd', str(tmp_path / 'qd'), fp, tile_size=30, fill=2.0)
+    windows = [fp.clip(i, i, i + 10, i + 10) for i in range(0, 50, 10)]
+    got = list(ds['qd'].queue_data(windows, max_queue_size=2))
+    assert len(got) == 5
+    for arr in got:
+        assert arr.shape == (10, 10) and (arr == 2.0).all()
+
+    # early close: producer must stop (no further Spark actions leak)
+    it = ds['qd'].queue_data(windows, max_queue_size=1)
+    first = next(it)
+    assert (first == 2.0).all()
+    it.close()
+    time.sleep(0.3)  # give the producer loop time to observe the stop flag
+    # iter_data is the same pipelined stream
+    vals = list(ds['qd'].iter_data(windows[:2]))
+    assert len(vals) == 2
+
+
 def test_numpy_wrap_writable(ds, spark):
     """wrap_numpy rasters accept masked set_data and share memory with the
     wrapped array (reference NumpyRaster contract,
