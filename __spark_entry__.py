@@ -286,6 +286,37 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
+    the §2.1 tiling algebra at the driver surface)."""
+    return raster_ops.tile_grid_df(spark, TILE_FP, 48)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster resolution: connected components over the
+    LSH pair graph (operators.graph large-star/small-star) — cluster_id =
+    min member id. Oracle: recursive-CTE transitive closure in DuckDB."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = dedup_ops.near_dup_pairs(_spread(corpus), threshold=0.6)
+    return dedup_ops.dedup_clusters(corpus.select('doc_id'), pairs)
+
+
+def q_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygonize end-to-end: rasterize the region set, stitch
+    components across tiles, trace rings — reported as (n_components,
+    n_pixels); the oracle recomputes both from closed-form interval
+    arithmetic (region-adjacency connected components + union-of-rectangles
+    area), so the whole raster→vector path is value-checked."""
+    polys = synth.regions_rect_wkb(spark, N_REGIONS)
+    tiles = raster_ops.rasterize(spark, TILE_FP, polys, tile_size=64)
+    comps = raster_ops.polygonize(spark, TILE_FP, tiles, tile_size=64)
+    px_area = float(abs(TILE_FP.pxsizex * TILE_FP.pxsizey))
+    return comps.agg(
+        F.count('*').alias('n_components'),
+        F.expr(f'CAST(SUM(CAST(FLOOR(area / {sqlgen.dlit(px_area)} + 5E-1) '
+               f'AS BIGINT)) AS BIGINT)').alias('n_pixels'))
+
+
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per host (url parsing over the synthetic corpus)."""
     pages = _pages(spark, sf_dir)
@@ -317,7 +348,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
     'host_counts': q_host_counts,
+    'tile_grid': q_tile_grid,
+    'dedup_clusters': q_dedup_clusters,
+    'polygonize_components': q_polygonize_components,
 }
+
+
+def _near_dup_ctes() -> str:
+    """CTE chain (toks → corpus → shingle sets → inverted index → exact
+    Jaccard) shared by the near-dup pair and cluster oracles."""
+    return (
+        "toks AS (SELECT doc_id, string_split_regex(trim(text), "
+        "'\\s+') w FROM documents), "
+        'corpus AS (SELECT doc_id, w FROM toks UNION ALL '
+        'SELECT doc_id + 1000000, w[1:len(w) - 10] FROM toks '
+        'WHERE len(w) > 20), '
+        'sh AS (SELECT doc_id, list_distinct(list_transform('
+        "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i + 1] || "
+        "' ' || w[i + 2])) s FROM corpus WHERE len(w) >= 3), "
+        'inv AS (SELECT doc_id, unnest(s) shingle FROM sh), '
+        'co AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) inter '
+        'FROM inv a JOIN inv b ON a.shingle = b.shingle AND '
+        'a.doc_id < b.doc_id GROUP BY 1, 2), '
+        'jac AS (SELECT ia AS id_a, ib AS id_b, '
+        'CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS j '
+        'FROM co JOIN (SELECT doc_id, len(s) n FROM sh) la ON la.doc_id = ia '
+        'JOIN (SELECT doc_id, len(s) n FROM sh) lb ON lb.doc_id = ib)')
 
 
 def _oracle_pages_cte() -> str:
@@ -333,10 +389,10 @@ def _oracle_regions_cte() -> str:
             'FROM range({n}) t(region_id))').format(n=N_REGIONS, **cols)
 
 
-def _rasterize_oracle_sql() -> str:
-    """Closed-form truth for scanline rasterization of rectangles: the
-    pixel-center rule reduces to interval arithmetic in the grid's inverse
-    affine (same coefficients as the engine, bitwise)."""
+def _region_pixel_intervals() -> dict:
+    """Closed-form pixel-interval arithmetic for the rectangle regions on
+    TILE_FP's grid (pixel-center rule; same inverse-affine coefficients as
+    the engine, bitwise). Returns SQL fragments i_lo/i_hi/j_lo/j_hi."""
     from buzzard_spark.kernels import affine6
     from buzzard_spark.functions.sqlgen import dlit
 
@@ -348,14 +404,75 @@ def _rasterize_oracle_sql() -> str:
     ya = f'({cols["maxlat"]} * {dlit(ie)} + {dlit(if_)})'
     yb = f'({cols["minlat"]} * {dlit(ie)} + {dlit(if_)})'
     half = dlit(0.5)
-    i_lo = f'GREATEST(CAST(FLOOR({xa} - {half}) AS BIGINT) + 1, 0)'
-    i_hi = f'LEAST(CAST(FLOOR({xb} - {half}) AS BIGINT), {nx - 1})'
-    j_lo = f'GREATEST(CAST(CEIL({ya} - {half}) AS BIGINT), 0)'
-    j_hi = f'LEAST(CAST(CEIL({yb} - {half}) AS BIGINT) - 1, {ny - 1})'
-    n = (f'(GREATEST({i_hi} - {i_lo} + 1, 0) * '
-         f'GREATEST({j_hi} - {j_lo} + 1, 0))')
+    return {
+        'i_lo': f'GREATEST(CAST(FLOOR({xa} - {half}) AS BIGINT) + 1, 0)',
+        'i_hi': f'LEAST(CAST(FLOOR({xb} - {half}) AS BIGINT), {nx - 1})',
+        'j_lo': f'GREATEST(CAST(CEIL({ya} - {half}) AS BIGINT), 0)',
+        'j_hi': f'LEAST(CAST(CEIL({yb} - {half}) AS BIGINT) - 1, {ny - 1})',
+        'nx': nx, 'ny': ny,
+    }
+
+
+def _rasterize_oracle_sql() -> str:
+    iv = _region_pixel_intervals()
+    n = (f'(GREATEST({iv["i_hi"]} - {iv["i_lo"]} + 1, 0) * '
+         f'GREATEST({iv["j_hi"]} - {iv["j_lo"]} + 1, 0))')
     return ('SELECT region_id, {n} AS n_pixels FROM range({cnt}) t(region_id) '
             'WHERE {n} > 0').format(n=n, cnt=N_REGIONS)
+
+
+def _polygonize_oracle_sql() -> str:
+    """(n_components, n_pixels) of the union of rasterized rectangle
+    regions, no geometry ops: components = connected components of the
+    region-adjacency graph (4-connectivity: interval overlap-or-abut in
+    one axis with overlap in the other; pure corner contact excluded) via
+    a recursive CTE; pixels = union-of-rectangles area by per-column
+    interval merging (gaps-and-islands)."""
+    iv = _region_pixel_intervals()
+    return (
+        'WITH RECURSIVE '
+        'rp AS (SELECT region_id, {i_lo} AS i0, {i_hi} AS i1, '
+        '{j_lo} AS j0, {j_hi} AS j1 FROM range({cnt}) t(region_id)), '
+        'r2 AS (SELECT * FROM rp WHERE i1 >= i0 AND j1 >= j0), '
+        'adj AS (SELECT a.region_id s, b.region_id d FROM r2 a JOIN r2 b '
+        'ON a.region_id != b.region_id '
+        'AND a.i0 <= b.i1 + 1 AND b.i0 <= a.i1 + 1 '
+        'AND a.j0 <= b.j1 + 1 AND b.j0 <= a.j1 + 1 '
+        'AND NOT ((a.i0 = b.i1 + 1 OR b.i0 = a.i1 + 1) AND '
+        '(a.j0 = b.j1 + 1 OR b.j0 = a.j1 + 1))), '
+        'reach(n, m) AS (SELECT region_id, region_id FROM r2 UNION '
+        'SELECT r.n, adj.d FROM reach r JOIN adj ON adj.s = r.m), '
+        'comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n), '
+        'cols AS (SELECT i, j0, j1 FROM range({nx}) t(i) '
+        'JOIN r2 ON i BETWEEN i0 AND i1), '
+        'mm AS (SELECT i, j0, j1, MAX(j1) OVER (PARTITION BY i '
+        'ORDER BY j0, j1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) '
+        'AS pm FROM cols), '
+        'g AS (SELECT i, j0, j1, CASE WHEN pm IS NULL OR j0 > pm THEN 1 '
+        'ELSE 0 END AS brk FROM mm), '
+        'isl AS (SELECT i, SUM(brk) OVER (PARTITION BY i ORDER BY j0, j1) '
+        'AS grp, j0, j1 FROM g), '
+        'u AS (SELECT i, grp, MAX(j1) - MIN(j0) + 1 AS len FROM isl '
+        'GROUP BY 1, 2) '
+        'SELECT (SELECT COUNT(DISTINCT c) FROM comp) AS n_components, '
+        'CAST(SUM(len) AS BIGINT) AS n_pixels FROM u'
+    ).format(cnt=N_REGIONS, **iv)
+
+
+def _tile_grid_oracle_sql() -> str:
+    ts = 48
+    ntx = -(-TILE_FP.rsizex // ts)
+    nty = -(-TILE_FP.rsizey // ts)
+    return (
+        'SELECT CAST(id // {ntx} AS INTEGER) AS tile_y, '
+        'CAST(id % {ntx} AS INTEGER) AS tile_x, '
+        'CAST((id // {ntx}) * {ts} AS INTEGER) AS y0, '
+        'CAST((id % {ntx}) * {ts} AS INTEGER) AS x0, '
+        'CAST(LEAST({ts}, {ny} - (id // {ntx}) * {ts}) AS INTEGER) AS h, '
+        'CAST(LEAST({ts}, {nx} - (id % {ntx}) * {ts}) AS INTEGER) AS w '
+        'FROM range({total}) t(id)'
+    ).format(ntx=ntx, ts=ts, nx=TILE_FP.rsizex, ny=TILE_FP.rsizey,
+             total=ntx * nty)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -480,24 +597,23 @@ def oracle_sql() -> dict[str, str]:
         # near-dup pairs via an exact inverted-shingle index (the LSH engine
         # path must equal this all-pairs truth at threshold 0.6)
         'dedup_near_pairs': (
-            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), "
-            "'\\s+') w FROM documents), "
-            'corpus AS (SELECT doc_id, w FROM toks UNION ALL '
-            'SELECT doc_id + 1000000, w[1:len(w) - 10] FROM toks '
-            'WHERE len(w) > 20), '
-            'sh AS (SELECT doc_id, list_distinct(list_transform('
-            "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i + 1] || "
-            "' ' || w[i + 2])) s FROM corpus WHERE len(w) >= 3), "
-            'inv AS (SELECT doc_id, unnest(s) shingle FROM sh), '
-            'co AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) inter '
-            'FROM inv a JOIN inv b ON a.shingle = b.shingle AND '
-            'a.doc_id < b.doc_id GROUP BY 1, 2), '
-            'jac AS (SELECT ia AS id_a, ib AS id_b, '
-            'CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS j '
-            'FROM co JOIN (SELECT doc_id, len(s) n FROM sh) la ON la.doc_id = ia '
-            'JOIN (SELECT doc_id, len(s) n FROM sh) lb ON lb.doc_id = ib) '
-            'SELECT id_a, id_b, CAST(FLOOR(j * 1000E0) AS BIGINT) AS jaccard_pm '
-            'FROM jac WHERE j >= 0.6E0'),
+            'WITH ' + _near_dup_ctes() +
+            ' SELECT id_a, id_b, CAST(FLOOR(j * 1000E0) AS BIGINT) '
+            'AS jaccard_pm FROM jac WHERE j >= 0.6E0'),
+        # clusters: recursive-CTE transitive closure over the same pair
+        # graph; cluster_id = min reachable member (isolated docs keep
+        # their own id) — the exact truth for the engine's distributed
+        # large-star/small-star connected components
+        'dedup_clusters': (
+            'WITH RECURSIVE ' + _near_dup_ctes() +
+            ', pr AS (SELECT id_a, id_b FROM jac WHERE j >= 0.6E0), '
+            'edges AS (SELECT id_a s, id_b d FROM pr UNION '
+            'SELECT id_b, id_a FROM pr), '
+            'reach(n, m) AS (SELECT doc_id, doc_id FROM corpus UNION '
+            'SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m) '
+            'SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n'),
+        'tile_grid': _tile_grid_oracle_sql(),
+        'polygonize_components': _polygonize_oracle_sql(),
         'ann_topk': (
             'SELECT qid, vec_id, rnk FROM ('
             'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '

@@ -161,17 +161,22 @@ def rasterize_counts(spark: SparkSession, fp, polys: DataFrame,
     gt = tuple(float(v) for v in fp.gt)
 
     def _count(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Python round-trip per TILE; all its candidate regions burn
+        # in a numpy loop (one tiny group per (tile, region) would pay the
+        # Arrow/pickle overhead per region instead)
         from buzzard_spark.kernels.footprint import Footprint
         row = pdf.iloc[0]
         tile_gt = list(gt)
         tile_gt[0] = gt[0] + int(row.x0) * gt[1]
         tile_gt[3] = gt[3] + int(row.y0) * gt[5]
         tile_fp = Footprint(gt=tile_gt, rsize=(int(row.w), int(row.h)))
-        mask = raster.burn_polygons(tile_fp, [bytes(row['wkb'])])
-        return pd.DataFrame([{'region_id': int(row.region_id),
-                              'n_pixels': int(mask.sum())}])
+        out = []
+        for rid, wkb in zip(pdf['region_id'], pdf['wkb']):
+            mask = raster.burn_polygons(tile_fp, [bytes(wkb)])
+            out.append({'region_id': int(rid), 'n_pixels': int(mask.sum())})
+        return pd.DataFrame(out)
 
-    return (cand.groupBy('tile_y', 'tile_x', 'region_id')
+    return (cand.groupBy('tile_y', 'tile_x')
             .applyInPandas(_count, 'region_id long, n_pixels long')
             .groupBy('region_id')
             .agg(F.sum('n_pixels').alias('n_pixels'))
