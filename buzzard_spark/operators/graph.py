@@ -34,11 +34,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # truncate the logical plan, so an iterative join would hand Catalyst
     # an exponentially deeper plan each round — analysis time explodes
     # long before the data does
+    # lazy checkpoints: the per-round signature aggregation below is the
+    # single action that materializes them, so each round costs ONE job
     e = (edges
          .where(F.col('id_a') != F.col('id_b'))
          .select(F.greatest('id_a', 'id_b').alias('u'),
                  F.least('id_a', 'id_b').alias('v'))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().localCheckpoint(eager=False))
     prev_sig = None
     converged = False
     for _ in range(max_iters):
@@ -62,7 +64,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         e_new = (small
                  .select(F.greatest('u', 'v').alias('u'),
                          F.least('u', 'v').alias('v'))
-                 .distinct().localCheckpoint(eager=True))
+                 .distinct().localCheckpoint(eager=False))
         # pmod keeps the checksum sum far from BIGINT overflow (ANSI mode)
         sig = e_new.agg(
             F.count('*').alias('n'),

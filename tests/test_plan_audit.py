@@ -83,6 +83,34 @@ def test_sliced_scan_no_single_partition_exchange(spark):
     assert got == sorted(r['fid'] for r in naive)
 
 
+def test_tile_sql_is_round_free():
+    """Regression guard for the round-2 JIT cliff: Spark's ROUND on doubles
+    allocates a BigDecimal per call and pushed the flagship's generated
+    method past the JVM JIT limit (whole stage fell back to the bytecode
+    interpreter, ~10x slower). The abstract-grid snap must stay pure
+    FLOOR arithmetic."""
+    from buzzard_spark.functions import sqlgen
+    from buzzard_spark.kernels.footprint import Footprint
+
+    fp = Footprint(tl=(-180.0, 90.0), size=(360.0, 180.0), rsize=(512, 256))
+    tx, ty = sqlgen.tile_xy_sql('lat', 'lng', fp)
+    assert 'ROUND' not in tx.upper() and 'ROUND' not in ty.upper()
+
+
+def test_near_dup_plan_no_python(spark):
+    """The whole MinHash/LSH pipeline (shingles, signature, banding,
+    candidate join, exact verify) must stay JVM-side."""
+    from buzzard_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f'w{i} w{i+1} w{i+2} w{i+3} common words here') for i in range(50)],
+        'doc_id long, text string')
+    pairs = dedup.near_dup_pairs(df, threshold=0.6)
+    plan = _plan(pairs)
+    assert 'BatchEvalPython' not in plan
+    assert 'ArrowEvalPython' not in plan
+
+
 def test_cell_assign_no_python(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet)
     q = spatial_join.assign_cell(pages, 9).groupBy('cell').count()
