@@ -31,6 +31,88 @@ from buzzard_spark.operators import raster_io, recipe, vector_source
 from buzzard_spark.sources.snapshot_table import SnapshotTable
 
 
+class _QueueDataIterator:
+    """Ordered pull-stream with bounded async prefetch (queue_data).
+
+    Production starts LAZILY on the first ``__next__`` — an iterator that
+    is never consumed never runs a Spark action — and ``close()`` (also
+    called by ``__del__`` / GC and usable from a ``contextlib.closing``
+    block) cancels outstanding production unconditionally, whether or not
+    iteration ever started (round 2 started the producer thread eagerly
+    and only a *started* consumer generator's ``finally`` could stop it).
+    """
+
+    def __init__(self, proxy, fps, max_queue_size, kwargs):
+        import queue as _queue
+        import threading
+        self._proxy = proxy
+        self._fps = fps
+        self._kwargs = kwargs
+        self._q = _queue.Queue(maxsize=max_queue_size)
+        self._stop = threading.Event()
+        self._thread = None
+        self._END = object()
+
+    def _produce(self):
+        import queue as _queue
+        q, stop = self._q, self._stop
+
+        def _put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        try:
+            for fp in self._fps:
+                if stop.is_set():
+                    return
+                arr = self._proxy.get_data(fp, **self._kwargs)
+                if not _put(arr):
+                    return
+        except BaseException as exc:  # re-raised on the consumer side
+            _put(exc)
+            return
+        _put(self._END)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        if self._thread is None:
+            import threading
+            self._thread = threading.Thread(target=self._produce, daemon=True)
+            self._thread.start()
+        item = self._q.get()
+        if item is self._END:
+            self._stop.set()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self._stop.set()
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class RasterProxy:
     """One registered raster: a footprint + a tile snapshot table, with a
     per-channel schema (nodata/interpretation/offset/scale/mask — the
@@ -88,56 +170,7 @@ class RasterProxy:
         consumption; the bounded queue is the backpressure (production
         stalls when the consumer lags) and closing/dropping the iterator
         cancels outstanding production."""
-        import queue as _queue
-        import threading
-
-        q = _queue.Queue(maxsize=max_queue_size)
-        stop = threading.Event()
-        _END = object()
-
-        def _produce():
-            try:
-                for fp in fps:
-                    if stop.is_set():
-                        return
-                    arr = self.get_data(fp, **kwargs)
-                    while not stop.is_set():
-                        try:
-                            q.put(arr, timeout=0.1)
-                            break
-                        except _queue.Full:
-                            continue
-            except BaseException as exc:  # re-raised on the consumer side
-                while not stop.is_set():
-                    try:
-                        q.put(exc, timeout=0.1)
-                        return
-                    except _queue.Full:
-                        continue
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(_END, timeout=0.1)
-                        return
-                    except _queue.Full:
-                        continue
-
-        thread = threading.Thread(target=_produce, daemon=True)
-        thread.start()
-
-        def _consume():
-            try:
-                while True:
-                    item = q.get()
-                    if item is _END:
-                        return
-                    if isinstance(item, BaseException):
-                        raise item
-                    yield item
-            finally:
-                stop.set()
-
-        return _consume()
+        return _QueueDataIterator(self, fps, max_queue_size, kwargs)
 
     def iter_data(self, fps, **kwargs):
         """Ordered window iteration (prefetch pipelined via queue_data)."""
@@ -255,13 +288,40 @@ class VectorProxy:
         return self._df
 
     def insert_data(self, rows_df):
-        """Append features (same schema) as a new snapshot."""
+        """Append features as a new snapshot, coercing field types to the
+        stored schema (the reference coerces each field through its
+        definition's python type and rejects non-coercible values,
+        buzzard/_a_gdal_vector.py:128-208 `_type_of_field_index`).
+
+        Columns are matched by NAME: a missing or unknown column raises
+        immediately; a type mismatch is cast to the stored type — under
+        Spark's ANSI mode a non-coercible value (e.g. ``'abc'`` into a
+        bigint field) fails the write, mirroring the reference's
+        ``int(field)`` raise. Round 2 was schema-trusting and surfaced a
+        raw parquet schema error instead."""
         if self.root is None:
             raise ValueError('insert_data requires a table-backed vector '
                              '(Dataset.create_vector)')
         from pyspark.sql import functions as F
-        return SnapshotTable(self.root).append(
-            rows_df, observe={'rows': F.count(F.lit(1))})
+        table = SnapshotTable(self.root)
+        if table.current_snapshot_id() is None:
+            # first insert defines the schema — nothing to coerce against
+            return table.append(rows_df, observe={'rows': F.count(F.lit(1))})
+        target = table.read(self.spark).schema
+        have = set(rows_df.columns)
+        extra = sorted(have - {f.name for f in target.fields})
+        missing = sorted({f.name for f in target.fields} - have)
+        if extra or missing:
+            raise ValueError(
+                f'insert_data schema mismatch: missing fields {missing}, '
+                f'unknown fields {extra} (stored schema: '
+                f'{[f.name for f in target.fields]})')
+        src_types = {f.name: f.dataType for f in rows_df.schema.fields}
+        coerced = rows_df.select(*[
+            (F.col(f.name) if src_types[f.name] == f.dataType
+             else F.col(f.name).cast(f.dataType)).alias(f.name)
+            for f in target.fields])
+        return table.append(coerced, observe={'rows': F.count(F.lit(1))})
 
     def __len__(self):
         return self.df.count()
@@ -416,6 +476,15 @@ class Dataset:
                         rings.append(np.column_stack([xs, ys]))
                     out.append(bytearray(_geometry.wkb_polygon(
                         rings[0], rings[1:])))
+                elif kind == 'multipolygon':
+                    parts = []
+                    for poly in payload:
+                        rings = []
+                        for ring in poly:
+                            xs, ys = fwd(ring[:, 0], ring[:, 1])
+                            rings.append(np.column_stack([xs, ys]))
+                        parts.append((rings[0], rings[1:]))
+                    out.append(bytearray(_geometry.wkb_multipolygon(parts)))
                 else:
                     raise ValueError(f'cannot reproject {kind}')
             return pd.Series(out)

@@ -30,20 +30,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     max_iters rounds (components would be silently under-merged otherwise);
     the bound is O(log² n), so 25 covers any graph this engine can hold.
     """
-    # localCheckpoint (eager) after every round: persist alone does NOT
-    # truncate the logical plan, so an iterative join would hand Catalyst
-    # an exponentially deeper plan each round — analysis time explodes
-    # long before the data does
-    # lazy checkpoints: the per-round signature aggregation below is the
-    # single action that materializes them, so each round costs ONE job
+    from buzzard_spark.session import checkpoint_release
+
+    # localCheckpoint (eager=False) after every round: persist alone does
+    # NOT truncate the logical plan, so an iterative join would hand
+    # Catalyst an exponentially deeper plan each round — analysis time
+    # explodes long before the data does. Lazy checkpoints + a signature
+    # action only every OTHER round: two rounds of star joins materialize
+    # in a single job, halving the per-round job-scheduling latency that
+    # dominated round-2's dedup_clusters / polygonize_components walls.
     e = (edges
          .where(F.col('id_a') != F.col('id_b'))
          .select(F.greatest('id_a', 'id_b').alias('u'),
                  F.least('id_a', 'id_b').alias('v'))
          .distinct().localCheckpoint(eager=False))
-    prev_sig = None
-    converged = False
-    for _ in range(max_iters):
+    rounds = [e]
+
+    def _round(e):
         # large-star: every neighbor larger than u links to min(N(u) ∪ {u});
         # emitted pairs are (larger, smaller) by construction
         bi = e.unionByName(
@@ -65,17 +68,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                  .select(F.greatest('u', 'v').alias('u'),
                          F.least('u', 'v').alias('v'))
                  .distinct().localCheckpoint(eager=False))
-        # pmod keeps the checksum sum far from BIGINT overflow (ANSI mode)
-        sig = e_new.agg(
+        rounds.append(e_new)
+        return e_new
+
+    def _sig2(e_mid, e_new):
+        # ONE action returns the signatures of two consecutive rounds: the
+        # union materializes e_mid's lazy checkpoint once (e_new reads it
+        # back), so convergence is still judged on CONSECUTIVE rounds (the
+        # sound fixpoint criterion — no 2-cycle ambiguity) at half the jobs.
+        # pmod keeps the checksum sum far from BIGINT overflow (ANSI mode).
+        tagged = (e_mid.select(F.lit(0).alias('_r'), 'u', 'v')
+                  .unionByName(e_new.select(F.lit(1).alias('_r'), 'u', 'v')))
+        rows = {r['_r']: (r['n'], r['h']) for r in tagged.groupBy('_r').agg(
             F.count('*').alias('n'),
             F.sum(F.expr('pmod(xxhash64(u, v), 1000000007)')).alias('h')
-        ).collect()[0]
-        sig = (sig['n'], sig['h'])
-        e = e_new
-        if sig == prev_sig:
+        ).collect()}
+        empty = (0, None)
+        return rows.get(0, empty), rows.get(1, empty)
+
+    converged = False
+    done = 0
+    while done < max_iters:
+        e_mid = _round(e)
+        e = _round(e_mid)
+        done += 2
+        s_mid, s_new = _sig2(e_mid, e)
+        if s_new == s_mid:
             converged = True
             break
-        prev_sig = sig
     if not converged:
         raise RuntimeError(
             f'connected_components did not converge in {max_iters} rounds')
@@ -85,4 +105,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
            .join(star, 'u', 'left')
            .select(F.col('u').alias(id_col),
                    F.coalesce('comp', 'u').alias('comp')))
-    return out
+    # materialize the labeling through a reliable (file-backed) checkpoint,
+    # then drop every round's localCheckpoint blocks: iterative operators
+    # must not leak cached partitions into a long-lived session
+    return checkpoint_release(out, rounds)

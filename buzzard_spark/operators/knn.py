@@ -65,6 +65,8 @@ def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
     cw, ch = cells.cell_size_deg(res)
     guarantee = (k_ring * min(cw, ch)) ** 2
 
+    from buzzard_spark.session import checkpoint_release
+
     pages_c = assign_cell(pages, res)
     rings = ring_cells(queries, res, k_ring)
     cand = rings.join(pages_c, 'cell').select(
@@ -79,11 +81,20 @@ def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
                      .where((F.col('found') == k) & (F.col('kth') < guarantee)))
     settled = topk.join(settled_stats.select('qid'), 'qid', 'left_semi')
 
+    # ONE action resolves the fallback set: collect the unsettled query
+    # rows themselves (the query side is the broadcast-bounded dimension —
+    # the brute pass would pull them to the driver to broadcast anyway),
+    # instead of round 2's separate isEmpty probe + lazy anti-join rebuild.
     unsettled_q = queries.join(settled_stats.select('qid'), 'qid', 'left_anti')
-    if unsettled_q.isEmpty():
-        return settled.select('qid', 'page_id', 'dist2', 'rnk')
+    un_rows = unsettled_q.collect()
+    if not un_rows:
+        return checkpoint_release(
+            settled.select('qid', 'page_id', 'dist2', 'rnk'), [topk])
 
-    brute_cand = F.broadcast(unsettled_q).crossJoin(
+    brute_q = queries.sparkSession.createDataFrame(un_rows, unsettled_q.schema)
+    brute_cand = F.broadcast(brute_q).crossJoin(
         pages.select('page_id', 'lat', 'lng'))
     brute = _topk(brute_cand, k).select('qid', 'page_id', 'dist2', 'rnk')
-    return settled.select('qid', 'page_id', 'dist2', 'rnk').unionByName(brute)
+    return checkpoint_release(
+        settled.select('qid', 'page_id', 'dist2', 'rnk').unionByName(brute),
+        [topk])

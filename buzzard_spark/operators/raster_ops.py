@@ -190,33 +190,41 @@ def _unpack_mask(buf, h, w):
 
 
 def tile_runs(mask_tiles: DataFrame) -> DataFrame:
-    """Per-tile 4-connected labeling → run rows (global pixel coords)."""
+    """Per-tile 4-connected labeling → run rows (global pixel coords).
+
+    Run extraction is fully vectorized (round-3; round 2 looped Python
+    per row/run): the labeled tile is flattened with a sentinel zero
+    column appended to each row, so maximal constant-label segments of the
+    flat array ARE the runs — one np.diff/flatnonzero pass per tile."""
     def _runs(key, pdf: pd.DataFrame):
-        out = []
+        frames = []
         for _, row in pdf.iterrows():
             h, w = int(row.h), int(row.w)
             mask = _unpack_mask(row['mask'], h, w)
-            labels, n = raster._label_components(mask)
-            for y in range(h):
-                line = labels[y]
-                nz = line != 0
-                if not nz.any():
-                    continue
-                change = np.diff(np.r_[0, nz.view(np.int8), 0])
-                starts = np.flatnonzero(change == 1)
-                ends = np.flatnonzero(change == -1)
-                for s, e in zip(starts, ends):
-                    # split runs on label change within the span
-                    labs = line[s:e]
-                    cuts = np.r_[0, np.flatnonzero(np.diff(labs)) + 1, e - s]
-                    for i in range(len(cuts) - 1):
-                        out.append((int(row.tile_y), int(row.tile_x),
-                                    int(row.y0) + y,
-                                    int(row.x0) + s + int(cuts[i]),
-                                    int(row.x0) + s + int(cuts[i + 1]),
-                                    int(labs[cuts[i]])))
-        return pd.DataFrame(
-            out, columns=['tile_y', 'tile_x', 'y', 'xs', 'xe', 'lab'])
+            labels, _n = raster._label_components(mask)
+            flat = np.concatenate(
+                [labels.astype(np.int64),
+                 np.zeros((h, 1), np.int64)], axis=1).ravel()
+            change = np.flatnonzero(flat != np.r_[0, flat[:-1]])
+            if change.size == 0:
+                continue
+            seg_end = np.r_[change[1:], flat.size]
+            vals = flat[change]
+            keep = vals != 0
+            s, e, v = change[keep], seg_end[keep], vals[keep]
+            w1 = w + 1
+            frames.append(pd.DataFrame({
+                'tile_y': np.full(len(s), int(row.tile_y), np.int32),
+                'tile_x': np.full(len(s), int(row.tile_x), np.int32),
+                'y': (int(row.y0) + s // w1).astype(np.int64),
+                'xs': (int(row.x0) + s % w1).astype(np.int64),
+                'xe': (int(row.x0) + s % w1 + (e - s)).astype(np.int64),
+                'lab': v,
+            }))
+        if not frames:
+            return pd.DataFrame(
+                columns=['tile_y', 'tile_x', 'y', 'xs', 'xe', 'lab'])
+        return pd.concat(frames, ignore_index=True)
 
     return (mask_tiles.groupBy('tile_y', 'tile_x')
             .applyInPandas(_runs, RUN_SCHEMA))
@@ -232,29 +240,42 @@ def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
     its own pixels exactly. Emission is JVM-free only inside the pandas
     kernel; the shuffle is keyed by destination tile."""
     def _emit(key, pdf: pd.DataFrame):
-        out = []
+        tys, txs, ys_o, xs_o, owns = [], [], [], [], []
+
+        def _add(ty, tx, gy, gx, own):
+            n = len(gy)
+            if n == 0:
+                return
+            tys.append(np.full(n, ty, np.int32))
+            txs.append(np.full(n, tx, np.int32))
+            ys_o.append(gy)
+            xs_o.append(gx)
+            owns.append(np.full(n, own, bool))
+
         for _, row in pdf.iterrows():
             h, w = int(row.h), int(row.w)
             ty, tx = int(row.tile_y), int(row.tile_x)
             mask = _unpack_mask(row['mask'], h, w)
             ys, xs = np.nonzero(mask)
-            gy = ys + int(row.y0)
-            gx = xs + int(row.x0)
-            for y, x in zip(gy.tolist(), gx.tolist()):
-                out.append((ty, tx, y, x, True))
-                # replicate border pixels into neighbor tiles as halo
-                ny0 = y - int(row.y0)
-                nx0 = x - int(row.x0)
-                dys = [0] + ([-1] if ny0 == 0 else []) + \
-                    ([1] if ny0 == h - 1 else [])
-                dxs = [0] + ([-1] if nx0 == 0 else []) + \
-                    ([1] if nx0 == w - 1 else [])
-                for dy in dys:
-                    for dx in dxs:
-                        if dy or dx:
-                            out.append((ty + dy, tx + dx, y, x, False))
-        return pd.DataFrame(
-            out, columns=['tile_y', 'tile_x', 'y', 'x', 'own'])
+            gy = (ys + int(row.y0)).astype(np.int32)
+            gx = (xs + int(row.x0)).astype(np.int32)
+            _add(ty, tx, gy, gx, True)
+            # replicate border pixels into the 8 neighbor tiles as halo —
+            # one boolean-mask slice per direction (no per-pixel Python)
+            top, bot = ys == 0, ys == h - 1
+            lef, rig = xs == 0, xs == w - 1
+            for dy, dx, sel in ((-1, 0, top), (1, 0, bot),
+                                (0, -1, lef), (0, 1, rig),
+                                (-1, -1, top & lef), (-1, 1, top & rig),
+                                (1, -1, bot & lef), (1, 1, bot & rig)):
+                _add(ty + dy, tx + dx, gy[sel], gx[sel], False)
+        if not tys:
+            return pd.DataFrame(
+                columns=['tile_y', 'tile_x', 'y', 'x', 'own'])
+        return pd.DataFrame({
+            'tile_y': np.concatenate(tys), 'tile_x': np.concatenate(txs),
+            'y': np.concatenate(ys_o), 'x': np.concatenate(xs_o),
+            'own': np.concatenate(owns)})
 
     return (mask_tiles.groupBy('tile_y', 'tile_x').applyInPandas(
         _emit, 'tile_y int, tile_x int, y int, x int, own boolean'))
@@ -285,20 +306,50 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
 
     def _edges(key, pdf: pd.DataFrame):
         # kernel edge rule (kernels.raster.find_lines): 4-neighbors always;
-        # diagonals only when no 4-connected detour exists
-        nodes = set(zip(pdf['x'].tolist(), pdf['y'].tolist()))
-        own = set(zip(pdf.loc[pdf['own'], 'x'].tolist(),
-                      pdf.loc[pdf['own'], 'y'].tolist()))
-        out = []
-        for x, y in own:
-            for di, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (1, -1))):
-                q = (x + dx, y + dy)
-                if q not in nodes:
-                    continue
-                if dx and dy and ((x + dx, y) in nodes or (x, y + dy) in nodes):
-                    continue
-                out.append((x, y, q[0], q[1], di))
-        return pd.DataFrame(out, columns=['ax', 'ay', 'bx', 'by', 'dir'])
+        # diagonals only when no 4-connected detour exists. Vectorized on a
+        # dense local grid over the group's bbox (≤ (tile+2)² bools): each
+        # direction is one shifted-AND — no per-pixel Python (round 2
+        # looped Python sets per pixel here).
+        if not len(pdf):
+            return pd.DataFrame(columns=['ax', 'ay', 'bx', 'by', 'dir'])
+        xs = pdf['x'].to_numpy(np.int64)
+        ys = pdf['y'].to_numpy(np.int64)
+        own_rows = pdf['own'].to_numpy(bool)
+        x0, y0 = int(xs.min()) - 1, int(ys.min()) - 1
+        W = int(xs.max()) - x0 + 2
+        H = int(ys.max()) - y0 + 2
+        grid = np.zeros((H, W), bool)
+        grid[ys - y0, xs - x0] = True
+        owng = np.zeros((H, W), bool)
+        owng[ys[own_rows] - y0, xs[own_rows] - x0] = True
+
+        def _shift(a, dy, dx):
+            # out[y, x] = a[y + dy, x + dx] (zeros outside)
+            out = np.zeros_like(a)
+            ys0, ys1 = max(0, -dy), min(H, H - dy)
+            xs0, xs1 = max(0, -dx), min(W, W - dx)
+            if ys0 < ys1 and xs0 < xs1:
+                out[ys0:ys1, xs0:xs1] = a[ys0 + dy:ys1 + dy,
+                                          xs0 + dx:xs1 + dx]
+            return out
+
+        frames = []
+        for di, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (1, -1))):
+            pair = owng & _shift(grid, dy, dx)
+            if dx and dy:
+                pair &= ~(_shift(grid, 0, dx) | _shift(grid, dy, 0))
+            py, px = np.nonzero(pair)
+            if not len(py):
+                continue
+            ax = (px + x0).astype(np.int32)
+            ay = (py + y0).astype(np.int32)
+            frames.append(pd.DataFrame({
+                'ax': ax, 'ay': ay,
+                'bx': ax + dx, 'by': ay + dy,
+                'dir': np.full(len(ax), di, np.int32)}))
+        if not frames:
+            return pd.DataFrame(columns=['ax', 'ay', 'bx', 'by', 'dir'])
+        return pd.concat(frames, ignore_index=True)
 
     edges_px = (pixels.groupBy('tile_y', 'tile_x')
                 .applyInPandas(_edges,
@@ -322,9 +373,58 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
                                      F.max('eid').alias('e2'))
             .where(F.col('d') == 2))
     pairs = deg2.select(F.col('e1').alias('id_a'), F.col('e2').alias('id_b'))
-    chains = connected_components(
-        edges_px.select(F.col('eid')).distinct(), pairs, id_col='eid')
-    tagged = edges_px.join(chains, 'eid').withColumnRenamed('comp', 'chain_id')
+    # two-level chain resolution (round 3; round 2 pushed EVERY edge id
+    # through the global CC): pairs whose two edges originate in the same
+    # tile are contracted by a per-tile union-find first, so the global CC
+    # sees one node per intra-tile chain FRAGMENT (O(border crossings +
+    # junctions) nodes instead of O(set pixels)). lroot = min eid of the
+    # local fragment, so the global component min — and therefore the
+    # emitted chain_id — is bit-identical to the uncontracted labeling.
+    tkey = ('((({e} DIV 4) DIV 2097152) DIV {ts}) * 4194304 + '
+            '((({e} DIV 4) % 2097152) DIV {ts})')
+    pairs_t = (pairs
+               .withColumn('_ta', F.expr(tkey.format(e='id_a', ts=tile_size)))
+               .withColumn('_tb', F.expr(tkey.format(e='id_b', ts=tile_size))))
+    intra = pairs_t.where(F.col('_ta') == F.col('_tb'))
+    cross = pairs_t.where(F.col('_ta') != F.col('_tb')).select('id_a', 'id_b')
+
+    def _uf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for a, b in zip(pdf['id_a'].tolist(), pdf['id_b'].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union-by-min: root is the set's min eid
+        eids = sorted(set(pdf['id_a'].tolist()) | set(pdf['id_b'].tolist()))
+        return pd.DataFrame({'eid': eids,
+                             'lroot': [find(e) for e in eids]})
+
+    local = intra.groupBy('_ta').applyInPandas(_uf, 'eid long, lroot long')
+    m = (edges_px.select('eid').distinct()
+         .join(local, 'eid', 'left')
+         .select('eid', F.coalesce('lroot', 'eid').alias('lroot'))
+         .persist())
+    crossm = (cross
+              .join(m.select(F.col('eid').alias('id_a'),
+                             F.col('lroot').alias('_la')), 'id_a')
+              .join(m.select(F.col('eid').alias('id_b'),
+                             F.col('lroot').alias('_lb')), 'id_b')
+              .select(F.col('_la').alias('id_a'), F.col('_lb').alias('id_b')))
+    comp = connected_components(
+        m.select(F.col('lroot')).distinct(), crossm, id_col='lroot')
+    chains = (m.join(comp, 'lroot')
+              .select('eid', F.col('comp').alias('chain_id')))
+    tagged = edges_px.join(chains, 'eid')
 
     coef = tuple(float(v) for v in fp._coef)
 
@@ -362,7 +462,11 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
             'n_pts': len(path),
         }])
 
-    return tagged.groupBy('chain_id').applyInPandas(_assemble, LINE_SCHEMA)
+    from buzzard_spark.session import checkpoint_release
+    out = tagged.groupBy('chain_id').applyInPandas(_assemble, LINE_SCHEMA)
+    # materialize the linework, release the persisted edge/fragment tables
+    # (cache-lifetime contract — see session.checkpoint_release)
+    return checkpoint_release(out, [edges_px, m])
 
 
 # packed node id for the border-run graph: (tile_y, tile_x, lab) → int64.
@@ -447,4 +551,7 @@ def polygonize(spark: SparkSession, fp, mask_tiles: DataFrame,
             'n_rings': len(rings_w),
         }])
 
-    return tagged.groupBy('component_id').applyInPandas(_trace, POLY_SCHEMA)
+    from buzzard_spark.session import checkpoint_release
+    out = tagged.groupBy('component_id').applyInPandas(_trace, POLY_SCHEMA)
+    # materialize the polygons, release the persisted run table
+    return checkpoint_release(out, [runs])

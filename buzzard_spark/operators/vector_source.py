@@ -24,24 +24,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# slices with stop below this run as sort+offset+limit: Spark plans them
+# as TakeOrderedAndProject (per-partition top-`stop` heaps, no global-sort
+# exchange) — optimal for small windows, and what the reference's
+# SetNextByIndex amounts to
+SMALL_SLICE_ROWS = 100_000
+
+
 def _sliced_by_order(df: DataFrame, fid_col: str, start: int,
                      stop: int | None, nparts: int | None = None) -> DataFrame:
     """Rows [start:stop] of df ordered by fid — scale-safe two-phase rank.
 
-    Phase 1: range-repartition on fid (contiguous, ordered ranges) and count
-    rows per partition (tiny agg — one output row per partition).
-    Phase 2: per-partition rank (parallel window) + broadcast cumulative
-    offsets → global position; filter to the slice.
+    Small bounded slices (stop ≤ SMALL_SLICE_ROWS): ``orderBy.offset.limit``
+    → TakeOrderedAndProject, no shuffle at all.
+
+    Large/unbounded slices: phase 1 range-repartitions on fid (contiguous,
+    ordered ranges) and counts rows per partition (tiny agg — one output
+    row per partition); phase 2 ranks within each range partition (parallel
+    windows) and shifts by broadcast cumulative offsets → global position.
+    The ranged intermediate is pinned (persist for bounded slices, reliable
+    checkpoint for unbounded ones) so phases 1 and 2 see the SAME partition
+    contents even when the upstream plan is nondeterministic (round-robin
+    repartition, sample(), task retries) — global positions would silently
+    shift otherwise.
     """
     spark = df.sparkSession
+    if stop is not None and stop <= SMALL_SLICE_ROWS:
+        out = df.orderBy(F.col(fid_col).asc())
+        if start:
+            out = out.offset(start)
+        return out.limit(stop - start)
     if nparts is None:
         nparts = spark.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(nparts, F.col(fid_col))
               .withColumn('_pid', F.spark_partition_id()))
+    from buzzard_spark.session import checkpoint_release, ensure_checkpoint_dir
+    bounded = stop is not None
+    if bounded:
+        ranged = ranged.persist()
+    else:
+        # open-ended slice: the result is ~table-sized, so an eager result
+        # checkpoint is no cheaper than pinning the input — checkpoint the
+        # ranged table once and let both phases read the same files
+        ensure_checkpoint_dir(spark)
+        ranged = ranged.checkpoint(eager=True)
     counts = sorted((r['_pid'], r['n']) for r in
                     ranged.groupBy('_pid').agg(F.count('*').alias('n'))
                     .collect())
     if not counts:
+        if bounded:
+            ranged.unpersist()
         return df.limit(0)
     offsets, acc = [], 0
     for pid, n in counts:
@@ -54,7 +86,12 @@ def _sliced_by_order(df: DataFrame, fid_col: str, start: int,
            .withColumn('_pos', pos)
            .where((F.col('_pos') >= start) if stop is None else
                   ((F.col('_pos') >= start) & (F.col('_pos') < stop))))
-    return out.drop('_pid', '_off', '_pos')
+    out = out.drop('_pid', '_off', '_pos')
+    if bounded:
+        # bounded result ≤ (stop - start) rows: materialize it, release the
+        # cached ranged table (cache-lifetime contract)
+        out = checkpoint_release(out, [ranged])
+    return out
 
 
 def scan_features(features: DataFrame, fields: list[str] | None = None,

@@ -27,6 +27,9 @@ ENGINE_CONFS = {
     # local mode: shuffle files live in page cache — compression is pure
     # CPU overhead here (re-enable on a real cluster with slow disks/net)
     'spark.shuffle.compress': 'false',
+    # reliable checkpoints written by checkpoint_release() are deleted by
+    # the ContextCleaner once the referencing DataFrame is GC'd
+    'spark.cleaner.referenceTracking.cleanCheckpoints': 'true',
 }
 
 
@@ -53,3 +56,52 @@ def get_session(master: str | None = None, app_name: str = 'buzzard_spark',
     for key, val in ENGINE_CONFS.items():
         builder = builder.config(key, val)
     return builder.getOrCreate()
+
+
+def ensure_checkpoint_dir(spark) -> None:
+    """Set a session-scoped reliable checkpoint dir if none is configured.
+
+    Local mode uses a tmpfs/tempdir; on a real cluster deployments point
+    this at shared storage (HDFS/S3) exactly as GraphFrames requires for
+    its iterative connected components.
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return
+    import atexit
+    import shutil
+    import tempfile
+    base = os.environ.get('SPARK_GRAFT_LOCAL_DIR', '/dev/shm/spark-local')
+    try:
+        os.makedirs(base, exist_ok=True)
+    except OSError:
+        base = None
+    d = tempfile.mkdtemp(prefix='bzs-ckpt-', dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    sc.setCheckpointDir(d)
+
+
+def checkpoint_release(result, cached=()):
+    """Materialize ``result`` through a reliable (file-backed) checkpoint,
+    then unpersist every DataFrame in ``cached``.
+
+    This is the engine's cache-lifetime contract: operators that persist()
+    intermediates for multi-scan reuse release them here, so a long-lived
+    session embedding the library never accumulates cached partitions
+    (``sparkContext._jsc.getPersistentRDDs()`` stays empty between queries).
+    The checkpoint files themselves are removed by the ContextCleaner when
+    the returned DataFrame is GC'd (cleanCheckpoints=true)."""
+    ensure_checkpoint_dir(result.sparkSession)
+    out = result.checkpoint(eager=True)
+    for df in cached:
+        try:
+            df.unpersist()
+            # a localCheckpoint()ed DataFrame persists its INTERNAL RDD,
+            # which the CacheManager (Dataset.unpersist) does not manage —
+            # release the LogicalRDD's blocks directly
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == 'LogicalRDD':
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+    return out

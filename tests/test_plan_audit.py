@@ -105,10 +105,11 @@ def test_near_dup_plan_no_python(spark):
     df = spark.createDataFrame(
         [(i, f'w{i} w{i+1} w{i+2} w{i+3} common words here') for i in range(50)],
         'doc_id long, text string')
-    pairs = dedup.near_dup_pairs(df, threshold=0.6)
+    pairs = dedup.near_dup_pairs(df, threshold=0.6, materialize=False)
     plan = _plan(pairs)
     assert 'BatchEvalPython' not in plan
     assert 'ArrowEvalPython' not in plan
+    spark.catalog.clearCache()  # materialize=False leaves caching to caller
 
 
 def test_cell_assign_no_python(spark, pages_parquet):

@@ -81,6 +81,26 @@ def test_lsh_bucket_cap_star(spark):
     assert all(r['id_a'] == 0 for r in pairs)
 
 
+def test_lsh_bucket_cap_signature_grouped_star(spark):
+    """A capped bucket holding TWO distinct near-dup families pairs every
+    member with a SAME-SIGNATURE partner (group-min), with one bridge edge
+    per family to the bucket min — so the downstream exact-Jaccard verify
+    sees near-identical pairs instead of round 2's arbitrary member→bmin
+    star edges (which, when sub-threshold, were silently dropped and split
+    the family's cluster — ADVICE r2)."""
+    sig_a = [1, 2] + [10, 11] * 31   # shares band 0 ([1, 2]) with sig_b
+    sig_b = [1, 2] + [20, 21] * 31
+    rows = [(i, sig_a) for i in range(15)] + \
+           [(20 + j, sig_b) for j in range(15)]
+    df = spark.createDataFrame(rows, 'doc_id long, sig array<bigint>')
+    got = {(r['id_a'], r['id_b'])
+           for r in dedup.lsh_candidate_pairs(df, bucket_cap=10).collect()}
+    want = ({(0, i) for i in range(1, 15)} |          # family A group star
+            {(20, 20 + j) for j in range(1, 15)} |    # family B group star
+            {(0, 20)})                                # bridge to bucket min
+    assert got == want
+
+
 def test_dedup_clusters_transitive(spark):
     """Pairs (a,b), (b,c), (x,y) → clusters {a,b,c} and {x,y}; chain of 6
     exercises multi-round propagation."""
