@@ -374,52 +374,200 @@ def burn_lines(fp, lines, labelize=False):
     return out
 
 
-def find_lines(fp, mask, merge=True):
-    """mask → polylines (world coords, pixel centers). Simplified analogue
-    of the reference's thin+convolve+linemerge chain
-    (reference: buzzard/_footprint.py:1538-1717): build the 4/8-neighbor
-    pixel graph and merge degree-2 chains. Standalone pixels are ignored
-    (same caveat as the reference)."""
-    h, w = mask.shape
+def _thin_delete(p, sub):
+    """One thinning subiteration over a PADDED bool array ``p`` (1-pixel
+    context border): returns the deletion mask for the interior
+    ``p[1:-1, 1:-1]``.
+
+    Implements the two-subiteration thinning conditions G1 ∧ G2 ∧ G3 (sub
+    0) / G1 ∧ G2 ∧ G3' (sub 1) from Lam, Lee & Suen, "Thinning
+    Methodologies — A Comprehensive Survey", IEEE PAMI 14(9), 1992 — the
+    published algorithm behind ``skimage.morphology.thin``, which the
+    reference applies before line extraction
+    (buzzard/_footprint.py:1631 ``skm.thin``). Neighborhood is numbered
+    x1..x8 counterclockwise from east. Fully vectorized; deletions within
+    a subiteration are simultaneous (computed from the snapshot ``p``)."""
+    m = p[1:-1, 1:-1]
+    x1 = p[1:-1, 2:]
+    x2 = p[:-2, 2:]
+    x3 = p[:-2, 1:-1]
+    x4 = p[:-2, :-2]
+    x5 = p[1:-1, :-2]
+    x6 = p[2:, :-2]
+    x7 = p[2:, 1:-1]
+    x8 = p[2:, 2:]
+    # G1: crossing number X_H(p) == 1
+    b = ((~x1 & (x2 | x3)).astype(np.int8) + (~x3 & (x4 | x5)) +
+         (~x5 & (x6 | x7)) + (~x7 & (x8 | x1)))
+    g1 = b == 1
+    # G2: 2 <= min(n1, n2) <= 3
+    n1 = (x1 | x2).astype(np.int8) + (x3 | x4) + (x5 | x6) + (x7 | x8)
+    n2 = (x2 | x3).astype(np.int8) + (x4 | x5) + (x6 | x7) + (x8 | x1)
+    mn = np.minimum(n1, n2)
+    g2 = (mn >= 2) & (mn <= 3)
+    # G3 (sub 0) / G3' (sub 1)
+    if sub == 0:
+        g3 = ~((x2 | x3 | ~x8) & x1)
+    else:
+        g3 = ~((x6 | x7 | ~x4) & x5)
+    return m & g1 & g2 & g3
+
+
+def thin(mask):
+    """Morphological thinning to a width-1 (8-connected) skeleton that
+    preserves endpoints and connectivity — the reference preprocesses every
+    ``find_lines`` mask with exactly this operation
+    (buzzard/_footprint.py:1631, ``skimage.morphology.thin``; algorithm:
+    Lam-Lee-Suen 1992, see ``_thin_delete``). Iterates both subiterations
+    until a full iteration deletes nothing."""
+    m = np.ascontiguousarray(mask, dtype=bool).copy()
+    while True:
+        changed = False
+        for sub in (0, 1):
+            p = np.pad(m, 1)
+            d = _thin_delete(p, sub)
+            if d.any():
+                m[d] = False
+                changed = True
+        if not changed:
+            return m
+
+
+def find_lines(fp, mask, merge=True, thin_first=True):
+    """mask → polylines (world coords, pixel centers). The reference's
+    thin → pixel-graph → linemerge chain
+    (reference: buzzard/_footprint.py:1538-1717): the mask is first thinned
+    (``thin``, the reference's ``skm.thin`` step — round 2 skipped this and
+    produced denser linework on blob masks), then the 4/8-neighbor pixel
+    graph is built (diagonals only where no 4-connected detour exists —
+    the reference's has_topright/has_topleft subtraction) and degree-2
+    chains are merged. Standalone pixels are ignored (same caveat as the
+    reference). 2×2 squares surviving thinning are collapsed to their
+    top-left pixel exactly as the reference's steps 3/6 (segments fully
+    inside a square dropped, segment endpoints in a square extended to the
+    square's top-left; the only deviation is that a vertex that is its own
+    square top-left is not duplicated in the coordinate list — geometry
+    identical).
+    """
     mask = mask.astype(bool)
-    ys, xs = np.nonzero(mask)
-    nodes = set(zip(xs.tolist(), ys.tolist()))
-    nbrs = {}
-    offs = [(1, 0), (0, 1), (1, 1), (1, -1)]
-    for x, y in nodes:
-        for dx, dy in offs:
-            q = (x + dx, y + dy)
-            if q in nodes:
-                # skip diagonal if 4-connected path exists (thin-ish rule)
-                if dx and dy and ((x + dx, y) in nodes or (x, y + dy) in nodes):
-                    continue
-                nbrs.setdefault((x, y), []).append(q)
-                nbrs.setdefault(q, []).append((x, y))
-    visited_edges = set()
+    if thin_first:
+        mask = thin(mask)
+    edges = pixel_edges(mask)
+    links = square_links(mask)
+    segs = []
+    for ax, ay, bx, by in zip(*(a.tolist() for a in edges)):
+        a, b = (ax, ay), (bx, by)
+        la, lb = links.get(a), links.get(b)
+        if la is not None and lb is not None:
+            continue  # segment fully inside collapsed squares
+        path = [a, b]
+        if la is not None and la != a:
+            path.insert(0, la)
+        if lb is not None and lb != b:
+            path.append(lb)
+        segs.append(path)
+    if merge:
+        paths = merge_segments(segs)
+    else:
+        paths = segs
     lines = []
-    deg = {p: len(v) for p, v in nbrs.items()}
-    starts = [p for p, d in deg.items() if d != 2] or list(nbrs)
-    for start in sorted(starts):
-        for nxt in sorted(nbrs.get(start, ())):
-            if (start, nxt) in visited_edges:
-                continue
-            path = [start, nxt]
-            visited_edges.add((start, nxt))
-            visited_edges.add((nxt, start))
-            cur, prev = nxt, start
-            while merge and deg.get(cur) == 2:
-                cand = [q for q in nbrs[cur] if q != prev]
-                if not cand or (cur, cand[0]) in visited_edges:
-                    break
-                prev, cur = cur, cand[0]
-                visited_edges.add((prev, cur))
-                visited_edges.add((cur, prev))
-                path.append(cur)
-            px = np.asarray([p[0] + 0.5 for p in path])
-            py = np.asarray([p[1] + 0.5 for p in path])
-            xw, yw = _pixel_to_world(fp, px, py)
-            lines.append(np.column_stack([xw, yw]))
+    for path in paths:
+        px = np.asarray([p[0] + 0.5 for p in path])
+        py = np.asarray([p[1] + 0.5 for p in path])
+        xw, yw = _pixel_to_world(fp, px, py)
+        lines.append(np.column_stack([xw, yw]))
     return lines
+
+
+def pixel_edges(mask):
+    """Pixel-graph edge list under the reference's rule (4-neighbors
+    always; diagonals only when no 4-connected detour exists — the
+    has_topright/has_topleft subtraction of buzzard/_footprint.py:1662-
+    1668). Returns (ax, ay, bx, by) int arrays; each edge emitted once.
+    Vectorized via shifted-AND on the dense mask."""
+    H, W = mask.shape
+
+    def _shift(a, dy, dx):
+        out = np.zeros_like(a)
+        ys0, ys1 = max(0, -dy), min(H, H - dy)
+        xs0, xs1 = max(0, -dx), min(W, W - dx)
+        if ys0 < ys1 and xs0 < xs1:
+            out[ys0:ys1, xs0:xs1] = a[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+        return out
+
+    axs, ays, bxs, bys = [], [], [], []
+    for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+        pair = mask & _shift(mask, dy, dx)
+        if dx and dy:
+            pair &= ~(_shift(mask, 0, dx) | _shift(mask, dy, 0))
+        py, px = np.nonzero(pair)
+        axs.append(px)
+        ays.append(py)
+        bxs.append(px + dx)
+        bys.append(py + dy)
+    return (np.concatenate(axs), np.concatenate(ays),
+            np.concatenate(bxs), np.concatenate(bys))
+
+
+def square_links(mask):
+    """The reference's 2×2-square collapse map (buzzard/_footprint.py:
+    1644-1652): every pixel of a fully-set 2×2 square maps to the square's
+    top-left pixel, (x, y) keys; overlapping squares resolve by row-major
+    last-wins, exactly like the reference's dict comprehension over the
+    row-major nonzero scan."""
+    sq = mask[:-1, :-1] & mask[1:, :-1] & mask[:-1, 1:] & mask[1:, 1:]
+    links = {}
+    for y, x in zip(*(a.tolist() for a in np.nonzero(sq))):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                links[(x + dx, y + dy)] = (x, y)
+    return links
+
+
+def merge_segments(segs):
+    """shapely.ops.linemerge semantics over vertex-list segments: segments
+    sharing an endpoint merge iff exactly two segment-ends meet there
+    (interior vertices ride along); junction points (degree ≠ 2) split,
+    leftover cycles close on themselves. Deterministic: walks start at
+    sorted non-degree-2 endpoints, then sorted remaining cycle segments —
+    shared by the kernel ``find_lines`` and the distributed per-chain
+    assembler (operators.raster_ops.vectorize_lines)."""
+    incid = {}
+    for i, s in enumerate(segs):
+        incid.setdefault(s[0], []).append(i)
+        incid.setdefault(s[-1], []).append(i)
+    used = [False] * len(segs)
+    out = []
+
+    def _walk(path):
+        while True:
+            point = path[-1]
+            ends = incid[point]
+            if len(ends) != 2:
+                return path
+            nxt = [i for i in ends if not used[i]]
+            if len(nxt) != 1:
+                return path
+            i = nxt[0]
+            used[i] = True
+            s = segs[i] if segs[i][0] == point else segs[i][::-1]
+            path.extend(s[1:])
+            if path[-1] == path[0]:
+                return path
+
+    for pt in sorted(p for p, ends in incid.items() if len(ends) != 2):
+        for i in sorted(incid[pt]):
+            if used[i]:
+                continue
+            used[i] = True
+            s = segs[i] if segs[i][0] == pt else segs[i][::-1]
+            out.append(_walk(list(s)))
+    for i in range(len(segs)):  # pure cycles
+        if used[i]:
+            continue
+        used[i] = True
+        out.append(_walk(list(segs[i])))
+    return out
 
 
 # -- slopes ----------------------------------------------------------------------

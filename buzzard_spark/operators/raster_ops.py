@@ -232,6 +232,112 @@ def tile_runs(mask_tiles: DataFrame) -> DataFrame:
 
 LINE_SCHEMA = 'chain_id long, wkb binary, n_pts int'
 
+_THIN_SCHEMA = TILE_SCHEMA + ', _chg long'
+
+
+def _thin_subiter(tiles: DataFrame, sub: int, carry: bool) -> DataFrame:
+    """One distributed thinning subiteration: every tile deletes from its
+    own pixels using a 1-px halo of neighbor border pixels — the exact
+    simultaneous-deletion semantics of the kernel's ``raster._thin_delete``
+    snapshot rule, so the converged distributed mask is bit-identical to
+    ``kernels.raster.thin`` on the stitched array. ``carry`` accumulates
+    the deletion count across the iteration's two subiterations."""
+    def _emit_halo(iterator):
+        for pdf in iterator:
+            frames = []
+            for _, row in pdf.iterrows():
+                h, w = int(row.h), int(row.w)
+                mask = _unpack_mask(row['mask'], h, w)
+                ys, xs = np.nonzero(mask)
+                if not len(ys):
+                    continue
+                gy = (ys + int(row.y0)).astype(np.int32)
+                gx = (xs + int(row.x0)).astype(np.int32)
+                top, bot = ys == 0, ys == h - 1
+                lef, rig = xs == 0, xs == w - 1
+                for dy, dx, sel in ((-1, 0, top), (1, 0, bot),
+                                    (0, -1, lef), (0, 1, rig),
+                                    (-1, -1, top & lef), (-1, 1, top & rig),
+                                    (1, -1, bot & lef), (1, 1, bot & rig)):
+                    n = int(sel.sum())
+                    if n:
+                        frames.append(pd.DataFrame({
+                            'tile_y': np.full(n, int(row.tile_y) + dy,
+                                              np.int32),
+                            'tile_x': np.full(n, int(row.tile_x) + dx,
+                                              np.int32),
+                            'y': gy[sel], 'x': gx[sel]}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame(columns=['tile_y', 'tile_x', 'y', 'x']))
+
+    halos = tiles.mapInPandas(_emit_halo, 'tile_y int, tile_x int, '
+                                          'y int, x int')
+
+    def _apply(key, tpdf: pd.DataFrame, hpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(tpdf):
+            return pd.DataFrame(columns=[
+                'tile_y', 'tile_x', 'y0', 'x0', 'h', 'w', 'mask', '_chg'])
+        row = tpdf.iloc[0]
+        h, w = int(row.h), int(row.w)
+        y0, x0 = int(row.y0), int(row.x0)
+        mask = _unpack_mask(row['mask'], h, w)
+        p = np.zeros((h + 2, w + 2), bool)
+        p[1:-1, 1:-1] = mask
+        if len(hpdf):
+            p[hpdf['y'].to_numpy() - y0 + 1,
+              hpdf['x'].to_numpy() - x0 + 1] = True
+        d = raster._thin_delete(p, sub)
+        # only this tile's own pixels are candidates (halo rows sit on the
+        # pad border, outside the interior window by construction)
+        changed = int(d.sum())
+        if changed:
+            mask = mask & ~d
+        prev = int(row['_chg']) if carry and '_chg' in tpdf.columns else 0
+        return pd.DataFrame([{
+            'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
+            'y0': y0, 'x0': x0, 'h': h, 'w': w,
+            'mask': bytearray(np.packbits(mask).tobytes()),
+            '_chg': prev + changed}])
+
+    return (tiles.groupby('tile_y', 'tile_x')
+            .cogroup(halos.groupby('tile_y', 'tile_x'))
+            .applyInPandas(_apply, _THIN_SCHEMA))
+
+
+def thin_tiles(spark: SparkSession, mask_tiles: DataFrame,
+               max_iters: int = 1024) -> DataFrame:
+    """Distributed morphological thinning of a tiled mask — the scale
+    analogue of ``kernels.raster.thin`` (the reference's ``skm.thin``
+    preprocessing, buzzard/_footprint.py:1631): per-iteration, every tile
+    exchanges a 1-px halo with its 8 neighbors and applies the two
+    Lam-Lee-Suen subiterations simultaneously; the loop stops when a full
+    iteration deletes nothing anywhere. Output masks are bit-identical to
+    the kernel on the stitched array.
+
+    Scale shape: each iteration is two cogroup shuffles of (packed tile
+    masks + sparse border pixels) — nothing mask-sized on the driver; the
+    iteration count is O(max inscribed blob radius), the propagation lower
+    bound any parallel thinning shares. Rounds use lazy localCheckpoints
+    (one job per iteration, the convergence sum) and all round blocks are
+    released through a reliable checkpoint of the result."""
+    from buzzard_spark.session import checkpoint_release
+
+    tiles = mask_tiles.select('tile_y', 'tile_x', 'y0', 'x0', 'h', 'w',
+                              'mask')
+    ckpts = []
+    for _ in range(max_iters):
+        t0 = _thin_subiter(tiles, 0, carry=False)
+        t1 = _thin_subiter(t0, 1, carry=True).localCheckpoint(eager=False)
+        ckpts.append(t1)
+        total = t1.agg(F.sum('_chg')).collect()[0][0] or 0
+        tiles = t1
+        if total == 0:
+            break
+    else:
+        raise RuntimeError(
+            f'thin_tiles did not converge in {max_iters} iterations')
+    return checkpoint_release(tiles.drop('_chg'), ckpts)
+
 
 def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
     """Pixel rows (tile_y, tile_x, y, x, own bool): each tile's set pixels
@@ -282,7 +388,7 @@ def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
 
 
 def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
-                    tile_size: int = 256) -> DataFrame:
+                    tile_size: int = 256, thin_first: bool = True) -> DataFrame:
     """Distributed ``find_lines``: tile masks → merged polyline rows
     (chain_id, wkb linestring, n_pts), world coordinates
     (reference semantics: buzzard/_footprint.py:1538-1717 — thin mask →
@@ -291,18 +397,25 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
 
     Scale shape (mirrors ``polygonize`` — nothing mask-sized on driver):
 
+    0. distributed thinning (``thin_tiles``, the reference's ``skm.thin``
+       preprocessing — round 2 assumed already-thin input and produced
+       denser linework than buzzard on blob masks),
     1. per-tile pixel-graph edge extraction with a 1-px halo shuffle (each
        edge emitted exactly once, by the tile owning its first endpoint),
     2. node degrees = groupBy count; edges sharing a degree-2 node belong
-       to one chain → distributed connected components over the edge graph
-       (junction nodes split chains exactly like the kernel's walk),
+       to one chain; intra-tile fragments contract in a per-tile
+       union-find, then distributed connected components over the fragment
+       graph (junction nodes split chains exactly like the kernel's walk),
     3. one reducer per chain orders its edges into the polyline —
        O(chain length), the longest single polyline is the natural lower
        bound for any vectorizer's output row.
     """
     from buzzard_spark.operators.graph import connected_components
 
-    pixels = _tile_halo_pixels(mask_tiles)
+    if thin_first:
+        mask_tiles = thin_tiles(spark, mask_tiles)
+    # pixels feeds both the edge extraction and the square-links stage
+    pixels = _tile_halo_pixels(mask_tiles).persist()
 
     def _edges(key, pdf: pd.DataFrame):
         # kernel edge rule (kernels.raster.find_lines): 4-neighbors always;
@@ -354,6 +467,49 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
     edges_px = (pixels.groupBy('tile_y', 'tile_x')
                 .applyInPandas(_edges,
                                'ax int, ay int, bx int, by int, dir int'))
+    def _tile_links(key, pdf: pd.DataFrame):
+        # the reference's 2×2-square collapse map, tile-local: each tile
+        # resolves its OWN pixels' square membership from the 1-px halo
+        # view (all four members of any square containing p sit inside
+        # p's 3×3 — fully visible). Row-major last-wins tie-break of
+        # kernels.raster.square_links reproduced by ascending-TL overwrite.
+        if not len(pdf):
+            return pd.DataFrame(columns=['node', 'tl'])
+        xs = pdf['x'].to_numpy(np.int64)
+        ys = pdf['y'].to_numpy(np.int64)
+        own_rows = pdf['own'].to_numpy(bool)
+        if not own_rows.any():
+            return pd.DataFrame(columns=['node', 'tl'])
+        x0, y0 = int(xs.min()) - 1, int(ys.min()) - 1
+        W = int(xs.max()) - x0 + 2
+        H = int(ys.max()) - y0 + 2
+        grid = np.zeros((H, W), bool)
+        grid[ys - y0, xs - x0] = True
+        sq = np.zeros((H, W), bool)
+        sq[:-1, :-1] = (grid[:-1, :-1] & grid[1:, :-1] &
+                        grid[:-1, 1:] & grid[1:, 1:])
+        oy = ys[own_rows] - y0
+        ox = xs[own_rows] - x0
+        tly = np.full(len(oy), -1, np.int64)
+        tlx = np.full(len(ox), -1, np.int64)
+        for dy, dx in ((1, 1), (1, 0), (0, 1), (0, 0)):  # ascending TL
+            cy, cx = oy - dy, ox - dx
+            ok = (cy >= 0) & (cx >= 0)
+            ok[ok] = sq[cy[ok], cx[ok]]
+            tly = np.where(ok, cy, tly)
+            tlx = np.where(ok, cx, tlx)
+        hit = tly >= 0
+        if not hit.any():
+            return pd.DataFrame(columns=['node', 'tl'])
+        gy = oy[hit] + y0
+        gx = ox[hit] + x0
+        return pd.DataFrame({
+            'node': gy * 2097152 + gx,
+            'tl': (tly[hit] + y0) * 2097152 + (tlx[hit] + x0)})
+
+    links = (pixels.groupBy('tile_y', 'tile_x')
+             .applyInPandas(_tile_links, 'node long, tl long'))
+
     # pack pixel → int64 node id; edge id = (origin pixel, direction) —
     # collision-free for rasters up to 2^21 px per side (same bound as
     # polygonize's packed border-run nodes)
@@ -361,13 +517,25 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
     edges_px = (edges_px
                 .withColumn('na', F.expr(pk.format(y='ay', x='ax')))
                 .withColumn('nb', F.expr(pk.format(y='by', x='bx')))
-                .withColumn('eid', F.expr('na * 4 + dir'))
+                .withColumn('eid', F.expr('na * 4 + dir')))
+    # square collapse (reference steps 3/6): drop segments fully inside
+    # squares; extend endpoints to their square's top-left — connectivity
+    # (and therefore linemerge) is judged on the EXTENDED endpoints ea/eb
+    edges_px = (edges_px
+                .join(links.select(F.col('node').alias('na'),
+                                   F.col('tl').alias('la')), 'na', 'left')
+                .join(links.select(F.col('node').alias('nb'),
+                                   F.col('tl').alias('lb')), 'nb', 'left')
+                .where(F.col('la').isNull() | F.col('lb').isNull())
+                .withColumn('ea', F.coalesce('la', 'na'))
+                .withColumn('eb', F.coalesce('lb', 'nb'))
                 .persist())
     if edges_px.isEmpty():
         edges_px.unpersist()
+        pixels.unpersist()
         return spark.createDataFrame([], LINE_SCHEMA)
-    ends = (edges_px.select(F.col('eid'), F.col('na').alias('node'))
-            .unionByName(edges_px.select('eid', F.col('nb').alias('node'))))
+    ends = (edges_px.select(F.col('eid'), F.col('ea').alias('node'))
+            .unionByName(edges_px.select('eid', F.col('eb').alias('node'))))
     deg2 = (ends.groupBy('node').agg(F.count('*').alias('d'),
                                      F.min('eid').alias('e1'),
                                      F.max('eid').alias('e2'))
@@ -429,44 +597,49 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
     coef = tuple(float(v) for v in fp._coef)
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # one reducer per chain: rebuild vertex-list segments (with the
+        # square-collapse endpoint extensions) and merge them with the
+        # SAME deterministic linemerge walk as the kernel
+        # (kernels.raster.merge_segments) — distributed == kernel by
+        # construction
         cid = int(key[0])
-        adj = {}
-        for ax, ay, bx, by in zip(pdf['ax'], pdf['ay'], pdf['bx'], pdf['by']):
-            a, b = (int(ax), int(ay)), (int(bx), int(by))
-            adj.setdefault(a, []).append(b)
-            adj.setdefault(b, []).append(a)
-        # within-chain degrees are 1 (open ends) or 2 by construction:
-        # walk from the min open end, or around the cycle from the min node
-        endpoints = sorted(p for p, v in adj.items() if len(v) == 1)
-        start = endpoints[0] if endpoints else min(adj)
-        path = [start]
-        prev = None
-        cur = start
-        while True:
-            nxt = [q for q in adj[cur] if q != prev]
-            if not nxt:
-                break               # reached the other open end
-            prev, cur = cur, min(nxt)
-            path.append(cur)
-            if cur == start:
-                break               # closed the cycle
-        px = np.asarray([p[0] + 0.5 for p in path])
-        py = np.asarray([p[1] + 0.5 for p in path])
-        a, b, c, d, e_, f_ = coef
-        line = np.column_stack(
-            [px * a + py * b + c, px * d + py * e_ + f_])
+        segs = []
+        la_col = pdf['la']
+        lb_col = pdf['lb']
+        for i, (ax, ay, bx, by) in enumerate(
+                zip(pdf['ax'], pdf['ay'], pdf['bx'], pdf['by'])):
+            a = (int(ax), int(ay))
+            b = (int(bx), int(by))
+            path = [a, b]
+            la = la_col.iloc[i]
+            lb = lb_col.iloc[i]
+            if pd.notna(la):
+                tl = (int(la) % 2097152, int(la) // 2097152)
+                if tl != a:
+                    path.insert(0, tl)
+            if pd.notna(lb):
+                tl = (int(lb) % 2097152, int(lb) // 2097152)
+                if tl != b:
+                    path.append(tl)
+            segs.append(path)
         from buzzard_spark.kernels import geometry as geom
-        return pd.DataFrame([{
-            'chain_id': cid,
-            'wkb': bytearray(geom.wkb_linestring(line)),
-            'n_pts': len(path),
-        }])
+        a_, b_, c_, d_, e_, f_ = coef
+        rows = []
+        for path in raster.merge_segments(segs):
+            px = np.asarray([p[0] + 0.5 for p in path])
+            py = np.asarray([p[1] + 0.5 for p in path])
+            line = np.column_stack(
+                [px * a_ + py * b_ + c_, px * d_ + py * e_ + f_])
+            rows.append({'chain_id': cid,
+                         'wkb': bytearray(geom.wkb_linestring(line)),
+                         'n_pts': len(path)})
+        return pd.DataFrame(rows)
 
     from buzzard_spark.session import checkpoint_release
     out = tagged.groupBy('chain_id').applyInPandas(_assemble, LINE_SCHEMA)
     # materialize the linework, release the persisted edge/fragment tables
     # (cache-lifetime contract — see session.checkpoint_release)
-    return checkpoint_release(out, [edges_px, m])
+    return checkpoint_release(out, [edges_px, m, pixels])
 
 
 # packed node id for the border-run graph: (tile_y, tile_x, lab) → int64.
