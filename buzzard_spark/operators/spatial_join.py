@@ -32,8 +32,17 @@ from buzzard_spark.kernels import cells
 
 def assign_cell(pages: DataFrame, res: int,
                 lat='lat', lng='lng', out='cell') -> DataFrame:
-    """Add the cell-id column (pure Catalyst expression)."""
-    return pages.withColumn(out, F.expr(sqlgen.cell_sql(lat, lng, res)))
+    """Add the cell-id column (pure Catalyst expression).
+
+    The expression is wrapped in a value-neutral ``coalesce(expr, 0)`` so
+    the column is provably NON-NULLABLE: without it, an inner join on the
+    cell infers an IsNotNull(cell) constraint that Catalyst pushes below
+    the projection, RECOMPUTING the whole cell expression (and its lat/lng
+    inputs) a second time per row inside a Filter node — measured as a
+    significant share of the flagship's map-stage cost (round 3)."""
+    expr = sqlgen.cell_sql(lat, lng, res)
+    return pages.withColumn(
+        out, F.expr(f'coalesce({expr}, CAST(0 AS BIGINT))'))
 
 
 def cover_cells_rect(regions: DataFrame, res: int, salt: int = 1) -> DataFrame:

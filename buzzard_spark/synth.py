@@ -71,6 +71,10 @@ def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None,
         lat = sqlgen.lat_sql('page_id')
     else:
         raise ValueError(f'unknown layout {layout!r}')
+    # lat/lng wrapped in value-neutral coalesce: provably non-nullable
+    # columns keep downstream inner joins from inferring IsNotNull
+    # constraints that would recompute the geoparse arithmetic inside an
+    # extra Filter node (see spatial_join.assign_cell)
     return df.select(
         'page_id',
         F.expr("concat('https://host', CAST(page_id % 1000 AS STRING), "
@@ -82,8 +86,8 @@ def synthetic_pages(spark: SparkSession, n: int, partitions: int | None = None,
         text.alias('text'),
         F.expr("element_at(array('en','fr','de','es','pt'), "
                "CAST(page_id % 5 AS INT) + 1)").alias('lang'),
-        F.expr(lat).alias('lat'),
-        F.expr(sqlgen.lng_sql('page_id')).alias('lng'),
+        F.expr(f'coalesce({lat}, 0D)').alias('lat'),
+        F.expr(f"coalesce({sqlgen.lng_sql('page_id')}, 0D)").alias('lng'),
     )
 
 

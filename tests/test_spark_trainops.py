@@ -218,3 +218,64 @@ def test_multimodal_fake_pipeline(spark):
 
     with pytest.raises(NotImplementedError, match='pil'):
         multimodal.decode_media_meta(df, decoder='pil')
+
+
+def test_multimodal_real_codec_seam(spark):
+    """Contract test for the pluggable real-codec seam (VERDICT r2 #10):
+    a real-shaped codec callable (bytes → decoded uint8 array, parsing a
+    binary image format with a struct header) ships through mapInPandas
+    and its DECODED sizes/dtypes drive metadata, features and frame
+    sampling — proving the seam carries real payloads, not just the fake
+    byte-derived stand-ins."""
+    import struct
+
+    def encode_img(arr):
+        h, w, c = arr.shape
+        return struct.pack('<III', h, w, c) + arr.tobytes()
+
+    def codec(buf):  # the 'real codec' plug-point: bytes -> np.ndarray
+        h, w, c = struct.unpack_from('<III', buf, 0)
+        return np.frombuffer(buf, np.uint8, h * w * c, 12).reshape(h, w, c)
+
+    rng = np.random.RandomState(4)
+    shapes = [(32, 48, 3), (17, 9, 3), (64, 64, 1), (5, 200, 3)]
+    imgs = [rng.randint(0, 256, s, dtype=np.uint8) for s in shapes]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_img(a))) for i, a in enumerate(imgs)],
+        'id long, payload binary').repartition(4)
+
+    meta = {r['id']: r for r in
+            multimodal.decode_media_meta(df, decoder=codec).collect()}
+    for i, a in enumerate(imgs):
+        assert (meta[i]['height'], meta[i]['width']) == a.shape[:2]
+        assert meta[i]['byte_len'] == 12 + a.size
+
+    # features come from the DECODED pixels (not the raw payload bytes):
+    # the computed vector equals the pixel-histogram projection exactly
+    same_pixels = imgs[0]
+    df2 = spark.createDataFrame(
+        [(0, bytearray(encode_img(same_pixels)))],
+        'id long, payload binary')
+    f_real = multimodal.extract_features(df2, dim=8, decoder=codec).collect()
+    want = np.bincount(same_pixels.ravel(), minlength=256)[:256] \
+        .astype(np.float32)
+    want /= np.linalg.norm(want)
+    proj = np.random.RandomState(123).randn(256, 8).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(f_real[0]['feature'], np.float32), want @ proj,
+        rtol=1e-5)
+
+    # frame sampling with a video-shaped codec: real frame bytes come back
+    vid = rng.randint(0, 256, (9, 4, 6, 3), dtype=np.uint8)
+
+    def vcodec(buf):
+        return np.frombuffer(buf, np.uint8).reshape(9, 4, 6, 3)
+
+    vdf = spark.createDataFrame(
+        [(7, bytearray(vid.tobytes()))], 'id long, payload binary')
+    frames = {r['frame_idx']: bytes(r['frame']) for r in
+              multimodal.sample_frames(vdf, every_n=4,
+                                       decoder=vcodec).collect()}
+    assert set(frames) == {0, 4, 8}
+    for fi, blob in frames.items():
+        assert blob == vid[fi].tobytes()
