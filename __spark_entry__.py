@@ -253,6 +253,48 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash64(_spread(docs))
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3) via the pigeonhole band
+    index (Manku et al. WWW'07) — never a quadratic self-join. The oracle
+    recomputes the identical md5-nibble simhashes in DuckDB and brute-
+    forces all pairs with bit_count(xor), so band recall is value-checked
+    to be EXACT (pigeonhole guarantees it)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    sims = dedup_ops.simhash64(_spread(corpus))
+    return dedup_ops.simhash_near_pairs(sims, max_hamming=3)
+
+
+def q_find_lines_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed find_lines end-to-end (iterative halo thinning →
+    square collapse → edge graph → fragment CC → chain merge) over
+    deterministic diagonal linestrings; reported as (n_chains,
+    total_pts). Geometry output is non-SQL-expressible — rows-only driver
+    check; distributed == kernel (incl. blob masks) pinned by
+    tests/test_spark_raster.py."""
+    import numpy as np
+
+    from buzzard_spark.kernels import geometry as geom
+
+    cols = sqlgen.region_cols_np(np.arange(50))
+    rows = []
+    for i in range(50):
+        x0 = float(cols['clng'][i] - cols['halfw'][i])
+        x1 = float(cols['clng'][i] + cols['halfw'][i])
+        y0 = float(cols['clat'][i] - cols['halfh'][i])
+        y1 = float(cols['clat'][i] + cols['halfh'][i])
+        line = np.asarray([(x0, y0), (x1, y1)])
+        rows.append((i, bytearray(geom.wkb_linestring(line)),
+                     y0, x0, y1, x1))
+    lines_df = spark.createDataFrame(
+        rows, 'line_id long, wkb binary, minlat double, minlng double, '
+              'maxlat double, maxlng double')
+    tiles = raster_ops.rasterize_lines(spark, TILE_FP, lines_df,
+                                       tile_size=64)
+    out = raster_ops.vectorize_lines(spark, TILE_FP, tiles, tile_size=64)
+    return out.agg(F.count('*').alias('n_chains'),
+                   F.sum('n_pts').cast('long').alias('total_pts'))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 8 vectors as probes."""
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
@@ -344,6 +386,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'token_count': q_token_count,
     'dedup_near_pairs': q_dedup_near_pairs,
     'simhash': q_simhash,
+    'simhash_near_pairs': q_simhash_near_pairs,
+    'find_lines_total': q_find_lines_total,
     'ann_topk': q_ann_topk,
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
@@ -374,6 +418,20 @@ def _near_dup_ctes() -> str:
         'CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS j '
         'FROM co JOIN (SELECT doc_id, len(s) n FROM sh) la ON la.doc_id = ia '
         'JOIN (SELECT doc_id, len(s) n FROM sh) lb ON lb.doc_id = ib)')
+
+
+def _corpus_text_ctes() -> str:
+    """The near-dup corpus (documents ∪ truncated copies) re-serialized to
+    text for the simhash oracles: simhash depends only on the token LIST,
+    and rejoining tokens with single spaces re-splits to the same list."""
+    return (
+        "toks AS (SELECT doc_id, string_split_regex(trim(text), "
+        "'\\s+') w FROM documents), "
+        'corpus AS (SELECT doc_id, w FROM toks UNION ALL '
+        'SELECT doc_id + 1000000, w[1:len(w) - 10] FROM toks '
+        'WHERE len(w) > 20), '
+        "corpus_text AS (SELECT doc_id, array_to_string(w, ' ') AS text "
+        'FROM corpus)')
 
 
 def _oracle_pages_cte() -> str:
@@ -594,6 +652,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) "
             'AS BIGINT) AS n_tokens FROM documents'),
         'simhash': text_ops.simhash_duckdb_sql('documents'),
+        # brute-force all-pairs truth: the engine's pigeonhole band index
+        # must find EVERY pair at hamming <= 3 (recall is exact by
+        # construction, not probabilistic)
+        'simhash_near_pairs': (
+            'WITH ' + _corpus_text_ctes() + ', s AS ('
+            + text_ops.simhash_duckdb_sql('corpus_text') + ') '
+            'SELECT a.doc_id AS id_a, b.doc_id AS id_b, '
+            'CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming '
+            'FROM s a JOIN s b ON a.doc_id < b.doc_id '
+            'AND bit_count(xor(a.simhash, b.simhash)) <= 3'),
         # near-dup pairs via an exact inverted-shingle index (the LSH engine
         # path must equal this all-pairs truth at threshold 0.6)
         'dedup_near_pairs': (

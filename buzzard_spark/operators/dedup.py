@@ -299,9 +299,51 @@ def simhash64(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
 
 
 def hamming64(col_a: str, col_b: str) -> F.Column:
-    """Hamming distance between two 64-bit simhash columns (JVM)."""
-    # lambda var must not shadow dataframe aliases used in col_a/col_b
-    return F.expr(
-        f'aggregate(transform(sequence(0, 63), bitn -> '
-        f'CAST((({col_a} >> bitn) & 1) != (({col_b} >> bitn) & 1) AS INT)), '
-        '0, (acc, x) -> acc + x)')
+    """Hamming distance between two 64-bit simhash columns (JVM):
+    single popcount of the xor (round 2 used a 64-step fold)."""
+    return F.expr(f'CAST(bit_count({col_a} ^ {col_b}) AS INT)')
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
+                       sim_col: str = 'simhash',
+                       max_hamming: int = 3) -> DataFrame:
+    """All pairs within ``max_hamming`` bits of each other — banded
+    (pigeonhole) search, never a quadratic self-join.
+
+    The 64-bit simhash splits into ``max_hamming + 1`` bit-bands: two
+    hashes differing in ≤ k bits agree EXACTLY on at least one band
+    (pigeonhole — the standard simhash dedup index, e.g. Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07). Candidates are
+    an equi-join on (band index, band value); the verify is one
+    ``bit_count(xor)``. At 10^12 docs the band tables are the only
+    shuffles, keyed by 16-bit band values — boilerplate floods make hot
+    band buckets, which AQE skew-split handles; a bucket cap + star
+    (as in ``lsh_candidate_pairs``) is the escalation if needed.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+
+    def band_expr(b):
+        lo = b * width
+        w = 64 - lo if b == nb - 1 else width
+        mask = (1 << w) - 1
+        # arithmetic shift is fine: the mask drops the sign-filled bits
+        return (f"named_struct('b', {b}, "
+                f"'v', shiftright({sim_col}, {lo}) & {mask}L)")
+
+    banded = df.select(
+        F.col(id_col).alias('_id'), F.col(sim_col).alias('_sim'),
+        F.explode(F.array(*[F.expr(band_expr(b))
+                            for b in range(nb)])).alias('band'))
+    a = banded.alias('a')
+    b = banded.alias('b')
+    cand = (a.join(b, (F.col('a.band') == F.col('b.band')) &
+                      (F.col('a._id') < F.col('b._id')))
+            .select(F.col('a._id').alias('id_a'),
+                    F.col('b._id').alias('id_b'),
+                    hamming64('a._sim', 'b._sim').alias('hamming'))
+            .where(F.col('hamming') <= max_hamming)
+            .distinct())
+    return cand

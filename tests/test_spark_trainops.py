@@ -101,6 +101,34 @@ def test_lsh_bucket_cap_signature_grouped_star(spark):
     assert got == want
 
 
+def test_simhash_near_pairs_banded_equals_brute(spark):
+    """The pigeonhole band index finds EXACTLY the brute-force pair set at
+    hamming <= k (recall is guaranteed, not probabilistic), including
+    negative simhashes (bit 63 set — arithmetic-shift masking)."""
+    rng = np.random.RandomState(11)
+    base = np.int64(rng.randint(-2**62, 2**62, 30, dtype=np.int64))
+    sims = list(base)
+    for i in range(10):  # planted near-dups: flip <= 3 bits of some base
+        v = int(base[i])
+        for b in rng.choice(64, size=rng.randint(0, 4), replace=False):
+            v ^= (1 << int(b))
+        sims.append(np.int64(v))
+    sims[5] = np.int64(-1)  # all-ones
+    sims.append(np.int64(2**63 - 1))  # differs from all-ones in bit 63 only
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sims)],
+        'doc_id long, simhash long')
+    got = {(r['id_a'], r['id_b'], r['hamming']) for r in
+           dedup.simhash_near_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            h = bin((int(sims[i]) ^ int(sims[j])) & ((1 << 64) - 1)).count('1')
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want and want  # nonempty by construction
+
+
 def test_dedup_clusters_transitive(spark):
     """Pairs (a,b), (b,c), (x,y) → clusters {a,b,c} and {x,y}; chain of 6
     exercises multi-round propagation."""
