@@ -306,6 +306,47 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select('qid', 'vec_id', 'rnk'))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN probing ALL cells (nprobe == n_cells) — exhaustive, so
+    the driver oracle is the same brute-force truth as `ann_topk` while
+    the query exercises the full IVF plumbing (deterministic spherical
+    k-means quantizer, matmul cell assignment, per-cell equi-join). The
+    nprobe < n_cells recall tradeoff is pinned by pytest
+    (test_ivf_topk_exact_when_probing_all_cells)."""
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    corpus = emb.select('vec_id', F.col('embedding').alias('vec'))
+    queries = (emb.where(F.col('vec_id') < 8)
+               .select(F.col('vec_id').alias('qid'),
+                       F.col('embedding').alias('qvec')))
+    return (similarity_ops.ivf_topk(corpus, queries, 10,
+                                    n_cells=16, nprobe=16)
+            .select('qid', 'vec_id', 'rnk'))
+
+
+def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.9 — EXACT
+    block-matrix similarity self-join (operators.similarity
+    cosine_near_pairs: B·(B+1)/2 block-pair tasks, one numpy matmul each,
+    no crossJoin). The corpus plants 100 near-duplicates (vec_id < 100
+    copied to id+1e6 with +0.01 on the first coordinate: cosine ≥ 0.99995
+    to the original, ≤ 0.61 to everything else — membership margins are
+    ~0.4 on both sides, so float32/float64 engine differences can never
+    flip a row). Oracle: DuckDB brute-force all-pairs over the identical
+    double-cast corpus."""
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    base = emb.select(
+        'vec_id',
+        F.expr('transform(embedding, x -> CAST(x AS DOUBLE))').alias('e'))
+    pert = ('concat(array(e[0] + CAST(1e-2 AS DOUBLE)), '
+            'slice(e, 2, size(e) - 1))')
+    copies = (base.where('vec_id < 100')
+              .select((F.col('vec_id') + 1000000).alias('vec_id'),
+                      F.expr(pert).alias('e')))
+    corpus = base.unionByName(copies)
+    return similarity_ops.cosine_near_pairs(
+        _spread(corpus), threshold=0.9, n_blocks=8, vec_col='e')
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality score + token count in one pass."""
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
@@ -389,6 +430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'simhash_near_pairs': q_simhash_near_pairs,
     'find_lines_total': q_find_lines_total,
     'ann_topk': q_ann_topk,
+    'ivf_topk': q_ivf_topk,
+    'cosine_near_pairs': q_cosine_near_pairs,
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
     'host_counts': q_host_counts,
@@ -690,6 +733,27 @@ def oracle_sql() -> dict[str, str]:
             'c.vec_id ASC) AS INT) AS rnk '
             'FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 8) '
             'WHERE rnk <= 10'),
+        # exhaustive IVF == brute force: identical truth as ann_topk
+        'ivf_topk': (
+            'SELECT qid, vec_id, rnk FROM ('
+            'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '
+            'CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY '
+            'list_cosine_similarity(q.embedding, c.embedding) DESC, '
+            'c.vec_id ASC) AS INT) AS rnk '
+            'FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 8) '
+            'WHERE rnk <= 10'),
+        # exact all-pairs truth for the block-matrix cosine join; ids only
+        # (membership, not float values) — margins are ~0.4 by construction
+        'cosine_near_pairs': (
+            'WITH base AS (SELECT vec_id, list_transform(embedding, '
+            'x -> CAST(x AS DOUBLE)) AS e FROM embeddings), '
+            'copies AS (SELECT vec_id + 1000000 AS vec_id, '
+            '[e[1] + CAST(1e-2 AS DOUBLE)] || e[2:] AS e '
+            'FROM base WHERE vec_id < 100), '
+            'corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies) '
+            'SELECT a.vec_id AS id_a, b.vec_id AS id_b '
+            'FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id '
+            'AND list_cosine_similarity(a.e, b.e) >= CAST(9e-1 AS DOUBLE)'),
         'lang_quality': (
             'SELECT doc_id, CAST({tok} AS BIGINT) AS n_tokens, '
             '{lang} AS lang_pred, {qual} AS quality FROM documents'

@@ -307,3 +307,63 @@ def test_multimodal_real_codec_seam(spark):
     assert set(frames) == {0, 4, 8}
     for fi, blob in frames.items():
         assert blob == vid[fi].tobytes()
+
+
+def test_cosine_near_pairs_blockmatrix_equals_brute(spark):
+    """Exact block-matrix cosine threshold join == numpy brute force, with
+    n_blocks=3 so diagonal (bi==bj) and off-diagonal block pairs are both
+    exercised, planted near-dups crossing block boundaries, and ids out of
+    order."""
+    from buzzard_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 16)
+    for i in range(8):  # planted: row 30+i is a small perturbation of row i
+        X[30 + i] = X[i] + 0.01 * rng.randn(16)
+    ids = rng.permutation(1000)[:40]  # arbitrary non-contiguous ids
+    df = spark.createDataFrame(
+        [(int(ids[i]), [float(v) for v in X[i]]) for i in range(40)],
+        'vec_id long, vec array<double>')
+    got = {(r['id_a'], r['id_b']) for r in
+           similarity.cosine_near_pairs(df, threshold=0.95, n_blocks=3)
+           .collect()}
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = U @ U.T
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if S[i, j] >= 0.95:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b))
+    assert got == want and len(want) >= 8
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """nprobe == n_cells makes IVF-Flat exhaustive: result must EQUAL
+    brute_topk (same ids, same ranks). With nprobe < n_cells, recall
+    against brute truth stays >= 0.8 on clustered data."""
+    from buzzard_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 12) * 3
+    X = np.vstack([centers[i % 8] + rng.randn(12) * 0.3 for i in range(160)])
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(160)],
+        'vec_id long, vec array<double>')
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in X[i] + 0.01]) for i in range(6)],
+        'qid long, qvec array<double>')
+
+    brute = {(r['qid'], r['rnk']): r['vec_id'] for r in
+             similarity.brute_topk(corpus, queries, 5).collect()}
+    exact = {(r['qid'], r['rnk']): r['vec_id'] for r in
+             similarity.ivf_topk(corpus, queries, 5, n_cells=8,
+                                 nprobe=8).collect()}
+    assert exact == brute
+
+    approx = {(r['qid'], r['rnk']): r['vec_id'] for r in
+              similarity.ivf_topk(corpus, queries, 5, n_cells=8,
+                                  nprobe=2).collect()}
+    hits = sum(1 for key, vid in brute.items() if approx.get(key) == vid
+               or vid in {v for k2, v in approx.items() if k2[0] == key[0]})
+    assert hits / len(brute) >= 0.8
