@@ -81,3 +81,26 @@ def stream_cell_assign(pages: DataFrame, res: int,
     """Stateless cell assignment on a stream — identical expression to the
     batch operator (operators.spatial_join.assign_cell)."""
     return pages.withColumn('cell', F.expr(sqlgen.cell_sql(lat, lng, res)))
+
+
+def stream_dedup_exact(docs: DataFrame, watermark: str = '2 hours',
+                       ts_col: str = 'ts',
+                       content_col: str = 'text') -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash passes,
+    replays within the watermark horizon are dropped — the ingestion-side
+    twin of ``operators.dedup.exact_dedup`` for a continuous crawl feed.
+
+    ``dropDuplicates`` on a watermarked stream keeps one state row per
+    distinct content hash and expires it once the event time falls behind
+    the watermark — state is bounded by the distinct-content arrival rate
+    within the horizon, not by stream length (the property that makes
+    this runnable forever on a 100-TB/day feed; a crawl that re-fetches a
+    page weeks later re-admits it, which is the standard horizon
+    semantics). The hash is the md5 fingerprint the batch path
+    (``operators.dedup.exact_dedup``) groups by — one definition, two
+    execution modes."""
+    return (docs
+            .withColumn('content_hash',
+                        F.md5(F.encode(F.col(content_col), 'utf-8')))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(['content_hash']))

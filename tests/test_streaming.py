@@ -106,3 +106,42 @@ def test_stream_cell_assign_matches_batch(spark, tmp_path):
              for r in assign_cell(spark.read.parquet(pages_dir), 9)
              .select('page_id', 'cell').collect()}
     assert got == truth
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Exact dedup over 3 micro-batches: duplicates within AND across
+    micro-batches are dropped; the survivor set equals the batch
+    keep-first truth (doc_id ascends with arrival order by construction,
+    so first-seen == min doc_id)."""
+    import time
+
+    src = tmp_path / 'docs_stream'
+    src.mkdir()
+    batches = [
+        [(0, '2024-01-01 00:00:00', 'alpha bravo'),
+         (1, '2024-01-01 00:01:00', 'charlie delta'),
+         (2, '2024-01-01 00:02:00', 'alpha bravo')],      # intra-batch dup
+        [(3, '2024-01-01 01:00:00', 'alpha bravo'),       # cross-batch dup
+         (4, '2024-01-01 01:01:00', 'echo foxtrot')],
+        [(5, '2024-01-01 02:00:00', 'charlie delta'),     # cross-batch dup
+         (6, '2024-01-01 02:01:00', 'golf hotel')],
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, 'doc_id long, ts string, text string')
+         .withColumn('ts', F.to_timestamp('ts'))
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    stream = (spark.readStream
+              .schema('doc_id long, ts timestamp, text string')
+              .option('maxFilesPerTrigger', 1)
+              .parquet(f'{src}/*'))
+    out = stream_ops.stream_dedup_exact(stream)
+    sink = _run_stream(out.select('doc_id', 'text'), tmp_path, mode='append')
+    got = {r['doc_id'] for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    assert got == {0, 1, 4, 6}
+
+    from buzzard_spark.operators import dedup
+    batch_df = spark.read.schema(
+        'doc_id long, ts timestamp, text string').parquet(f'{src}/*')
+    keep = {r['keep_id'] for r in dedup.exact_dedup(batch_df).collect()}
+    assert got == keep
