@@ -223,12 +223,54 @@ class SnapshotTable:
         return good
 
     def read(self, spark: SparkSession,
-             dedupe_keys: list[str] | None = None) -> DataFrame:
+             dedupe_keys: list[str] | None = None,
+             as_of: int | None = None,
+             minmax_filter: dict | None = None) -> DataFrame:
         """Union of all valid snapshots. With ``dedupe_keys``, later
-        snapshots win per key (read-modify-write / set_data semantics)."""
+        snapshots win per key (read-modify-write / set_data semantics).
+
+        ``as_of``: time travel — read the table as of snapshot id N
+        (snapshots appended later are invisible), the Iceberg-style
+        reproducibility contract a resumable pipeline needs.
+
+        ``minmax_filter``: ``{col: (lo, hi)}`` — manifest-level file
+        skipping: a data file whose recorded column min/max range does not
+        intersect [lo, hi] is never handed to the parquet scan. This is
+        the scan-planning layer ABOVE parquet row-group pruning: at 100 TB
+        the manifest prunes thousands of files driver-side before Spark
+        lists a single one. Incompatible with ``dedupe_keys`` (skipping a
+        file could hide the LATEST version of a key whose new value moved
+        outside the range, resurrecting a stale row — the engine refuses
+        rather than guessing)."""
         manifests = self._valid_manifests()
+        if as_of is not None:
+            manifests = [m for m in manifests if m['snapshot_id'] <= as_of]
         if not manifests:
-            raise FileNotFoundError(f'no valid snapshots under {self.root}')
+            raise FileNotFoundError(
+                f'no valid snapshots under {self.root}'
+                + (f' at snapshot {as_of}' if as_of is not None else ''))
+        if minmax_filter is not None:
+            if dedupe_keys is not None:
+                raise ValueError(
+                    'minmax_filter cannot combine with dedupe_keys: file '
+                    'skipping may hide the latest version of a key')
+            paths = []
+            for m in manifests:
+                for f in m['files']:
+                    keep = True
+                    for c, (lo, hi) in minmax_filter.items():
+                        st = (f.get('column_minmax') or {}).get(c)
+                        if st is not None and (st[0] > hi or st[1] < lo):
+                            keep = False
+                            break
+                    if keep:
+                        paths.append(os.path.join(self.root, f['path']))
+            if not paths:
+                # preserve schema: scan one file, filter all rows out
+                any_path = os.path.join(
+                    self.root, manifests[0]['files'][0]['path'])
+                return spark.read.parquet(any_path).where(F.lit(False))
+            return spark.read.parquet(*paths)
         if dedupe_keys is None:
             dirs = [os.path.join(self.root, m['data_dir']) for m in manifests]
             return spark.read.parquet(*dirs)

@@ -133,3 +133,40 @@ def test_atomic_current_pointer(spark, fp, tmp_path):
     # appending again bumps the snapshot and links the parent
     df, _ = cached_tile_compute(spark, fp, 50, _ramp, root)  # warm, no-op
     assert table.current_snapshot_id() == 1
+
+
+def test_time_travel_and_minmax_file_skipping(spark, tmp_path):
+    """as_of reads the table frozen at a snapshot id; minmax_filter prunes
+    whole data files from the manifest stats without touching parquet."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / 'tt')
+    table = SnapshotTable(root)
+    for lo in (0, 100, 200):  # 3 snapshots with disjoint key ranges
+        df = spark.range(lo, lo + 100).select(
+            F.col('id').alias('k'), (F.col('id') * 2).alias('v'))
+        table.append(df.coalesce(1))
+
+    # time travel: snapshot 2 sees the first two appends only
+    assert table.read(spark).count() == 300
+    as_of2 = table.read(spark, as_of=2)
+    assert as_of2.count() == 200
+    assert as_of2.agg(F.max('k')).first()[0] == 199
+    assert table.read(spark, as_of=1).count() == 100
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, as_of=0)
+
+    # manifest min/max skipping: k in [150, 160] intersects only the
+    # middle snapshot's file — exactly one parquet file is scanned
+    pruned = table.read(spark, minmax_filter={'k': (150, 160)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.where('k BETWEEN 150 AND 160').count() == 11
+
+    # a range outside every file prunes everything but keeps the schema
+    empty = table.read(spark, minmax_filter={'k': (9000, 9999)})
+    assert empty.count() == 0
+    assert empty.columns == ['k', 'v']
+
+    # refusal: pruning cannot combine with latest-wins dedup
+    with pytest.raises(ValueError):
+        table.read(spark, dedupe_keys=['k'], minmax_filter={'k': (0, 1)})
