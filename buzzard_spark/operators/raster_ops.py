@@ -325,12 +325,21 @@ def thin_tiles(spark: SparkSession, mask_tiles: DataFrame,
     tiles = mask_tiles.select('tile_y', 'tile_x', 'y0', 'x0', 'h', 'w',
                               'mask')
     ckpts = []
-    for _ in range(max_iters):
+    for _ in range(0, max_iters, 2):
+        # TWO full iterations materialize per convergence job (the CC
+        # sig-every-other-round trick): carry resets at the iteration
+        # boundary, so the checked sum counts ONLY the second iteration's
+        # deletions — zero means a full iteration deleted nothing, the
+        # sound fixpoint criterion. Worst case runs one extra iteration at
+        # the fixpoint, which deletes nothing (thinning is idempotent
+        # there), so the output mask is bit-identical at half the jobs.
         t0 = _thin_subiter(tiles, 0, carry=False)
-        t1 = _thin_subiter(t0, 1, carry=True).localCheckpoint(eager=False)
-        ckpts.append(t1)
-        total = t1.agg(F.sum('_chg')).collect()[0][0] or 0
-        tiles = t1
+        t1 = _thin_subiter(t0, 1, carry=True)
+        t2 = _thin_subiter(t1, 0, carry=False)
+        t3 = _thin_subiter(t2, 1, carry=True).localCheckpoint(eager=False)
+        ckpts.append(t3)
+        total = t3.agg(F.sum('_chg')).collect()[0][0] or 0
+        tiles = t3
         if total == 0:
             break
     else:
