@@ -119,3 +119,39 @@ def test_cell_assign_no_python(spark, pages_parquet):
     plan = _plan(q)
     assert 'Python' not in plan
     assert '*(' in plan  # whole-stage-codegen stage markers
+
+
+def test_new_similarity_and_simhash_plans_no_cartesian(spark):
+    """The round-3 pair operators must never plan a cartesian product:
+    simhash_near_pairs is an equi-join on (band, value);
+    cosine_near_pairs joins through the broadcast block-pair table and a
+    single shuffle keyed by (bi, bj); ivf_topk candidates arrive via an
+    equi-join on cell id. No BatchEvalPython anywhere (the pandas stages
+    are Arrow [FlatMap]GroupsInPandas/MapInPandas by construction)."""
+    import numpy as np
+
+    from buzzard_spark.operators import dedup, similarity
+
+    sims = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], 'doc_id long, simhash long')
+    q1 = dedup.simhash_near_pairs(sims, max_hamming=3)
+    p1 = _plan(q1)
+    assert 'CartesianProduct' not in p1 and 'BroadcastNestedLoopJoin' not in p1
+    assert 'BatchEvalPython' not in p1
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in np.arange(8) + i]) for i in range(40)],
+        'vec_id long, vec array<double>')
+    q2 = similarity.cosine_near_pairs(emb, threshold=0.9, n_blocks=4)
+    p2 = _plan(q2)
+    assert 'CartesianProduct' not in p2 and 'BroadcastNestedLoopJoin' not in p2
+    assert 'BroadcastHashJoin' in p2  # the block-pair replication joins
+    assert 'BatchEvalPython' not in p2
+
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in np.arange(8) + i]) for i in range(3)],
+        'qid long, qvec array<double>')
+    q3 = similarity.ivf_topk(emb, queries, 5, n_cells=4, nprobe=2)
+    p3 = _plan(q3)
+    assert 'CartesianProduct' not in p3 and 'BroadcastNestedLoopJoin' not in p3
+    assert 'BatchEvalPython' not in p3
