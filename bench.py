@@ -265,6 +265,23 @@ def main() -> None:
     from buzzard_spark.session import get_session
 
     spark = get_session(app_name='bench')
+    # one-time session warmup so per-query walls measure the operators,
+    # not first-use costs billed to whichever query runs first: JVM
+    # codegen, Arrow/pandas Python worker pool spin-up, and the window
+    # codegen path (measured 5-7s of one-time cost otherwise landing on
+    # the first applyInPandas query of the sweep)
+    import pandas as _pd
+    from pyspark.sql import functions as F_
+    from pyspark.sql.window import Window as _W
+    warm = spark.range(0, 100_000, 1, 8).selectExpr('id', 'id % 7 AS k')
+    warm.groupBy('k').applyInPandas(
+        lambda pdf: _pd.DataFrame({'k': [int(pdf['k'].iloc[0])],
+                                   'n': [len(pdf)]}), 'k long, n long') \
+        .write.format('noop').mode('overwrite').save()
+    warm.select(F_.row_number().over(
+        _W.partitionBy('k').orderBy('id')).alias('rn')) \
+        .where('rn <= 3').write.format('noop').mode('overwrite').save()
+
     per_query = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
