@@ -347,6 +347,25 @@ def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(corpus), threshold=0.9, n_blocks=8, vec_col='e')
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline — the operators COMPOSED the way
+    a training-data build uses them: exact-dedup keep-first (md5 content
+    fingerprint, min doc_id survives) → quality gate (shared deterministic
+    double arithmetic, identical in both engines so the threshold can
+    never disagree) → per-language rollup. Outputs are counts and BIGINT
+    sums only (integer aggregation is order-independent — no float-sum
+    reassociation hazard in the cross-engine hash compare)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    keep = (dedup_ops.exact_dedup(docs)
+            .select(F.col('keep_id').alias('doc_id')))
+    prof = text_ops.analyze(_spread(docs).join(keep, 'doc_id'))
+    return (prof.where(F.col('quality') >= 0.5)
+            .groupBy('lang_pred',
+                     F.expr('n_tokens DIV 10').alias('len_bucket'))
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('n_tokens').alias('total_tokens')))
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality score + token count in one pass."""
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
@@ -432,6 +451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'ann_topk': q_ann_topk,
     'ivf_topk': q_ivf_topk,
     'cosine_near_pairs': q_cosine_near_pairs,
+    'corpus_pipeline': q_corpus_pipeline,
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
     'host_counts': q_host_counts,
@@ -754,6 +774,23 @@ def oracle_sql() -> dict[str, str]:
             'SELECT a.vec_id AS id_a, b.vec_id AS id_b '
             'FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id '
             'AND list_cosine_similarity(a.e, b.e) >= CAST(9e-1 AS DOUBLE)'),
+        # the composed pipeline: keep-first exact dedup -> quality gate ->
+        # per-language integer rollup (quality doubles are engine-identical,
+        # so the 0.5 threshold can never disagree)
+        'corpus_pipeline': (
+            'WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents '
+            'GROUP BY md5(text)), '
+            'prof AS (SELECT d.doc_id, CAST({tok} AS BIGINT) AS n_tokens, '
+            '{lang} AS lang_pred, {qual} AS quality '
+            'FROM documents d JOIN keep USING (doc_id)) '
+            'SELECT lang_pred, n_tokens // 10 AS len_bucket, '
+            'COUNT(*) AS n_docs, '
+            'CAST(SUM(n_tokens) AS BIGINT) AS total_tokens '
+            'FROM prof WHERE quality >= CAST(5e-1 AS DOUBLE) '
+            'GROUP BY lang_pred, len_bucket'
+        ).format(tok=text_ops.token_count_sql('text', 'duckdb'),
+                 lang=text_ops.lang_id_sql('text'),
+                 qual=text_ops.quality_sql('text', 'duckdb')),
         'lang_quality': (
             'SELECT doc_id, CAST({tok} AS BIGINT) AS n_tokens, '
             '{lang} AS lang_pred, {qual} AS quality FROM documents'
