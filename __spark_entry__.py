@@ -347,6 +347,22 @@ def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(corpus), threshold=0.9, n_blocks=8, vec_col='e')
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token count (GPT-2-style regex, ASCII/no-lookahead so
+    Java regex and RE2 agree) next to the whitespace count, over documents
+    suffixed with a deterministic contraction/number/punctuation tail so
+    every regex branch exercises (the raw corpus is plain lowercase
+    words). Both engines run the byte-identical pattern."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    aug = "concat(text, ' it\\'s 2024-ish, #42!')"
+    return _spread(docs).select(
+        'doc_id',
+        F.expr(text_ops.bpe_token_count_sql(aug)).cast('long')
+        .alias('n_bpe_tokens'),
+        F.expr(text_ops.token_count_sql(aug)).cast('long')
+        .alias('n_ws_tokens'))
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-cleaning pipeline — the operators COMPOSED the way
     a training-data build uses them: exact-dedup keep-first (md5 content
@@ -451,6 +467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'ann_topk': q_ann_topk,
     'ivf_topk': q_ivf_topk,
     'cosine_near_pairs': q_cosine_near_pairs,
+    'token_count_bpe': q_token_count_bpe,
     'corpus_pipeline': q_corpus_pipeline,
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
@@ -774,6 +791,13 @@ def oracle_sql() -> dict[str, str]:
             'SELECT a.vec_id AS id_a, b.vec_id AS id_b '
             'FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id '
             'AND list_cosine_similarity(a.e, b.e) >= CAST(9e-1 AS DOUBLE)'),
+        'token_count_bpe': (
+            "WITH aug AS (SELECT doc_id, concat(text, ' it''s 2024-ish, "
+            '#42!\') AS text FROM documents) '
+            'SELECT doc_id, CAST({bpe} AS BIGINT) AS n_bpe_tokens, '
+            'CAST({ws} AS BIGINT) AS n_ws_tokens FROM aug'
+        ).format(bpe=text_ops.bpe_token_count_sql('text', 'duckdb'),
+                 ws=text_ops.token_count_sql('text', 'duckdb')),
         # the composed pipeline: keep-first exact dedup -> quality gate ->
         # per-language integer rollup (quality doubles are engine-identical,
         # so the 0.5 threshold can never disagree)

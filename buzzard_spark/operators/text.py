@@ -147,3 +147,23 @@ def analyze(df: DataFrame, text_col: str = 'text',
         F.expr(lang_id_sql(text_col)).alias('lang_pred'),
         F.expr(quality_sql(text_col)).alias('quality'),
     )
+
+BPE_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9']+|\\s+")
+"""GPT-2-style pre-tokenization regex, simplified to ASCII classes and no
+lookahead (public pattern shape from the GPT-2 BPE paper/code): contraction
+suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+residual whitespace. ASCII classes + no lookahead keep Java-regex (Spark)
+and RE2 (DuckDB) semantics identical; both engines scan leftmost-first."""
+
+
+def bpe_token_count_sql(text_col: str, dialect: str = 'spark') -> str:
+    """Count of BPE-ish pre-tokens — the subword-tokenizer-shaped budget
+    estimate a training pipeline tracks next to the whitespace count.
+    Identical match semantics in both engines (see BPE_PRETOKEN_PATTERN);
+    only the string-literal escaping differs per dialect."""
+    if dialect == 'duckdb':
+        lit = BPE_PRETOKEN_PATTERN.replace("'", "''")
+        return f"len(regexp_extract_all({text_col}, '{lit}'))"
+    lit = BPE_PRETOKEN_PATTERN.replace('\\', '\\\\').replace("'", "\\'")
+    return f"regexp_count({text_col}, '{lit}')"

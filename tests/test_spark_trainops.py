@@ -367,3 +367,21 @@ def test_ivf_topk_exact_when_probing_all_cells(spark):
     hits = sum(1 for key, vid in brute.items() if approx.get(key) == vid
                or vid in {v for k2, v in approx.items() if k2[0] == key[0]})
     assert hits / len(brute) >= 0.8
+
+
+def test_bpe_token_count_branches(spark):
+    """The BPE-ish pre-tokenizer count matches Python re.findall on inputs
+    exercising every branch: contractions, space-prefixed words, digit
+    runs, punctuation runs, residual whitespace."""
+    import re
+
+    cases = ["it's 2024-ish, #42!", 'plain words only', "can't won't",
+             'a  b   c', '...', '', 'x9y8', "  leading", 'trail  ']
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], 'doc_id long, text string')
+    got = {r['doc_id']: r['n'] for r in df.select(
+        'doc_id',
+        F.expr(text.bpe_token_count_sql('text')).alias('n')).collect()}
+    want = {i: len(re.findall(text.BPE_PRETOKEN_PATTERN, t))
+            for i, t in enumerate(cases)}
+    assert got == want
