@@ -385,3 +385,24 @@ def test_bpe_token_count_branches(spark):
     want = {i: len(re.findall(text.BPE_PRETOKEN_PATTERN, t))
             for i, t in enumerate(cases)}
     assert got == want
+
+
+def test_cosine_near_pairs_invariant_to_block_count(spark):
+    """The pair set is a pure function of the data — block decomposition
+    (1, 2, 7 blocks) must never change it (partitioning correctness, the
+    property that survives a 100x scale-up repartition)."""
+    from buzzard_spark.operators import similarity
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(30, 12)
+    X[20:] = X[:10] + 0.02 * rng.randn(10, 12)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        'vec_id long, vec array<double>')
+    results = [
+        {(r['id_a'], r['id_b']) for r in
+         similarity.cosine_near_pairs(df, threshold=0.9, n_blocks=b)
+         .collect()}
+        for b in (1, 2, 7)]
+    assert results[0] == results[1] == results[2]
+    assert results[0]  # planted dups present
