@@ -306,8 +306,9 @@ def hamming64(col_a: str, col_b: str) -> F.Column:
 
 def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
                        sim_col: str = 'simhash',
-                       max_hamming: int = 3) -> DataFrame:
-    """All pairs within ``max_hamming`` bits of each other — banded
+                       max_hamming: int = 3,
+                       class_cap: int = 64) -> DataFrame:
+    """Pairs within ``max_hamming`` bits of each other — banded
     (pigeonhole) search, never a quadratic self-join.
 
     The 64-bit simhash splits into ``max_hamming + 1`` bit-bands: two
@@ -315,15 +316,50 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
     (pigeonhole — the standard simhash dedup index, e.g. Manku et al.,
     "Detecting Near-Duplicates for Web Crawling", WWW'07). Candidates are
     an equi-join on (band index, band value); the verify is one
-    ``bit_count(xor)``. At 10^12 docs the band tables are the only
-    shuffles, keyed by 16-bit band values — boilerplate floods make hot
-    band buckets, which AQE skew-split handles; a bucket cap + star
-    (as in ``lsh_candidate_pairs``) is the escalation if needed.
+    ``bit_count(xor)``.
+
+    Boilerplate hardening (the ``lsh_candidate_pairs`` cap-and-star
+    pattern, applied to hashes): only DISTINCT simhash values enter the
+    band index — a crawl where 10^6 pages share one template hash would
+    otherwise make every one of its band buckets quadratic. Identical-hash
+    classes at or below ``class_cap`` expand to their full intra/cross
+    pair lists (the exact all-pairs contract); a class above the cap
+    emits an O(class) hamming-0 star to its min-id representative and
+    participates in cross-class hits through that representative alone —
+    transitive closure (``dedup_clusters``) reconstructs identical
+    clusters, which is the semantics dedup needs at that scale (the full
+    pair list of a 10^6-document template class is 5·10^11 rows — a
+    number no correct engine should materialize).
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
     nb = max_hamming + 1
     width = 64 // nb
+
+    classes = (df.groupBy(F.col(sim_col).alias('_sim'))
+               .agg(F.min(id_col).alias('_rid'), F.count('*').alias('_n')))
+    members = (df.select(F.col(id_col).alias('_mid'),
+                         F.col(sim_col).alias('_sim'))
+               .join(classes, '_sim'))
+    # classes over the cap: O(class) star to the representative
+    stars = (members.where((F.col('_n') > class_cap) &
+                           (F.col('_mid') != F.col('_rid')))
+             .select(F.col('_rid').alias('id_a'),
+                     F.col('_mid').alias('id_b'),
+                     F.lit(0).alias('hamming')))
+    # classes within the cap: exact intra-class pair list (hamming 0)
+    ma = members.where(F.col('_n') <= class_cap).alias('ma')
+    mb = members.where(F.col('_n') <= class_cap).alias('mb')
+    intra = (ma.join(mb, (F.col('ma._sim') == F.col('mb._sim')) &
+                     (F.col('ma._mid') < F.col('mb._mid')))
+             .select(F.col('ma._mid').alias('id_a'),
+                     F.col('mb._mid').alias('id_b'),
+                     F.lit(0).alias('hamming')))
+    # cross-class expansion set: all members of small classes, rep only
+    # for large ones
+    expand = (members.where((F.col('_n') <= class_cap) |
+                            (F.col('_mid') == F.col('_rid')))
+              .select('_sim', '_mid'))
 
     def band_expr(b):
         lo = b * width
@@ -331,19 +367,27 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
         mask = (1 << w) - 1
         # arithmetic shift is fine: the mask drops the sign-filled bits
         return (f"named_struct('b', {b}, "
-                f"'v', shiftright({sim_col}, {lo}) & {mask}L)")
+                f"'v', shiftright(_sim, {lo}) & {mask}L)")
 
-    banded = df.select(
-        F.col(id_col).alias('_id'), F.col(sim_col).alias('_sim'),
+    uniq = classes.select(F.col('_rid').alias('_id'), '_sim')
+    banded = uniq.select(
+        '_id', '_sim',
         F.explode(F.array(*[F.expr(band_expr(b))
                             for b in range(nb)])).alias('band'))
     a = banded.alias('a')
     b = banded.alias('b')
     cand = (a.join(b, (F.col('a.band') == F.col('b.band')) &
                       (F.col('a._id') < F.col('b._id')))
-            .select(F.col('a._id').alias('id_a'),
-                    F.col('b._id').alias('id_b'),
+            .select(F.col('a._sim').alias('sa'),
+                    F.col('b._sim').alias('sb'),
                     hamming64('a._sim', 'b._sim').alias('hamming'))
             .where(F.col('hamming') <= max_hamming)
             .distinct())
-    return cand
+    ea = expand.alias('ea')
+    eb = expand.alias('eb')
+    cross = (cand.join(ea, F.col('ea._sim') == F.col('sa'))
+             .join(eb, F.col('eb._sim') == F.col('sb'))
+             .select(F.least('ea._mid', 'eb._mid').alias('id_a'),
+                     F.greatest('ea._mid', 'eb._mid').alias('id_b'),
+                     'hamming'))
+    return cross.unionByName(intra).unionByName(stars)

@@ -406,3 +406,27 @@ def test_cosine_near_pairs_invariant_to_block_count(spark):
         for b in (1, 2, 7)]
     assert results[0] == results[1] == results[2]
     assert results[0]  # planted dups present
+
+
+def test_simhash_near_pairs_identical_flood_linear(spark):
+    """A boilerplate flood (one template simhash on 2,000 docs) must emit
+    an O(n) star — 1,999 hamming-0 edges to the min id — never the
+    O(n²) intra-bucket blowup; a distinct-hash neighbor within k bits
+    links to the class representative, and clustering over the emitted
+    pairs equals clustering over the all-pairs truth."""
+    rows = [(i, 12345678901234) for i in range(2000)]
+    rows.append((9000, 12345678901234 ^ 0b11))   # 2 bits from the template
+    rows.append((9001, -987654321))              # unrelated
+    df = spark.createDataFrame(rows, 'doc_id long, simhash long')
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3)
+    got = pairs.collect()
+    assert len(got) == 2000  # 1999 star edges + 1 rep-neighbor edge
+    star = [r for r in got if r['hamming'] == 0]
+    assert len(star) == 1999 and all(r['id_a'] == 0 for r in star)
+    near = [p for p in got if p['hamming'] == 2]
+    assert [(p['id_a'], p['id_b']) for p in near] == [(0, 9000)]
+
+    clusters = {r['doc_id']: r['cluster_id'] for r in
+                dedup.dedup_clusters(df.select('doc_id'), pairs).collect()}
+    assert all(clusters[i] == 0 for i in range(2000))
+    assert clusters[9000] == 0 and clusters[9001] == 9001
