@@ -204,7 +204,8 @@ def ivf_centroids(sample: np.ndarray, n_cells: int, iters: int = 10,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_cells: int = 16, nprobe: int = 4,
-             sample_rows: int | None = None, seed: int = 42) -> DataFrame:
+             sample_rows: int | None = None, seed: int = 42,
+             broadcast_queries: bool = True) -> DataFrame:
     """IVF-Flat approximate cosine top-k — the inverted-file scale path.
 
     1. train: spherical k-means centroids on a bounded driver sample;
@@ -260,6 +261,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     qschema = T.StructType(queries.schema.fields +
                            [T.StructField('cell', T.IntegerType())])
     probed = queries.mapInPandas(_probe, qschema)
-    cand = (indexed.join(F.broadcast(probed), 'cell')
+    # broadcast fits interactive probe sets; a bulk query table (e.g.
+    # all-pairs self-search) sets broadcast_queries=False for a plain
+    # shuffle equi-join on cell (AQE splits hot cells)
+    probe_side = F.broadcast(probed) if broadcast_queries else probed
+    cand = (indexed.join(probe_side, 'cell')
             .select('qid', 'qvec', 'vec_id', 'vec'))
     return _topk(cand, k).select('qid', 'vec_id', 'cos', 'rnk')
