@@ -364,6 +364,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
     def band_expr(b):
         lo = b * width
         w = 64 - lo if b == nb - 1 else width
+        if w >= 64:
+            # max_hamming=0: the single band IS the whole hash — no
+            # shift/mask ((1<<64)-1 would overflow Spark's BIGINT literal)
+            return f"named_struct('b', {b}, 'v', _sim)"
         mask = (1 << w) - 1
         # arithmetic shift is fine: the mask drops the sign-filled bits
         return (f"named_struct('b', {b}, "

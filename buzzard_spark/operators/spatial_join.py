@@ -34,15 +34,27 @@ def assign_cell(pages: DataFrame, res: int,
                 lat='lat', lng='lng', out='cell') -> DataFrame:
     """Add the cell-id column (pure Catalyst expression).
 
-    The expression is wrapped in a value-neutral ``coalesce(expr, 0)`` so
+    The expression is wrapped in a value-neutral ``coalesce(expr, -1)`` so
     the column is provably NON-NULLABLE: without it, an inner join on the
     cell infers an IsNotNull(cell) constraint that Catalyst pushes below
     the projection, RECOMPUTING the whole cell expression (and its lat/lng
     inputs) a second time per row inside a Filter node — measured as a
-    significant share of the flagship's map-stage cost (round 3)."""
+    significant share of the flagship's map-stage cost (round 3).
+
+    The sentinel is -1, a cell id no cover/ring expansion can ever emit
+    (all real cells are ≥ 0): a row with NULL lat/lng therefore still
+    drops out of every downstream equi-join, preserving inner-join null
+    semantics exactly. The null check must be EXPLICIT (ADVICE r3): the
+    cell expression's GREATEST/LEAST clamps swallow nulls in Spark
+    (``greatest(NULL, 0) = 0``), so a NULL coordinate would otherwise be
+    silently clamped into a VALID edge cell, never surfacing as NULL for
+    a coalesce to catch. For non-nullable lat/lng columns (the flagship
+    path) Catalyst constant-folds the IS NULL branches away — zero cost."""
     expr = sqlgen.cell_sql(lat, lng, res)
     return pages.withColumn(
-        out, F.expr(f'coalesce({expr}, CAST(0 AS BIGINT))'))
+        out, F.expr(f'CASE WHEN {lat} IS NULL OR {lng} IS NULL '
+                    f'THEN CAST(-1 AS BIGINT) '
+                    f'ELSE coalesce({expr}, CAST(-1 AS BIGINT)) END'))
 
 
 def cover_cells_rect(regions: DataFrame, res: int, salt: int = 1) -> DataFrame:

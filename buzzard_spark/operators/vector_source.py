@@ -47,6 +47,14 @@ def _sliced_by_order(df: DataFrame, fid_col: str, start: int,
     contents even when the upstream plan is nondeterministic (round-robin
     repartition, sample(), task retries) — global positions would silently
     shift otherwise.
+
+    .. warning:: an OPEN-ENDED slice (``stop=None``) reliably checkpoints
+       the whole surviving table — on a 100-TB source that copies the
+       table to the checkpoint dir before a single row is returned. The
+       determinism contract requires it (both phases must read identical
+       partition contents), so prefer bounded slices (``stop`` set) at
+       scale: they pin only memory-cached partitions and release them when
+       the ≤ ``stop - start``-row result materializes.
     """
     spark = df.sparkSession
     if stop is not None and stop <= SMALL_SLICE_ROWS:

@@ -169,6 +169,7 @@ class SnapshotTable:
                 'created_ms': int(time.time() * 1000),
                 'data_dir': os.path.relpath(data_dir, self.root),
                 'files': files,
+                'schema': df.schema.json(),
                 'rows': sum(f['rows'] for f in files),
                 'bytes': sum(f['bytes'] for f in files),
                 'key_cols': key_cols,
@@ -191,6 +192,27 @@ class SnapshotTable:
         return manifest
 
     # -- read / resume -----------------------------------------------------------
+
+    def _empty_like(self, spark: SparkSession,
+                    manifests: list[dict]) -> DataFrame:
+        """Schema-preserving empty DataFrame for a prune-everything read.
+
+        Prefers the recorded manifest schema (present from round 4 on,
+        valid even when every snapshot appended zero data files — ADVICE
+        r3: indexing files[0] raised IndexError on an empty-DataFrame
+        append); falls back to scanning one existing data file with an
+        all-false filter for pre-schema manifests."""
+        from pyspark.sql.types import StructType
+        for m in reversed(manifests):
+            if m.get('schema'):
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(m['schema'])))
+        for m in reversed(manifests):
+            if m['files']:
+                any_path = os.path.join(self.root, m['files'][0]['path'])
+                return spark.read.parquet(any_path).where(F.lit(False))
+        raise FileNotFoundError(
+            'no schema recorded and no data files in any valid snapshot')
 
     def _file_ok(self, f: dict) -> bool:
         path = os.path.join(self.root, f['path'])
@@ -266,10 +288,7 @@ class SnapshotTable:
                     if keep:
                         paths.append(os.path.join(self.root, f['path']))
             if not paths:
-                # preserve schema: scan one file, filter all rows out
-                any_path = os.path.join(
-                    self.root, manifests[0]['files'][0]['path'])
-                return spark.read.parquet(any_path).where(F.lit(False))
+                return self._empty_like(spark, manifests)
             return spark.read.parquet(*paths)
         if dedupe_keys is None:
             dirs = [os.path.join(self.root, m['data_dir']) for m in manifests]

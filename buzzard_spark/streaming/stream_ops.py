@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from buzzard_spark.functions import sqlgen
-
 EVENTS_SCHEMA = ('event_id long, ts timestamp, user_id long, '
                  'event_type string, value double, props string')
 
@@ -78,9 +76,12 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
 
 def stream_cell_assign(pages: DataFrame, res: int,
                        lat='lat', lng='lng') -> DataFrame:
-    """Stateless cell assignment on a stream — identical expression to the
-    batch operator (operators.spatial_join.assign_cell)."""
-    return pages.withColumn('cell', F.expr(sqlgen.cell_sql(lat, lng, res)))
+    """Stateless cell assignment on a stream — literally the batch
+    operator (operators.spatial_join.assign_cell) applied to a streaming
+    DataFrame: one definition (including the -1 null-coordinate sentinel),
+    two execution modes."""
+    from buzzard_spark.operators.spatial_join import assign_cell
+    return assign_cell(pages, res, lat=lat, lng=lng)
 
 
 def stream_dedup_exact(docs: DataFrame, watermark: str = '2 hours',
@@ -90,17 +91,20 @@ def stream_dedup_exact(docs: DataFrame, watermark: str = '2 hours',
     replays within the watermark horizon are dropped — the ingestion-side
     twin of ``operators.dedup.exact_dedup`` for a continuous crawl feed.
 
-    ``dropDuplicates`` on a watermarked stream keeps one state row per
-    distinct content hash and expires it once the event time falls behind
-    the watermark — state is bounded by the distinct-content arrival rate
-    within the horizon, not by stream length (the property that makes
-    this runnable forever on a 100-TB/day feed; a crawl that re-fetches a
-    page weeks later re-admits it, which is the standard horizon
-    semantics). The hash is the md5 fingerprint the batch path
+    Uses ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    with a non-event-time key subset, ``dropDuplicates`` never evicts its
+    state rows — state grows with stream length, and a replay arriving
+    weeks later is dropped forever. ``dropDuplicatesWithinWatermark``
+    expires each hash's state row once the watermark passes the FIRST
+    sighting's event time + horizon, so state is bounded by the
+    distinct-content arrival rate within the horizon, and a re-fetch of a
+    page beyond the horizon is re-admitted as a fresh first occurrence —
+    the standard horizon semantics a forever-running 100-TB/day feed
+    needs. The hash is the md5 fingerprint the batch path
     (``operators.dedup.exact_dedup``) groups by — one definition, two
     execution modes."""
     return (docs
             .withColumn('content_hash',
                         F.md5(F.encode(F.col(content_col), 'utf-8')))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(['content_hash']))
+            .dropDuplicatesWithinWatermark(['content_hash']))

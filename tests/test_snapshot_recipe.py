@@ -170,3 +170,17 @@ def test_time_travel_and_minmax_file_skipping(spark, tmp_path):
     # refusal: pruning cannot combine with latest-wins dedup
     with pytest.raises(ValueError):
         table.read(spark, dedupe_keys=['k'], minmax_filter={'k': (0, 1)})
+
+
+def test_minmax_filter_empty_append_prune_everything(spark, tmp_path):
+    """A snapshot whose append wrote an empty DataFrame records zero data
+    files; a prune-everything minmax_filter read must still return an
+    empty schema-preserving DataFrame, not IndexError (ADVICE r3)."""
+    from buzzard_spark.sources.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(str(tmp_path / 'empty_tbl'))
+    empty = spark.createDataFrame([], 'k long, v string')
+    table.append(empty)
+    out = table.read(spark, minmax_filter={'k': (0, 10)})
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ['k', 'v']

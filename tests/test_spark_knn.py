@@ -77,3 +77,48 @@ def test_knn_matches_bruteforce(spark, n_pages, n_q, k, res, k_ring):
         for rnk, idx in enumerate(order, 1):
             assert got[(qi, rnk)] == p[idx, 0], (qi, rnk)
     assert len(got) == n_q * k
+
+
+def test_knn_distributed_fallback_no_driver_collect(spark):
+    """Sparse corpus, every query unsettled, broadcast threshold too small
+    to admit the driver collect (VERDICT r3 #7): the ring must widen
+    DISTRIBUTIVELY (eventually to full grid cover) and still equal brute
+    force exactly."""
+    n_pages, n_q, k, res = 6, 40, 4, 4
+    pages = synth.synthetic_pages(spark, n_pages).select(
+        'page_id', 'lat', 'lng')
+    queries = spark.range(n_q).select(
+        F.col('id').alias('qid'),
+        F.expr(sqlgen.lat_sql('(id * 7919 + 13)')).alias('qlat'),
+        F.expr(sqlgen.lng_sql('(id * 7919 + 13)')).alias('qlng'))
+
+    got = {(r['qid'], r['rnk']): r['page_id']
+           for r in knn_ops.knn(pages, queries, k, res, k_ring=1,
+                                broadcast_rows=1).collect()}
+
+    p = np.asarray(pages.orderBy('page_id').collect())
+    q = np.asarray(queries.orderBy('qid').collect())
+    for qi in range(n_q):
+        d2 = (p[:, 1] - q[qi, 1]) ** 2 + (p[:, 2] - q[qi, 2]) ** 2
+        order = np.lexsort((p[:, 0], d2))[:k]
+        for rnk, idx in enumerate(order, 1):
+            assert got[(qi, rnk)] == p[idx, 0], (qi, rnk)
+    assert len(got) == n_q * k
+
+
+def test_assign_cell_null_coords_drop_from_join(spark):
+    """NULL lat/lng rows must vanish through the cell equi-join (inner-join
+    null semantics), not be seated at a valid cell (ADVICE r3: the round-3
+    coalesce(expr, 0) silently mapped them to cell 0)."""
+    from buzzard_spark.operators import spatial_join
+
+    pages = spark.createDataFrame(
+        [(1, 89.9, -179.9), (2, None, 10.0), (3, 10.0, None)],
+        'page_id long, lat double, lng double')
+    cells_df = spatial_join.assign_cell(pages, 4)
+    vals = {r['page_id']: r['cell'] for r in cells_df.collect()}
+    assert vals[1] == 0          # the real cell 0 (north-west corner)
+    assert vals[2] == -1 and vals[3] == -1
+    regions = synth.regions(spark, 50)
+    joined = spatial_join.pip_join_rect(pages, regions, 4)
+    assert joined.where(F.col('page_id').isin(2, 3)).count() == 0

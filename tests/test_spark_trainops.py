@@ -430,3 +430,16 @@ def test_simhash_near_pairs_identical_flood_linear(spark):
                 dedup.dedup_clusters(df.select('doc_id'), pairs).collect()}
     assert all(clusters[i] == 0 for i in range(2000))
     assert clusters[9000] == 0 and clusters[9001] == 9001
+
+
+def test_simhash_near_pairs_hamming_zero(spark):
+    """max_hamming=0 makes the single band the whole 64-bit hash — the
+    (1<<64)-1 mask literal would overflow Spark's BIGINT (ADVICE r3); the
+    special case must parse and return exactly the identical-hash pairs."""
+    sims = [7, 7, -1, -1, 42, 7]
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sims)],
+        'doc_id long, simhash long')
+    got = {(r['id_a'], r['id_b']) for r in
+           dedup.simhash_near_pairs(df, max_hamming=0).collect()}
+    assert got == {(0, 1), (0, 5), (1, 5), (2, 3)}

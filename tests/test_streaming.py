@@ -145,3 +145,38 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
         'doc_id long, ts timestamp, text string').parquet(f'{src}/*')
     keep = {r['keep_id'] for r in dedup.exact_dedup(batch_df).collect()}
     assert got == keep
+
+
+def test_stream_dedup_readmits_beyond_watermark_horizon(spark, tmp_path):
+    """State must be watermark-bounded (ADVICE r3): a replay arriving
+    AFTER the horizon has passed the first sighting is a fresh first
+    occurrence again. Plain dropDuplicates keeps its state rows forever
+    (dropping the replay and growing state unboundedly); only
+    dropDuplicatesWithinWatermark passes this."""
+    import time
+
+    src = tmp_path / 'docs_rearrive'
+    src.mkdir()
+    batches = [
+        [(0, '2024-01-01 00:00:00', 'alpha bravo')],
+        # advances the watermark to 08:00; eviction of expired state lags
+        # one micro-batch (purge runs after a batch's rows are processed),
+        # so a spacer batch lets alpha's expired row (02:00) actually drop
+        [(1, '2024-01-01 10:00:00', 'something else')],
+        [(2, '2024-01-01 10:05:00', 'spacer doc')],
+        [(3, '2024-01-01 10:30:00', 'alpha bravo')],   # beyond horizon
+        [(4, '2024-01-01 10:31:00', 'alpha bravo')],   # within: dropped
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, 'doc_id long, ts string, text string')
+         .withColumn('ts', F.to_timestamp('ts'))
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream
+              .schema('doc_id long, ts timestamp, text string')
+              .option('maxFilesPerTrigger', 1)
+              .parquet(f'{src}/*'))
+    out = stream_ops.stream_dedup_exact(stream)
+    sink = _run_stream(out.select('doc_id'), tmp_path, mode='append')
+    got = {r['doc_id'] for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    assert got == {0, 1, 2, 3}
