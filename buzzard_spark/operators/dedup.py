@@ -162,7 +162,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
                    text_col: str = 'text', k: int = 3, n_hashes: int = 64,
                    bands: int = 32, threshold: float = 0.6,
                    bucket_cap: int = 1000,
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   cache_registry: list | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     Output: (id_a, id_b, jaccard_pm) with jaccard in integer per-mille
@@ -200,7 +201,13 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     The result is materialized eagerly (reliable checkpoint): the persisted
     shingle/banded intermediates are released before returning, so no
     cached partitions outlive the call (cache-lifetime contract,
-    session.checkpoint_release).
+    session.checkpoint_release). When the pair table feeds ANOTHER engine
+    operator in the same query (``dedup_clusters``), pass a
+    ``cache_registry`` list instead: the plan returns lazily, the
+    intermediates land in the registry, and the downstream operator's one
+    reliable checkpoint releases them — round 3 checkpointed here AND in
+    connected_components, a full extra write+read of the pair table per
+    query (VERDICT r3 #2).
     """
     base = df.select(id_col, text_col)
     # empty-shingle docs (< k tokens) can never share a shingle — the exact
@@ -247,6 +254,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
                         F.greatest('_ma', '_mb').alias('id_b'),
                         'jaccard_pm'))
     out = expanded.unionByName(star)
+    if cache_registry is not None:
+        cache_registry.extend([sh] + lsh_cached)
+        return out
     if not materialize:
         return out
     from buzzard_spark.session import checkpoint_release
@@ -254,7 +264,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
 
 
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25,
+                   release: tuple = ()) -> DataFrame:
     """Resolve near-dup pairs into clusters: distributed connected
     components (alternating large-star/small-star, operators.graph) —
     O(log² n) rounds of joins, no driver-side graph state.
@@ -262,12 +273,18 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
     ids: one row per document. pairs: (id_a, id_b) undirected edges.
     Returns (doc_id, cluster_id) with cluster_id = min member id —
     keep-first dedup keeps rows where doc_id == cluster_id.
+
+    ``release``: upstream persisted intermediates (e.g. the registry
+    filled by ``near_dup_pairs(cache_registry=...)``) released by this
+    operator's single reliable checkpoint — one checkpoint per composed
+    query (VERDICT r3 #2).
     """
     from buzzard_spark.operators.graph import connected_components
 
     nodes = ids.select(F.col(id_col).alias('node'))
     out = connected_components(nodes, pairs.select('id_a', 'id_b'),
-                               id_col='node', max_iters=max_iters)
+                               id_col='node', max_iters=max_iters,
+                               extra_release=release)
     return out.select(F.col('node').alias(id_col),
                       F.col('comp').alias('cluster_id'))
 

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = 'node',
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         cache_registry: list | None = None,
+                         extra_release: tuple = (),
+                         small_graph_edges: int = 200_000) -> DataFrame:
     """nodes: one row per node (isolated nodes allowed). edges: undirected
     (id_a, id_b). Returns (id_col, comp) with comp = min node id of the
     component — the same canonical labeling a union-find would produce.
@@ -29,6 +32,27 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Raises RuntimeError if the star graph has not stabilized within
     max_iters rounds (components would be silently under-merged otherwise);
     the bound is O(log² n), so 25 covers any graph this engine can hold.
+
+    Composition (VERDICT r3 #2 — one reliable checkpoint per entry query):
+    as the LAST operator of a query, pass upstream persisted intermediates
+    via ``extra_release`` and this call's single reliable checkpoint
+    releases them all. As an INTERMEDIATE stage, pass a ``cache_registry``
+    list instead: the round blocks are appended to it, the labeling
+    returns lazily (already materialized through the final round's
+    localCheckpoint), and the DOWNSTREAM operator's one reliable
+    checkpoint releases everything — round 3 wrote a file-backed
+    checkpoint here AND another in the caller, the measured cause of the
+    dedup_clusters regression.
+
+    Small-graph fast path: after the deduped edge set materializes, its
+    COUNT (one cached-scan scalar — never rows) decides the strategy. At
+    or below ``small_graph_edges`` the edges are collected and resolved
+    with a driver union-find, labels broadcast back — a bounded driver
+    trip (≤ ~3 MB at the default cap) that replaces O(log² n) shuffle
+    rounds whose per-job scheduling latency dominates small graphs.
+    Above the cap nothing graph-sized ever touches the driver (the star
+    rounds below). Both paths emit the identical min-member labeling
+    (pinned by pytest).
     """
     from buzzard_spark.session import checkpoint_release
 
@@ -39,12 +63,54 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # action only every OTHER round: two rounds of star joins materialize
     # in a single job, halving the per-round job-scheduling latency that
     # dominated round-2's dedup_clusters / polygonize_components walls.
+    # the INITIAL edge set materializes EAGERLY: each star round reads `e`
+    # through several plan branches (the bidirectional union + the join
+    # back), and with a lazy checkpoint those branches race — concurrently
+    # recomputing the upstream plan 2-3× before the cache fills. Harmless
+    # when the input is checkpoint files, ruinous when the caller composes
+    # a full LSH pipeline underneath (cache_registry mode). One eager job
+    # computes the upstream exactly once; later rounds read cached blocks
+    # (cheap to race) and stay lazy so two rounds share one job.
     e = (edges
          .where(F.col('id_a') != F.col('id_b'))
          .select(F.greatest('id_a', 'id_b').alias('u'),
                  F.least('id_a', 'id_b').alias('v'))
-         .distinct().localCheckpoint(eager=False))
+         .distinct().localCheckpoint(eager=True))
     rounds = [e]
+
+    if e.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for row in e.collect():
+            ra, rb = find(row['u']), find(row['v'])
+            if ra != rb:
+                # union-by-min: the surviving root is the set's min id,
+                # exactly the star rounds' canonical labeling
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        labels = [(n, find(n)) for n in parent]
+        spark = nodes.sparkSession
+        star = (spark.createDataFrame(labels, 'u long, comp long')
+                if labels else
+                spark.createDataFrame([], 'u long, comp long'))
+        out = (nodes.select(F.col(id_col).alias('u'))
+               .join(F.broadcast(star), 'u', 'left')
+               .select(F.col('u').alias(id_col),
+                       F.coalesce('comp', 'u').alias('comp')))
+        if cache_registry is not None:
+            cache_registry.append(e)
+            return out
+        from buzzard_spark.session import checkpoint_release as _cr
+        return _cr(out, [e] + list(extra_release))
 
     def _round(e):
         # large-star: every neighbor larger than u links to min(N(u) ∪ {u});
@@ -105,7 +171,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
            .join(star, 'u', 'left')
            .select(F.col('u').alias(id_col),
                    F.coalesce('comp', 'u').alias('comp')))
+    if cache_registry is not None:
+        cache_registry.extend(rounds)
+        return out
     # materialize the labeling through a reliable (file-backed) checkpoint,
     # then drop every round's localCheckpoint blocks: iterative operators
     # must not leak cached partitions into a long-lived session
-    return checkpoint_release(out, rounds)
+    return checkpoint_release(out, list(rounds) + list(extra_release))

@@ -443,3 +443,22 @@ def test_simhash_near_pairs_hamming_zero(spark):
     got = {(r['id_a'], r['id_b']) for r in
            dedup.simhash_near_pairs(df, max_hamming=0).collect()}
     assert got == {(0, 1), (0, 5), (1, 5), (2, 3)}
+
+
+def test_cc_small_graph_fastpath_equals_star_rounds(spark):
+    """connected_components' bounded driver union-find (small graphs) must
+    emit the identical min-member labeling as the distributed star rounds
+    on the same graph."""
+    from buzzard_spark.operators.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, (400, 2))]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], 'node long')
+    edges_df = spark.createDataFrame(edges, 'id_a long, id_b long')
+    fast = {(r['node'], r['comp']) for r in connected_components(
+        nodes_df, edges_df).collect()}
+    star = {(r['node'], r['comp']) for r in connected_components(
+        nodes_df, edges_df, small_graph_edges=0).collect()}
+    assert fast == star
+    assert len(fast) == n
