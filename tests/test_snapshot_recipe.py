@@ -121,8 +121,15 @@ def test_manifest_lineage_and_metrics(spark, fp, tmp_path):
             lo, hi = stats.get(col, (mn, mx))
             stats[col] = (min(lo, mn), max(hi, mx))
     assert stats['tile_y'] == (0, 1) and stats['tile_x'] == (0, 1)
-    # keys recorded for resume
-    assert sorted(map(tuple, m['keys'])) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    # keys recorded for resume — in a parquet sidecar, never the manifest
+    assert m['keys_path'] and 'keys' not in m
+    import duckdb
+    import os as _os
+    kd = _os.path.join(root, m['keys_path'])
+    got = duckdb.sql(
+        f"SELECT tile_y, tile_x FROM read_parquet('{kd}/*.parquet') "
+        'ORDER BY 1, 2').fetchall()
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1)]
 
 
 def test_atomic_current_pointer(spark, fp, tmp_path):
@@ -184,3 +191,39 @@ def test_minmax_filter_empty_append_prune_everything(spark, tmp_path):
     out = table.read(spark, minmax_filter={'k': (0, 10)})
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ['k', 'v']
+
+
+def test_resume_keys_sidecar_scales_off_driver(spark, tmp_path):
+    """Resume keys live in an executor-written parquet sidecar (VERDICT r3
+    #5): a key count that would be driver-unfriendly as manifest JSON
+    (120k) round-trips through append -> pending as a distributed
+    anti-join; the manifest itself stays tiny and holds no key rows."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from buzzard_spark.sources.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / 'bigkeys')
+    table = SnapshotTable(root)
+    n = 120_000
+    done = spark.range(n).select(
+        F.col('id').alias('tile_y'), (F.col('id') * 2).alias('tile_x'),
+        F.lit(1).alias('v'))
+    manifest = table.append(done, key_cols=['tile_y', 'tile_x'])
+    assert manifest['keys_path'] and 'keys' not in manifest
+    raw = _json.load(open(_os.path.join(
+        root, '_manifest', f"snap-{manifest['snapshot_id']}.json")))
+    assert len(_json.dumps(raw)) < 100_000  # no embedded key list
+
+    todo = spark.range(n + 500).select(
+        F.col('id').alias('tile_y'), (F.col('id') * 2).alias('tile_x'))
+    pend = table.pending(todo, ['tile_y', 'tile_x'])
+    assert pend.count() == 500
+    assert pend.agg(F.min('tile_y')).collect()[0][0] == n
+
+    # a keyed snapshot whose sidecar vanishes is dropped from the lineage
+    # (work redone, never duplicated)
+    import shutil
+    shutil.rmtree(_os.path.join(root, manifest['keys_path']))
+    assert table.pending(todo, ['tile_y', 'tile_x']).count() == n + 500
