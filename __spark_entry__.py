@@ -264,35 +264,77 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_pairs(sims, max_hamming=3)
 
 
-def q_find_lines_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed find_lines end-to-end (iterative halo thinning →
-    square collapse → edge graph → fragment CC → chain merge) over
-    deterministic diagonal linestrings; reported as (n_chains,
-    total_pts). Geometry output is non-SQL-expressible — rows-only driver
-    check; distributed == kernel (incl. blob masks) pinned by
-    tests/test_spark_raster.py."""
+N_FL_HORIZ = 25        # find_lines oracle: horizontal lines (rows 3..243)
+N_FL_DIAG = 25         # 45° diagonals, x-spacing 4 (Chebyshev distance 2)
+FL_DIAG_LEN = 140      # diagonal pixel run length - 1
+
+
+def _find_lines_input(spark: SparkSession) -> DataFrame:
+    """Deterministic line set with CLOSED-FORM find_lines output
+    (VERDICT r3 #3): 25 horizontal lines (pixel row 3+10i, cols 2+i …
+    253-i) and 25 exact-45° diagonals (from (265+4j, 10), 140 steps),
+    all endpoints at pixel centers. Designed so every pipeline stage is
+    provably value-neutral:
+
+    - DDA: sample positions stay ≥ 1/722 pixel away from any cell
+      boundary (endpoints are exact half-integers on a 45/64°/px grid,
+      steps are i·Δ/(2Δ+1)), so the burned set is exactly the run of
+      Δ+1 pixels per line regardless of per-tile float rounding;
+    - thinning is the identity on width-1 horizontal/45° runs
+      (interior crossing number b=2 fails G1; endpoints fail G2) — the
+      iterative halo thinning still RUNS, it just may not delete;
+    - no 2×2 squares → square collapse is the identity;
+    - lines are pairwise ≥ 2 apart in Chebyshev distance (diagonal
+      spacing 4 ⇒ anti-diagonal spacing 2), so every line is one
+      degree-≤2 chain of exactly its pixel count.
+
+    Kernel conformance for this construction is pinned by
+    tests/test_spark_raster.py::test_find_lines_closed_form_input;
+    distributed == kernel (incl. blob masks where thinning DOES delete)
+    by the existing conformance suite."""
     import numpy as np
 
     from buzzard_spark.kernels import geometry as geom
 
-    cols = sqlgen.region_cols_np(np.arange(50))
+    a_, b_, c_, d_, e_, f_ = TILE_FP._coef
+
+    def center_world(px, py):
+        return (px + 0.5) * a_ + c_, (py + 0.5) * e_ + f_
+
     rows = []
-    for i in range(50):
-        x0 = float(cols['clng'][i] - cols['halfw'][i])
-        x1 = float(cols['clng'][i] + cols['halfw'][i])
-        y0 = float(cols['clat'][i] - cols['halfh'][i])
-        y1 = float(cols['clat'][i] + cols['halfh'][i])
-        line = np.asarray([(x0, y0), (x1, y1)])
+    for i in range(N_FL_HORIZ):
+        y = 3 + 10 * i
+        x0, x1 = 2 + i, 253 - i
+        (wx0, wy0), (wx1, wy1) = center_world(x0, y), center_world(x1, y)
+        line = np.asarray([(wx0, wy0), (wx1, wy1)])
         rows.append((i, bytearray(geom.wkb_linestring(line)),
-                     y0, x0, y1, x1))
-    lines_df = spark.createDataFrame(
+                     min(wy0, wy1), min(wx0, wx1),
+                     max(wy0, wy1), max(wx0, wx1)))
+    for j in range(N_FL_DIAG):
+        x0, y0 = 265 + 4 * j, 10
+        x1, y1 = x0 + FL_DIAG_LEN, y0 + FL_DIAG_LEN
+        (wx0, wy0), (wx1, wy1) = center_world(x0, y0), center_world(x1, y1)
+        line = np.asarray([(wx0, wy0), (wx1, wy1)])
+        rows.append((N_FL_HORIZ + j, bytearray(geom.wkb_linestring(line)),
+                     min(wy0, wy1), min(wx0, wx1),
+                     max(wy0, wy1), max(wx0, wx1)))
+    return spark.createDataFrame(
         rows, 'line_id long, wkb binary, minlat double, minlng double, '
               'maxlat double, maxlng double')
+
+
+def q_find_lines_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed find_lines end-to-end (iterative halo thinning →
+    square collapse → edge graph → fragment CC → chain merge) over the
+    closed-form line set (``_find_lines_input``), reported as the
+    per-chain-length histogram (n_pts, n_chains) — fully value-checked
+    against DuckDB interval arithmetic (was rows-only in round 3)."""
+    lines_df = _find_lines_input(spark)
     tiles = raster_ops.rasterize_lines(spark, TILE_FP, lines_df,
                                        tile_size=64)
     out = raster_ops.vectorize_lines(spark, TILE_FP, tiles, tile_size=64)
-    return out.agg(F.count('*').alias('n_chains'),
-                   F.sum('n_pts').cast('long').alias('total_pts'))
+    return (out.groupBy(F.col('n_pts').cast('long').alias('n_pts'))
+            .agg(F.count('*').alias('n_chains')))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +811,17 @@ def oracle_sql() -> dict[str, str]:
             'SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n'),
         'tile_grid': _tile_grid_oracle_sql(),
         'polygonize_components': _polygonize_oracle_sql(),
+        # closed-form find_lines truth (see _find_lines_input): each line
+        # is one chain of exactly its DDA pixel count — horizontal i spans
+        # cols (2+i)..(253-i), diagonals are FL_DIAG_LEN+1 pixels
+        'find_lines_total': (
+            'WITH chains AS ('
+            'SELECT (253 - i) - (2 + i) + 1 AS n_pts '
+            'FROM range({nh}) t(i) '
+            'UNION ALL SELECT {dl} + 1 FROM range({nd})) '
+            'SELECT CAST(n_pts AS BIGINT) AS n_pts, '
+            'COUNT(*) AS n_chains FROM chains GROUP BY 1'
+        ).format(nh=N_FL_HORIZ, nd=N_FL_DIAG, dl=FL_DIAG_LEN),
         'ann_topk': (
             'SELECT qid, vec_id, rnk FROM ('
             'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '
