@@ -1,17 +1,22 @@
 """Benchmark harness.
 
 Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], writes the FULL
+artifact (per-query sweep + every scaling pass + host probes) to
+BENCH_full_r4.json in the repo, and prints ONE COMPACT JSON line (≤1.5 KB
+so the driver's tail capture parses it):
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "flagship_pages_per_sec": ..., "scaling": {...}}
+   "flagship_pages_per_sec": ..., "scaling": {median pairwise effs},
+   "full_artifact": "BENCH_full_r4.json"}
 
 The flagship job is the BASELINE.json metric: spatial-join +
 tile-assignment throughput over a deterministic synthetic pages table
-(pages/sec), plus the N→4N scaling proxy (local[8] vs local[32] subprocess
-runs on the same input — BASELINE.md protocol). Set
-SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling subprocesses.
+(pages/sec), plus the N→4N scaling proxy (local[2]/[8]/[32] subprocess
+sweeps on the same input, interleaved A-B-A-B; every reported efficiency
+is the MEDIAN of within-sweep pairwise ratios — no best-of selection).
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling subprocesses.
 
 Worker mode (internal): bench.py --flagship-worker <master> <n_pages>
 prints one JSON line with the flagship wall time under that master.
@@ -126,8 +131,13 @@ def flagship_worker(master: str, n_pages: int,
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix='bench-manifest-', dir=base)
     try:
-        run_flagship(spark, min(n_pages, 500_000), layout,
-                     manifest_root=os.path.join(tmp, 'warm'))  # JIT warmup
+        # warmup is 8M pages (untimed): a 500k warmup left ~1.4s of
+        # first-run-at-scale cost (JIT tiering, shuffle/codegen paths at
+        # real batch sizes) inside the timed run — a fixed tax that lands
+        # hardest on the fastest (local[32]) leg and depressed the 8→32
+        # ratio by ~0.1 raw (measured round 4)
+        run_flagship(spark, min(n_pages, 8_000_000), layout,
+                     manifest_root=os.path.join(tmp, 'warm'))
         wall = run_flagship(spark, n_pages, layout,
                             manifest_root=os.path.join(tmp, 'run'))
         cpu_ref = _cpu_probe(spark)
@@ -152,96 +162,89 @@ def _worker_wall(master: str, n_pages: int) -> float:
     return _worker(master, n_pages)['wall_sec']
 
 
-def _scaling_stats(workers: dict, n_pages: int) -> dict:
-    tp = {m: n_pages / w['wall_sec'] for m, w in workers.items()}
-    cpu_tp = {m: 1.0 / w['cpu_ref_sec'] for m, w in workers.items()}
-
-    def eff(hi, lo):
-        return (tp[hi] / tp[lo]) / 4.0
-
-    def cpu_eff(hi, lo):
-        return (cpu_tp[hi] / cpu_tp[lo]) / 4.0
-
-    return {
-        'n_pages': n_pages,
-        'throughput_2': tp['local[2]'],
-        'throughput_8': tp['local[8]'],
-        'throughput_32': tp['local[32]'],
-        'cpu_ref_sec': {m: workers[m]['cpu_ref_sec'] for m in workers},
-        'scaling_efficiency_2_to_8': eff('local[8]', 'local[2]'),
-        'scaling_efficiency_8_to_32': eff('local[32]', 'local[8]'),
-        'host_cpu_scaling_2_to_8': cpu_eff('local[8]', 'local[2]'),
-        'host_cpu_scaling_8_to_32': cpu_eff('local[32]', 'local[8]'),
-        # clamped at 1.0: "scaled at least as well as the host itself did"
-        'scaling_efficiency_2_to_8_normalized': min(
-            1.0, eff('local[8]', 'local[2]') / cpu_eff('local[8]', 'local[2]')),
-        'scaling_efficiency_8_to_32_normalized': min(
-            1.0, eff('local[32]', 'local[8]') / cpu_eff('local[32]', 'local[8]')),
-    }
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
 
 def run_scaling(n_pages: int, layout: str = 'clustered',
-                max_passes: int | None = None) -> dict:
+                passes: int | None = None) -> dict:
     """N → 4N parallelism on identical input → scaling efficiency.
 
-    Two pairs (BASELINE.md protocol): local[2]→local[8] inside this VM's
-    linear-scaling regime, and local[8]→local[32] which is capped by the
-    host's own parallel ceiling. The VM is shared (its deliverable speedup
-    drifts with neighbor load), so each worker also times a shuffle-free
-    pure-CPU reference job and `*_normalized` reports the flagship's
-    scaling relative to what the host itself scaled at that moment —
-    the engine-attributable efficiency.
+    Protocol (VERDICT r3 #1 — must survive a drifting shared host INSIDE
+    one run, with no builder-selected best-of):
 
-    The returned dict carries TWO artifacts (VERDICT r2 #1):
-    - ``single_pass``: the FIRST pass verbatim — one worker per master,
-      no best-of selection, no early stop; the honest unoptimized sample.
-    - top-level: best wall per master over up to SPARK_GRAFT_BENCH_PASSES
-      time-interleaved passes (host noise is bursty — decorrelated repeats
-      beat back-to-back ones), early-stopping once 2→8 ≥ 0.85. Disclosed
-      optional stopping, symmetric across legs.
+    - ``passes`` complete A-B-A-B sweeps; each sweep runs local[2],
+      local[8], local[32] back-to-back (minutes apart at most, so both
+      ends of every ratio see the same neighbor load).
+    - Every efficiency is a PAIR-WISE ratio computed WITHIN one sweep;
+      the reported number is the MEDIAN across sweeps. No best-wall
+      selection, no early stop, all sweeps recorded in ``passes``.
+    - Each worker also times a shuffle-free pure-CPU reference job;
+      ``*_normalized`` divides the flagship's pair-wise scaling by the
+      host's own pair-wise CPU scaling in the SAME sweep (clamped at 1.0:
+      "scaled at least as well as the host itself could right then") and
+      is likewise reported as the across-sweep median.
+    - ``single_pass`` is sweep 0 verbatim — one worker per master.
     """
     masters = ('local[2]', 'local[8]', 'local[32]')
-    if max_passes is None:
-        max_passes = int(os.environ.get('SPARK_GRAFT_BENCH_PASSES', '5'))
-    workers = {}
-    single_pass = None
+    if passes is None:
+        passes = int(os.environ.get('SPARK_GRAFT_BENCH_PASSES', '3'))
+    sweeps = []
+    for _ in range(passes):
+        sweeps.append({m: _worker(m, n_pages, layout) for m in masters})
 
-    def eff_now():
-        if len(workers) < 3:
-            return 0.0
-        return (workers['local[2]']['wall_sec'] /
-                workers['local[8]']['wall_sec']) / 4.0
+    def leg(sw, hi, lo):
+        return (sw[lo]['wall_sec'] / sw[hi]['wall_sec']) / 4.0
 
-    for pass_i in range(max_passes):
-        for m in masters:
-            res = _worker(m, n_pages, layout)
-            if m not in workers or res['wall_sec'] < workers[m]['wall_sec']:
-                res['cpu_ref_sec'] = min(
-                    res['cpu_ref_sec'],
-                    workers.get(m, res)['cpu_ref_sec'])
-                workers[m] = res
-        if pass_i == 0:
-            single_pass = _scaling_stats(dict(workers), n_pages)
-        if pass_i >= 1 and eff_now() >= 0.85:
-            break
-    # the 2→8 early stop can leave local[32] (the headline throughput)
-    # with only neighbor-contended attempts — give it up to two retries
-    # if it failed to meaningfully beat local[8]
-    for _ in range(2):
-        if (workers['local[8]']['wall_sec'] <
-                workers['local[32]']['wall_sec'] * 1.15):
-            res = _worker('local[32]', n_pages, layout)
-            if res['wall_sec'] < workers['local[32]']['wall_sec']:
-                res['cpu_ref_sec'] = min(res['cpu_ref_sec'],
-                                         workers['local[32]']['cpu_ref_sec'])
-                workers['local[32]'] = res
-        else:
-            break
-    out = _scaling_stats(workers, n_pages)
-    out['layout'] = layout
-    if single_pass is not None:
-        out['single_pass'] = single_pass
-    return out
+    def cpu_leg(sw, hi, lo):
+        return (sw[lo]['cpu_ref_sec'] / sw[hi]['cpu_ref_sec']) / 4.0
+
+    def norm(sw, hi, lo):
+        c = cpu_leg(sw, hi, lo)
+        return min(1.0, leg(sw, hi, lo) / c) if c > 0 else 0.0
+
+    def sweep_stats(sw):
+        return {
+            'walls': {m: sw[m]['wall_sec'] for m in masters},
+            'cpu_ref_sec': {m: sw[m]['cpu_ref_sec'] for m in masters},
+            'eff_2_to_8': leg(sw, 'local[8]', 'local[2]'),
+            'eff_8_to_32': leg(sw, 'local[32]', 'local[8]'),
+            'host_2_to_8': cpu_leg(sw, 'local[8]', 'local[2]'),
+            'host_8_to_32': cpu_leg(sw, 'local[32]', 'local[8]'),
+            'eff_2_to_8_normalized': norm(sw, 'local[8]', 'local[2]'),
+            'eff_8_to_32_normalized': norm(sw, 'local[32]', 'local[8]'),
+        }
+
+    return {
+        'n_pages': n_pages,
+        'layout': layout,
+        'method': ('interleaved A-B-A-B sweeps; pair-wise ratios within '
+                   'each sweep; median across sweeps; no best-of, '
+                   'no early stop'),
+        'n_sweeps': passes,
+        'passes': [sweep_stats(sw) for sw in sweeps],
+        'single_pass': sweep_stats(sweeps[0]),
+        'throughput_2': n_pages / _median(
+            [sw['local[2]']['wall_sec'] for sw in sweeps]),
+        'throughput_8': n_pages / _median(
+            [sw['local[8]']['wall_sec'] for sw in sweeps]),
+        'throughput_32': n_pages / _median(
+            [sw['local[32]']['wall_sec'] for sw in sweeps]),
+        'scaling_efficiency_2_to_8': _median(
+            [leg(sw, 'local[8]', 'local[2]') for sw in sweeps]),
+        'scaling_efficiency_8_to_32': _median(
+            [leg(sw, 'local[32]', 'local[8]') for sw in sweeps]),
+        'host_cpu_scaling_2_to_8': _median(
+            [cpu_leg(sw, 'local[8]', 'local[2]') for sw in sweeps]),
+        'host_cpu_scaling_8_to_32': _median(
+            [cpu_leg(sw, 'local[32]', 'local[8]') for sw in sweeps]),
+        'scaling_efficiency_2_to_8_normalized': _median(
+            [norm(sw, 'local[8]', 'local[2]') for sw in sweeps]),
+        'scaling_efficiency_8_to_32_normalized': _median(
+            [norm(sw, 'local[32]', 'local[8]') for sw in sweeps]),
+    }
 
 
 def _round_deep(obj):
@@ -309,7 +312,7 @@ def main() -> None:
             # the north rule says nothing about input clustering — record
             # the random (crawl-order) layout as its own artifact too
             scaling_hash = run_scaling(N_FLAGSHIP_PAGES, layout='hash',
-                                       max_passes=2)
+                                       passes=1)
         wall = N_FLAGSHIP_PAGES / scaling[f'throughput_{cpus}'] \
             if f'throughput_{cpus}' in scaling else \
             _worker_wall(f'local[{cpus}]', N_FLAGSHIP_PAGES)
@@ -317,7 +320,7 @@ def main() -> None:
         wall = _worker_wall(f'local[{cpus}]', N_FLAGSHIP_PAGES)
     pages_per_sec = N_FLAGSHIP_PAGES / wall
 
-    print(json.dumps({
+    full = {
         'metric': 'spatial-join+tile-assignment bench',
         'value': round(total, 3),
         'unit': 'sec',
@@ -328,7 +331,44 @@ def main() -> None:
         'flagship_n_pages': N_FLAGSHIP_PAGES,
         'scaling': _round_deep(scaling),
         'scaling_hash': _round_deep(scaling_hash),
-    }))
+    }
+    # the FULL artifact (every sweep, every probe) goes to a repo file;
+    # stdout carries a COMPACT line that fits the driver's tail-capture
+    # window — round 3's single fat line got truncated and the committed
+    # BENCH_r03.json lost its per-query sweep (parsed: null, VERDICT r3 #1)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, 'BENCH_full_r4.json')
+    with open(full_path, 'w') as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        'metric': 'spatial-join+tile-assignment bench',
+        'value': round(total, 2),
+        'unit': 'sec',
+        'queries': {k: round(v, 2) for k, v in per_query.items()},
+        'sf': full['sf'],
+        'flagship_pages_per_sec': round(pages_per_sec, 1),
+        'flagship_wall_sec': round(wall, 2),
+        'flagship_n_pages': N_FLAGSHIP_PAGES,
+        'full_artifact': os.path.basename(full_path),
+    }
+    if scaling:
+        compact['scaling'] = {k: round(scaling[k], 4) for k in (
+            'scaling_efficiency_2_to_8',
+            'scaling_efficiency_2_to_8_normalized',
+            'scaling_efficiency_8_to_32',
+            'scaling_efficiency_8_to_32_normalized',
+            'host_cpu_scaling_2_to_8',
+            'host_cpu_scaling_8_to_32')}
+        compact['scaling']['n_pages'] = scaling['n_pages']
+        compact['scaling']['n_sweeps'] = scaling['n_sweeps']
+        compact['scaling']['method'] = 'interleaved-median-pairwise'
+    line = json.dumps(compact)
+    if len(line) > 1500 and 'queries' in compact:
+        # degrade gracefully rather than ever truncating mid-JSON
+        compact['queries'] = {k: round(v, 1)
+                              for k, v in compact['queries'].items()}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == '__main__':
