@@ -484,6 +484,41 @@ def q_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                f'AS BIGINT)) AS BIGINT)').alias('n_pixels'))
 
 
+def _html_fixture_sql(dialect: str) -> str:
+    """Deterministic html document per doc_id (tags, head/style/script
+    blocks, attributes, all 5 core entities, ragged whitespace) — shared
+    between the Spark query and the DuckDB oracle."""
+    sid = ('CAST(doc_id AS VARCHAR)' if dialect == 'duckdb'
+           else 'CAST(doc_id AS STRING)')
+    return ("concat('<html><head><title>doc ', {sid}, ' &amp; co</title>"
+            "<style>p {{ color: red; }}</style></head>"
+            "<body><script>var x = (1 &lt; 2);</script>"
+            "<h1 class=\"t\">Doc  ', {sid}, '</h1>\n<p>', text, "
+            "'</p><p>5 &lt; 6 &amp; 7 &gt; 3, &quot;q&quot; "
+            "it&#39;s</p></body></html>')").format(sid=sid)
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the north rule's per-row invariant: the
+    extracted text per url is byte-identical across engines, partition
+    layouts and executor counts). The html BINARY column is built from the
+    documents table (tags + style/script blocks + entities), round-trips
+    through encode/decode as real crawl payloads would, and extracts with
+    the shared pure-SQL pipeline (operators.text.html_text_sql) — zero
+    Python in the row path. Output carries both the extracted string and
+    its md5 so the oracle hash pins exact bytes."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    pages = docs.select(
+        F.col('doc_id').alias('page_id'),
+        F.expr(f"encode({_html_fixture_sql('spark')}, 'utf-8')")
+        .alias('html'))
+    extracted = text_ops.html_text_sql("decode(html, 'utf-8')", 'spark')
+    return pages.select(
+        'page_id',
+        F.expr(extracted).alias('extracted'),
+        F.expr(f'md5({extracted})').alias('fp'))
+
+
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per host (url parsing over the synthetic corpus)."""
     pages = _pages(spark, sf_dir)
@@ -520,6 +555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'corpus_pipeline': q_corpus_pipeline,
     'lang_quality': q_lang_quality,
     'bigram_top': q_bigram_top,
+    'extract_text': q_extract_text,
     'host_counts': q_host_counts,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
@@ -889,6 +925,15 @@ def oracle_sql() -> dict[str, str]:
             ')) AS bigram FROM w WHERE len(ws) >= 2) '
             'SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1 '
             'ORDER BY n DESC, bigram ASC LIMIT 20'),
+        # byte-exact html→text extraction: the oracle rebuilds the same
+        # html fixture and runs the identical shared extraction SQL; the
+        # md5 column pins the bytes, not just the collapsed values
+        'extract_text': (
+            'WITH h AS (SELECT doc_id AS page_id, {fix} AS html '
+            'FROM documents) '
+            'SELECT page_id, {ex} AS extracted, md5({ex}) AS fp FROM h'
+        ).format(fix=_html_fixture_sql('duckdb'),
+                 ex=text_ops.html_text_sql('html', 'duckdb')),
         'host_counts': (
             "SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
             'COUNT(*) AS n_pages FROM (SELECT '

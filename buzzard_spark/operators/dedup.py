@@ -349,15 +349,23 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
     number no correct engine should materialize).
 
     Output: (id_a, id_b, hamming), id_a < id_b.
+
+    The (id, simhash) projection is persisted for the duration of the
+    call: the class/member/band/expand stages read it through FIVE plan
+    branches, and an unpinned input would re-evaluate the upstream
+    simhash expression (64 bits of md5-nibble folding per document, plus
+    whatever corpus transform feeds it) once per branch — measured 2×
+    end-to-end on the driver corpus (round 4). Released through the
+    result's reliable checkpoint (cache-lifetime contract).
     """
     nb = max_hamming + 1
     width = 64 // nb
 
-    classes = (df.groupBy(F.col(sim_col).alias('_sim'))
-               .agg(F.min(id_col).alias('_rid'), F.count('*').alias('_n')))
-    members = (df.select(F.col(id_col).alias('_mid'),
-                         F.col(sim_col).alias('_sim'))
-               .join(classes, '_sim'))
+    base = df.select(F.col(id_col).alias('_mid'),
+                     F.col(sim_col).alias('_sim')).persist()
+    classes = (base.groupBy('_sim')
+               .agg(F.min('_mid').alias('_rid'), F.count('*').alias('_n')))
+    members = base.join(classes, '_sim')
     # classes over the cap: O(class) star to the representative
     stars = (members.where((F.col('_n') > class_cap) &
                            (F.col('_mid') != F.col('_rid')))
@@ -411,4 +419,6 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
              .select(F.least('ea._mid', 'eb._mid').alias('id_a'),
                      F.greatest('ea._mid', 'eb._mid').alias('id_b'),
                      'hamming'))
-    return cross.unionByName(intra).unionByName(stars)
+    out = cross.unionByName(intra).unionByName(stars)
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [base])

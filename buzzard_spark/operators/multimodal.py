@@ -263,3 +263,61 @@ def sample_frames(df: DataFrame, payload_col: str = 'payload',
 
     return (df.select(id_col, payload_col)
             .mapInPandas(_frames, 'id long, frame_idx int, frame binary'))
+
+
+def _fake_decode_array(buf: bytes) -> np.ndarray:
+    """Deterministic pseudo-decode to a (h, 16) uint8 array — the 'fake'
+    stand-in used when no real codec applies to the payload."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    w = 16
+    h = max(1, (len(arr) + w - 1) // w)
+    out = np.zeros(h * w, dtype=np.uint8)
+    out[:len(arr)] = arr
+    return out.reshape(h, w)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy, channel-preserving) — the
+    deterministic resize kernel shared by ``resize_media`` and tests.
+    Index rule: src = floor((dst + 0.5) * in/out) (pixel-center sampling,
+    matches the common nearest implementations)."""
+    in_h, in_w = arr.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64),
+                    in_h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64),
+                    in_w - 1)
+    return arr[ys][:, xs]
+
+
+def resize_media(df: DataFrame, size: tuple[int, int],
+                 payload_col: str = 'payload', id_col: str = 'id',
+                 decoder='fake') -> DataFrame:
+    """binary payload → (id, height, width, channels, data): decode with a
+    real ('ppm'/'bmp') or pluggable codec, nearest-neighbor resize to
+    ``size=(h, w)``, emit the raw uint8 array bytes (row-major) — the
+    training-data normalization step (fixed input resolution) running as
+    Arrow-batched mapInPandas, O(batch) memory per worker."""
+    out_h, out_w = int(size[0]), int(size[1])
+    decoder = _check_decoder(decoder)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, blobs = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                arr = (np.asarray(decoder(buf), dtype=np.uint8)
+                       if callable(decoder) else _fake_decode_array(buf))
+                small = resize_nearest(arr, out_h, out_w)
+                ids.append(int(i))
+                chans.append(1 if small.ndim == 2 else small.shape[2])
+                blobs.append(small.tobytes())
+            yield pd.DataFrame({
+                'id': ids,
+                'height': np.full(len(ids), out_h, np.int32),
+                'width': np.full(len(ids), out_w, np.int32),
+                'channels': np.asarray(chans, np.int32),
+                'data': blobs})
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(_resize, 'id long, height int, width int, '
+                                  'channels int, data binary'))

@@ -167,3 +167,30 @@ def bpe_token_count_sql(text_col: str, dialect: str = 'spark') -> str:
         return f"len(regexp_extract_all({text_col}, '{lit}'))"
     lit = BPE_PRETOKEN_PATTERN.replace('\\', '\\\\').replace("'", "\\'")
     return f"regexp_count({text_col}, '{lit}')"
+
+
+# ---------------------------------------------------------------------------
+# HTML → visible text extraction — the north rule's per-row invariant
+# surface ("extracted text per url stays byte-identical"). Pure shared SQL
+# (Catalyst ⇄ DuckDB): deterministic by construction, so the same html
+# bytes extract to the same text bytes on every engine, partition layout
+# and executor count. Semantics (documented, fixed): script/style blocks
+# drop, remaining tags become spaces, the 5 core entities decode
+# (&amp; last, per the standard), whitespace collapses, ends trim.
+
+def html_text_sql(html_col: str, dialect: str = 'spark') -> str:
+    """Extraction expression over a STRING html column/expression."""
+    if dialect == 'duckdb':
+        def rr(col, pat, rep):
+            return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+        ws = '\\s+'
+    else:
+        def rr(col, pat, rep):
+            return f"regexp_replace({col}, '{pat}', '{rep}')"
+        ws = '\\\\s+'
+    x = rr(html_col, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ')
+    x = rr(x, '<[^>]*>', ' ')
+    for ent, ch in (('&lt;', '<'), ('&gt;', '>'), ('&quot;', '"'),
+                    ('&#39;', "''"), ('&amp;', '&')):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    return f"trim({rr(x, ws, ' ')})"

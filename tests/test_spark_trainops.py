@@ -507,3 +507,23 @@ def test_real_codec_through_multimodal_seam(spark):
             assert np.allclose(feats[i], hist @ proj, atol=1e-5)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media_meta(df, decoder='pil')
+
+
+def test_resize_media_real_codec(spark):
+    """resize_media: real PPM bytes decode and resize to a fixed (h, w)
+    inside mapInPandas; output bytes equal the local nearest-neighbor
+    kernel on the decoded image."""
+    rng = np.random.RandomState(21)
+    imgs = {i: rng.randint(0, 256, (20 + i, 30 - i, 3), dtype=np.uint8)
+            for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_ppm(img)))
+         for i, img in imgs.items()],
+        'id long, payload binary')
+    got = {r['id']: r for r in
+           multimodal.resize_media(df, (8, 12), decoder='ppm').collect()}
+    for i, img in imgs.items():
+        want = multimodal.resize_nearest(img, 8, 12)
+        assert got[i]['height'] == 8 and got[i]['width'] == 12
+        assert got[i]['channels'] == 3
+        assert bytes(got[i]['data']) == want.tobytes()
