@@ -190,7 +190,7 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
     """
     masters = ('local[2]', 'local[8]', 'local[32]')
     if passes is None:
-        passes = int(os.environ.get('SPARK_GRAFT_BENCH_PASSES', '3'))
+        passes = int(os.environ.get('SPARK_GRAFT_BENCH_PASSES', '5'))
     sweeps = []
     for _ in range(passes):
         sweeps.append({m: _worker(m, n_pages, layout) for m in masters})
