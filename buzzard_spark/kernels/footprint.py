@@ -95,6 +95,19 @@ def _axis_spans(tile_len, overlap, total, effect, axis_name):
     raise AssertionError(effect)
 
 
+def _pop_checked(kwargs, name, shape, dtype, positive=False):
+    """Pop + coerce one constructor array parameter. The two error
+    messages are byte-pinned by the ported reference tests (see the
+    module derivation notice); the factored helper is this engine's own
+    shape for the repeated pattern."""
+    arr = np.asarray(kwargs.pop(name), dtype=dtype)
+    if arr.shape != shape:
+        raise ValueError('Invalid %s shape `%s`' % (name, str(arr.shape)))
+    if not np.isfinite(arr).all() or (positive and (arr <= 0).any()):
+        raise ValueError('Invalid %s value `%s`' % (name, arr))
+    return arr
+
+
 class Footprint:
     """Immutable rectangle: 6-float64 geotransform + 2-int raster size."""
 
@@ -103,30 +116,15 @@ class Footprint:
     def __init__(self, **kwargs):
         if 'rsize' not in kwargs:
             raise ValueError('Missing `rsize` parameter')
-        rsize = np.asarray(kwargs.pop('rsize'), dtype='int32')
-        if rsize.shape != (2,):
-            raise ValueError('Invalid rsize shape `%s`' % str(rsize.shape))
-        if not np.isfinite(rsize).all() or (rsize <= 0).any():
-            raise ValueError('Invalid rsize value `%s`' % rsize)
+        rsize = _pop_checked(kwargs, 'rsize', (2,), 'int32', positive=True)
 
         if 'gt' in kwargs:
-            gt = np.asarray(kwargs.pop('gt'), dtype='float64')
-            if gt.shape != (6,):
-                raise ValueError('Invalid gt shape `%s`' % str(gt.shape))
-            if not np.isfinite(gt).all():
-                raise ValueError('Invalid gt value `%s`' % gt)
+            gt = _pop_checked(kwargs, 'gt', (6,), 'float64')
             c, a, b, f, d, e = gt
         elif 'tl' in kwargs and 'size' in kwargs:
-            tl = np.asarray(kwargs.pop('tl'), dtype='float64')
-            if tl.shape != (2,):
-                raise ValueError('Invalid tl shape `%s`' % str(tl.shape))
-            if not np.isfinite(tl).all():
-                raise ValueError('Invalid tl value `%s`' % tl)
-            size = np.asarray(kwargs.pop('size'), dtype='float64')
-            if size.shape != (2,):
-                raise ValueError('Invalid size shape `%s`' % str(size.shape))
-            if not np.isfinite(size).all() or (size <= 0).any():
-                raise ValueError('Invalid size value `%s`' % size)
+            tl = _pop_checked(kwargs, 'tl', (2,), 'float64')
+            size = _pop_checked(kwargs, 'size', (2,), 'float64',
+                                positive=True)
             b = d = 0.
             c, f = tl
             a = size[0] / float(rsize[0])
@@ -164,11 +162,7 @@ class Footprint:
     def of_extent(cls, extent, scale):
         """Footprint from (minx, maxx, miny, maxy) + pixel scale, with
         grid-density rounding (reference: buzzard/_footprint.py:218-273)."""
-        extent = np.asarray(extent, dtype='float64')
-        if extent.shape != (4,):
-            raise ValueError(f'Invalid extent shape `{extent.shape}`')
-        if not np.isfinite(extent).all():
-            raise ValueError(f'Invalid extent value `{extent}`')
+        extent = _pop_checked({'extent': extent}, 'extent', (4,), 'float64')
         if extent[0] == extent[1] or extent[2] == extent[3]:
             raise ValueError('Empty extent')
 
