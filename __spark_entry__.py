@@ -432,15 +432,20 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word-bigram frequencies, top 20 (deterministic order by
-    count desc then bigram) — the n-gram profile op."""
+    count desc then bigram) — the n-gram profile op.
+
+    The word array is materialized ONCE per row (`ws` column) before the
+    transform lambda indexes it — `element_at(split(...), i)` inside the
+    lambda would re-split the document for every bigram index, O(words²)
+    per doc (measured 13× slower at sf0.1, the round-3 regression)."""
     docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
-    words = "split(trim(text), '\\\\s+')"
-    bigrams = (f'transform(sequence(0, size({words}) - 2), '
-               f"i -> concat(element_at({words}, i + 1), ' ', "
-               f'element_at({words}, i + 2)))')
-    return (_spread(docs)
-            .where(F.expr(f'size({words}) >= 2'))
-            .select(F.explode(F.expr(bigrams)).alias('bigram'))
+    ws = (_spread(docs)
+          .select(F.split(F.trim('text'), r'\s+').alias('ws'))
+          .where(F.expr('size(ws) >= 2')))
+    bigrams = ('transform(sequence(0, size(ws) - 2), '
+               "i -> concat(element_at(ws, i + 1), ' ', "
+               'element_at(ws, i + 2)))')
+    return (ws.select(F.explode(F.expr(bigrams)).alias('bigram'))
             .groupBy('bigram').agg(F.count('*').alias('n'))
             .orderBy(F.col('n').desc(), F.col('bigram').asc())
             .limit(20))

@@ -34,10 +34,15 @@ def shingles(df: DataFrame, text_col: str = 'text', k: int = 3,
     transform-with-index). Human-readable variant; the dedup pipeline uses
     ``shingle_ids`` (hashed, no per-shingle string allocation)."""
     words = f"split(trim({text_col}), '\\\\s+')"
-    sh = (f'array_distinct(transform(sequence(0, size({words}) - {k}), '
-          f"i -> array_join(slice({words}, i + 1, {k}), ' ')))")
-    return df.withColumn(out, F.expr(
-        f'CASE WHEN size({words}) >= {k} THEN {sh} ELSE array() END'))
+    # bind the split result ONCE as a lambda variable (array-wrap trick,
+    # same as shingle_ids): an inline `words` inside the transform lambda
+    # would re-split the document per shingle index — O(words²) per row
+    sh = (f'element_at(transform(array({words}), w -> '
+          f'CASE WHEN size(w) >= {k} THEN '
+          f'array_distinct(transform(sequence(0, size(w) - {k}), '
+          f"i -> array_join(slice(w, i + 1, {k}), ' '))) "
+          f'ELSE CAST(array() AS ARRAY<STRING>) END), 1)')
+    return df.withColumn(out, F.expr(sh))
 
 
 def shingle_ids(df: DataFrame, text_col: str = 'text', k: int = 3,
