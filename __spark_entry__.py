@@ -23,6 +23,7 @@ from buzzard_spark import synth
 from buzzard_spark.functions import sqlgen
 from buzzard_spark.kernels import cells
 from buzzard_spark.kernels.footprint import Footprint
+from buzzard_spark.operators import corpus as corpus_ops
 from buzzard_spark.operators import dedup as dedup_ops
 from buzzard_spark.operators import knn as knn_ops
 from buzzard_spark.operators import raster_ops
@@ -451,6 +452,27 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup over the near-dup corpus (documents
+    ∪ truncated copies — the copies' aligned 10-word chunks dedup away
+    against their originals, so the operator's removal path is exercised
+    on every copy)."""
+    return corpus_ops.chunk_dedup(_spread(_docs_with_near_dups(spark, sf_dir)))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (integer-only)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.repetition_stats(_spread(docs))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (engine-exact
+    tf/df ranking; the sf vocabulary is tiny so the vocab side broadcasts)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.tfidf_top_terms(_spread(docs), broadcast_vocab=True)
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -562,6 +584,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'chunk_dedup': q_chunk_dedup,
+    'repetition_stats': q_repetition_stats,
+    'tfidf_top_terms': q_tfidf_top_terms,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -945,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'chunk_dedup': corpus_ops.chunk_dedup_oracle_sql(
+            corpus_cte=(
+                'SELECT doc_id, text FROM documents UNION ALL '
+                'SELECT doc_id + 1000000 AS doc_id, '
+                "array_to_string(ws[1:len(ws) - 10], ' ') AS text "
+                'FROM (SELECT doc_id, string_split_regex(trim(text), '
+                "'\\s+') ws FROM documents) WHERE len(ws) > 20")),
+        'repetition_stats': corpus_ops.repetition_stats_oracle_sql(),
+        'tfidf_top_terms': corpus_ops.tfidf_top_terms_oracle_sql(),
     }
 
 

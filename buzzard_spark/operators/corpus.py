@@ -1,0 +1,282 @@
+"""Corpus-cleaning operators for web-scale text pipelines.
+
+Three operators a large-scale training-data pipeline needs beyond
+whole-document dedup (which lives in :mod:`.dedup`):
+
+- :func:`chunk_dedup` — CCNet-style sub-document dedup: the corpus is cut
+  into fixed-width word chunks and every chunk that already appeared
+  earlier in the corpus (by (doc_id, chunk_idx) order) is dropped; each
+  document is reconstructed from its surviving chunks. Removes
+  boilerplate (headers, navigation, license blocks) that whole-document
+  hashing can't touch.
+- :func:`repetition_stats` — Gopher-style per-document repetition
+  signals: word count, distinct-word count, most-frequent word and
+  bigram with their counts. Integer-only outputs so the DuckDB oracle
+  compares exactly.
+- :func:`tfidf_top_terms` — top-k characteristic terms per document
+  ranked by tf·idf. The rank orders by ``tf / df`` (monotone in
+  tf·ln(N/df) for fixed doc... strictly: tf/df is the engine-exact
+  proxy — ranking never needs a transcendental, so Spark and the SQL
+  oracle agree bit-for-bit), ties broken by term.
+
+All three are pure DataFrame compositions — no Python UDFs, one
+hash-shuffle per logical step, nothing quadratic, nothing collected to
+the driver — and each ships a DuckDB oracle generator used by the
+driver's correctness gate.
+
+Reference scope note: the reference engine (preligens-lab/buzzard) has no
+text stack; these follow the public CCNet (Wenzek et al., LREC 2020) and
+Gopher (Rae et al., 2021) corpus-filtering recipes re-expressed as Spark
+relational plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ['chunk_dedup', 'repetition_stats', 'tfidf_top_terms',
+           'chunk_array_sql']
+
+# chunk index is packed with doc_id into one BIGINT first-occurrence key:
+# doc_id * 2^20 + idx. Contract: doc_id < 2^43 and < 2^20 chunks per
+# document (10M words/doc at the default width — beyond any web page).
+CHUNK_IDX_BITS = 20
+
+
+def chunk_array_sql(text_col: str, chunk_words: int,
+                    dialect: str = 'spark') -> str:
+    """SQL expression: ARRAY<STRING> of consecutive ``chunk_words``-word
+    chunks of ``text_col`` (last chunk may be shorter). Same values in
+    both dialects; the word array is bound once (no per-chunk re-split).
+    """
+    w = chunk_words
+    if dialect == 'duckdb':
+        ws = f"string_split_regex(trim({text_col}), '\\s+')"
+        return (f'list_transform(range((length({ws}) + {w - 1}) // {w}), '
+                f"c -> array_to_string(list_slice({ws}, c * {w} + 1, "
+                f"c * {w} + {w}), ' '))")
+    # spark: split(trim) always yields >= 1 element, so the sequence upper
+    # bound (n_chunks - 1) is >= 0 and never walks backwards
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    return (f'element_at(transform(array({ws}), ws -> '
+            f'transform(sequence(0, ((size(ws) + {w - 1}) DIV {w}) - 1), '
+            f"c -> array_join(slice(ws, c * {w} + 1, {w}), ' '))), 1)")
+
+
+def chunk_dedup(df: DataFrame, text_col: str = 'text',
+                id_col: str = 'doc_id', chunk_words: int = 10) -> DataFrame:
+    """Corpus-wide sub-document dedup (CCNet-style paragraph dedup with
+    fixed-width word chunks standing in for paragraphs).
+
+    A chunk SURVIVES iff its (doc_id, chunk_idx) is the corpus-wide
+    minimum among all positions where that chunk text occurs. Returns one
+    row per input document::
+
+        (doc_id, n_chunks, n_kept, clean_text)
+
+    with ``clean_text`` the surviving chunks re-joined in document order
+    ('' when every chunk was seen earlier elsewhere).
+
+    Scale shape (100 TB): the dedup decision runs on a NARROW table of
+    (xxhash64(chunk), packed_key) — chunk text is never shuffled for the
+    group-by; the winning keys come back as a packed-BIGINT semi-join
+    against the exploded table, then one partial-agg group-by per doc
+    reconstructs the text. Three shuffles total, only the last two carry
+    strings. Chunk identity is the 64-bit hash (collision odds ~1e-19 per
+    pair — same contract as :func:`.dedup.shingle_ids`).
+    """
+    chunks = chunk_array_sql(text_col, chunk_words, 'spark')
+    ch = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias('idx', 'chunk'))
+    packed = (F.col(id_col).cast('long') *
+              F.lit(1 << CHUNK_IDX_BITS).cast('long') + F.col('idx'))
+    ch = ch.withColumn('_k', packed)
+    # narrow dedup decision: hash + packed key only
+    first = (ch.select(F.xxhash64('chunk').alias('_h'), '_k')
+             .groupBy('_h').agg(F.min('_k').alias('_k')))
+    kept = ch.join(first.select('_k'), '_k', 'left_semi')
+    # n_chunks is a per-row formula on the source — no explode, no shuffle
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    totals = df.select(
+        F.col(id_col),
+        F.expr(f'CAST((size({ws}) + {chunk_words - 1}) DIV {chunk_words} '
+               'AS BIGINT)').alias('n_chunks'))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count('*').alias('n_kept'),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('idx', 'chunk'))),
+                lambda s: s.chunk),
+            ' ').alias('clean_text'))
+    return (totals.join(rebuilt, id_col, 'left')
+            .select(F.col(id_col), F.col('n_chunks'),
+                    F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
+                    F.coalesce('clean_text', F.lit('')).alias('clean_text')))
+
+
+def chunk_dedup_oracle_sql(table: str = 'documents', text_col: str = 'text',
+                           id_col: str = 'doc_id',
+                           chunk_words: int = 10,
+                           corpus_cte: str | None = None) -> str:
+    """DuckDB equivalent of :func:`chunk_dedup` (groups by chunk STRING —
+    value-identical to the hash grouping absent a 64-bit collision).
+
+    ``corpus_cte``: optional SQL for a CTE named ``corpus`` providing
+    (id_col, text_col); defaults to the raw table.
+    """
+    w = chunk_words
+    corpus = corpus_cte or f'SELECT {id_col}, {text_col} FROM {table}'
+    chunks = chunk_array_sql(text_col, w, 'duckdb')
+    return f"""
+WITH corpus AS ({corpus}),
+c AS (SELECT {id_col}, {chunks} AS chunks FROM corpus),
+ch AS (SELECT {id_col}, unnest(chunks) AS chunk,
+              unnest(range(len(chunks))) AS idx FROM c),
+keyed AS (SELECT {id_col}, idx, chunk,
+                 {id_col} * {1 << CHUNK_IDX_BITS} + idx AS k FROM ch),
+first AS (SELECT chunk, MIN(k) AS k FROM keyed GROUP BY chunk),
+kept AS (SELECT keyed.* FROM keyed JOIN first USING (chunk, k)),
+tot AS (SELECT {id_col}, COUNT(*) AS n_chunks FROM keyed GROUP BY 1),
+reb AS (SELECT {id_col}, COUNT(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT tot.{id_col} AS {id_col}, tot.n_chunks,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM tot LEFT JOIN reb USING ({id_col})
+"""
+
+
+def repetition_stats(df: DataFrame, text_col: str = 'text',
+                     id_col: str = 'doc_id') -> DataFrame:
+    """Gopher-style repetition signals per document::
+
+        (doc_id, n_words, n_distinct, top_word, top_word_n,
+         top_bigram, top_bigram_n)
+
+    ``top_word`` / ``top_bigram`` are the most frequent (ties → the
+    lexicographically smallest), so every column is engine-exact.
+    Documents with a single word get ``top_bigram = ''`` / count 0.
+
+    Scale shape: explode → per-(doc, gram) partial-count → per-doc
+    window top-1 (the row_number sort reuses the group-by's hash
+    partitioning on doc_id). Nothing driver-side, nothing quadratic.
+    """
+    ws = df.select(F.col(id_col),
+                   F.split(F.trim(text_col), r'\s+').alias('ws'))
+    wc = (ws.select(id_col, F.explode('ws').alias('g'))
+          .groupBy(id_col, 'g').agg(F.count('*').alias('n')))
+    win = Window.partitionBy(id_col).orderBy(F.col('n').desc(),
+                                             F.col('g').asc())
+    topw = (wc.withColumn('rn', F.row_number().over(win))
+            .where(F.col('rn') == 1)
+            .select(id_col, F.col('g').alias('top_word'),
+                    F.col('n').alias('top_word_n')))
+    agg = wc.groupBy(id_col).agg(F.sum('n').alias('n_words'),
+                                 F.count('*').alias('n_distinct'))
+    bigrams = ('transform(sequence(0, size(ws) - 2), '
+               "i -> concat(element_at(ws, i + 1), ' ', "
+               'element_at(ws, i + 2)))')
+    bc = (ws.where(F.expr('size(ws) >= 2'))
+          .select(id_col, F.explode(F.expr(bigrams)).alias('g'))
+          .groupBy(id_col, 'g').agg(F.count('*').alias('n')))
+    topb = (bc.withColumn('rn', F.row_number().over(win))
+            .where(F.col('rn') == 1)
+            .select(id_col, F.col('g').alias('top_bigram'),
+                    F.col('n').alias('top_bigram_n')))
+    return (agg.join(topw, id_col).join(topb, id_col, 'left')
+            .select(F.col(id_col), 'n_words', 'n_distinct',
+                    'top_word', 'top_word_n',
+                    F.coalesce('top_bigram', F.lit('')).alias('top_bigram'),
+                    F.coalesce('top_bigram_n',
+                               F.lit(0).cast('long')).alias('top_bigram_n')))
+
+
+def repetition_stats_oracle_sql(table: str = 'documents',
+                                text_col: str = 'text',
+                                id_col: str = 'doc_id') -> str:
+    """DuckDB equivalent of :func:`repetition_stats`."""
+    return f"""
+WITH w AS (SELECT {id_col},
+                  string_split_regex(trim({text_col}), '\\s+') AS ws
+           FROM {table}),
+words AS (SELECT {id_col}, unnest(ws) AS g FROM w),
+wc AS (SELECT {id_col}, g, COUNT(*) AS n FROM words GROUP BY 1, 2),
+topw AS (SELECT {id_col}, g AS top_word, n AS top_word_n
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY {id_col} ORDER BY n DESC, g ASC) AS rn
+               FROM wc) WHERE rn = 1),
+agg AS (SELECT {id_col}, SUM(n) AS n_words, COUNT(*) AS n_distinct
+        FROM wc GROUP BY 1),
+bg AS (SELECT {id_col}, unnest(list_transform(
+           generate_series(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i + 1])) AS g
+       FROM w WHERE len(ws) >= 2),
+bc AS (SELECT {id_col}, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+topb AS (SELECT {id_col}, g AS top_bigram, n AS top_bigram_n
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY {id_col} ORDER BY n DESC, g ASC) AS rn
+               FROM bc) WHERE rn = 1)
+SELECT agg.{id_col} AS {id_col}, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct, top_word,
+       CAST(top_word_n AS BIGINT) AS top_word_n,
+       COALESCE(top_bigram, '') AS top_bigram,
+       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM agg JOIN topw USING ({id_col}) LEFT JOIN topb USING ({id_col})
+"""
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = 'text',
+                    id_col: str = 'doc_id', k: int = 3,
+                    broadcast_vocab: bool = False) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf::
+
+        (doc_id, term, tf, df, rnk)
+
+    ``rnk`` orders by ``tf / df`` descending (same ranking as
+    tf·ln(N/df): N is constant and ln monotone — and the division of two
+    BIGINTs is the identical IEEE double in Spark and the oracle, so no
+    transcendental ever enters the comparison), ties by term ascending.
+
+    Scale shape: one explode + two partial-agg group-bys; the (term, df)
+    table joins back on term — pass ``broadcast_vocab=True`` only when
+    the vocabulary is known to be broadcast-sized (a web-scale corpus'
+    token vocabulary is NOT; the default shuffles the equi-join and lets
+    AQE pick the strategy).
+    """
+    tf = (df.select(F.col(id_col),
+                    F.explode(F.split(F.trim(text_col), r'\s+'))
+                    .alias('term'))
+          .groupBy(id_col, 'term').agg(F.count('*').alias('tf')))
+    dfreq = tf.groupBy('term').agg(F.count('*').alias('df'))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    win = Window.partitionBy(id_col).orderBy(
+        (F.col('tf') / F.col('df')).desc(), F.col('term').asc())
+    return (tf.join(dfreq, 'term')
+            .withColumn('rnk', F.row_number().over(win))
+            .where(F.col('rnk') <= k)
+            .select(F.col(id_col), 'term', 'tf', 'df', 'rnk'))
+
+
+def tfidf_top_terms_oracle_sql(table: str = 'documents',
+                               text_col: str = 'text',
+                               id_col: str = 'doc_id', k: int = 3) -> str:
+    """DuckDB equivalent of :func:`tfidf_top_terms`."""
+    return f"""
+WITH words AS (SELECT {id_col},
+                      unnest(string_split_regex(trim({text_col}),
+                                                '\\s+')) AS term
+               FROM {table}),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT tf.{id_col} AS {id_col}, tf.term, tf.tf, dfreq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.{id_col}
+                 ORDER BY tf.tf / dfreq.df DESC, tf.term ASC) AS rnk
+      FROM tf JOIN dfreq USING (term))
+WHERE rnk <= {k}
+"""

@@ -1,0 +1,113 @@
+"""Unit tests for buzzard_spark.operators.corpus (chunk-level dedup,
+repetition stats, tf-idf top terms)."""
+
+from buzzard_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # doc 1 chunk0 == doc 2 chunk1 (with chunk_words=2): the doc-2 copy
+    # must be dropped, the doc-1 original kept.
+    df = _docs(spark, [
+        (1, 'a b c d'),          # chunks: 'a b', 'c d'
+        (2, 'x y a b'),          # chunks: 'x y', 'a b' (dup of doc1#0)
+        (3, 'c d'),              # chunk:  'c d' (dup of doc1#1)
+    ])
+    out = {r['doc_id']: r for r in
+           corpus.chunk_dedup(df, chunk_words=2).collect()}
+    assert out[1]['n_chunks'] == 2 and out[1]['n_kept'] == 2
+    assert out[1]['clean_text'] == 'a b c d'
+    assert out[2]['n_chunks'] == 2 and out[2]['n_kept'] == 1
+    assert out[2]['clean_text'] == 'x y'
+    assert out[3]['n_chunks'] == 1 and out[3]['n_kept'] == 0
+    assert out[3]['clean_text'] == ''
+
+
+def test_chunk_dedup_intra_doc_repeats(spark):
+    # repeated chunk INSIDE one doc: only the first position survives
+    df = _docs(spark, [(7, 'p q p q p q')])
+    row = corpus.chunk_dedup(df, chunk_words=2).collect()[0]
+    assert row['n_chunks'] == 3
+    assert row['n_kept'] == 1
+    assert row['clean_text'] == 'p q'
+
+
+def test_chunk_dedup_partial_tail_chunk_distinct(spark):
+    # a shorter tail chunk is NOT equal to a full chunk with same prefix
+    df = _docs(spark, [(1, 'a b c'), (2, 'a b')])
+    out = {r['doc_id']: r for r in
+           corpus.chunk_dedup(df, chunk_words=3).collect()}
+    assert out[1]['n_kept'] == 1 and out[1]['clean_text'] == 'a b c'
+    assert out[2]['n_kept'] == 1 and out[2]['clean_text'] == 'a b'
+
+
+def test_chunk_dedup_order_reconstruction(spark):
+    # surviving chunks rejoin in document order even when interleaved
+    # with removed ones
+    df = _docs(spark, [
+        (1, 'dup dup'),
+        (2, 'u1 u1 dup dup u2 u2'),   # middle chunk removed
+    ])
+    out = {r['doc_id']: r for r in
+           corpus.chunk_dedup(df, chunk_words=2).collect()}
+    assert out[2]['clean_text'] == 'u1 u1 u2 u2'
+    assert out[2]['n_kept'] == 2
+
+
+def test_repetition_stats_values_and_ties(spark):
+    df = _docs(spark, [
+        (1, 'b a b a c'),      # counts: a2 b2 c1 → tie a/b → 'a'
+        (2, 'solo'),           # single word: no bigram
+    ])
+    out = {r['doc_id']: r for r in
+           corpus.repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1['n_words'] == 5 and r1['n_distinct'] == 3
+    assert r1['top_word'] == 'a' and r1['top_word_n'] == 2
+    # bigrams: 'b a' x2, 'a b' x1, 'a c' x1 → top 'b a'
+    assert r1['top_bigram'] == 'b a' and r1['top_bigram_n'] == 2
+    r2 = out[2]
+    assert r2['n_words'] == 1 and r2['top_word'] == 'solo'
+    assert r2['top_bigram'] == '' and r2['top_bigram_n'] == 0
+
+
+def test_tfidf_ranking_and_cutoff(spark):
+    # 'rare' appears in 1 doc, 'common' in all 3 → rare ranks first
+    df = _docs(spark, [
+        (1, 'common rare common'),
+        (2, 'common other'),
+        (3, 'common other'),
+    ])
+    out = corpus.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r['doc_id'], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r['rnk'])
+    assert [r['term'] for r in d1] == ['rare', 'common']
+    assert d1[0]['tf'] == 1 and d1[0]['df'] == 1
+    assert d1[1]['tf'] == 2 and d1[1]['df'] == 3
+    # k cutoff: no doc returns more than 2 rows
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # ties (same tf/df) break by term ascending
+    d2 = sorted(by_doc[2], key=lambda r: r['rnk'])
+    assert [r['term'] for r in d2] == ['other', 'common']
+
+
+def test_tfidf_broadcast_matches_shuffle(spark):
+    df = _docs(spark, [(i, f'w{i % 3} shared w{i % 5}') for i in range(30)])
+    a = sorted(map(tuple, corpus.tfidf_top_terms(
+        df, k=3, broadcast_vocab=True).collect()))
+    b = sorted(map(tuple, corpus.tfidf_top_terms(
+        df, k=3, broadcast_vocab=False).collect()))
+    assert a == b
+
+
+def test_chunk_dedup_plan_no_python_udf(spark):
+    """Hot path stays JVM-side: no BatchEvalPython in the plan."""
+    df = _docs(spark, [(1, 'a b c d')])
+    plan = corpus.chunk_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert 'BatchEvalPython' not in plan
+    assert 'CartesianProduct' not in plan
