@@ -108,3 +108,39 @@ def stream_dedup_exact(docs: DataFrame, watermark: str = '2 hours',
                         F.md5(F.encode(F.col(content_col), 'utf-8')))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(['content_hash']))
+
+
+def stream_chunk_dedup(docs: DataFrame, watermark: str = '2 hours',
+                       ts_col: str = 'ts', text_col: str = 'text',
+                       id_col: str = 'doc_id',
+                       chunk_words: int = 10) -> DataFrame:
+    """Streaming sub-document (chunk-level) dedup — the ingestion-side
+    twin of ``operators.corpus.chunk_dedup`` for a continuous crawl feed.
+
+    Each arriving document explodes into fixed-width word chunks (the
+    batch operator's chunking expression — one definition, two execution
+    modes); a chunk whose 64-bit hash was already seen within the
+    watermark horizon is dropped. Emits the SURVIVING chunk rows
+    ``(doc_id, ts, idx, chunk)`` — reassembly into cleaned documents is a
+    per-doc aggregation downstream (or the batch operator for bounded
+    replays); emitting chunk rows keeps this a single stateful operator.
+
+    State is bounded exactly as in :func:`stream_dedup_exact`: one state
+    row per distinct chunk hash within the horizon
+    (``dropDuplicatesWithinWatermark``), evicted when the watermark
+    passes first-sighting + horizon, after which a boilerplate chunk is
+    re-admitted as fresh — horizon semantics, not forever-state.
+
+    First-seen-wins follows ARRIVAL order; the batch operator's
+    (doc_id, idx) minimum coincides with it when doc ids ascend with
+    arrival time (the streaming==batch conformance test's construction).
+    """
+    from buzzard_spark.operators.corpus import chunk_array_sql
+    chunks = chunk_array_sql(text_col, chunk_words, 'spark')
+    return (docs
+            .withWatermark(ts_col, watermark)
+            .select(F.col(id_col), F.col(ts_col),
+                    F.posexplode(F.expr(chunks)).alias('idx', 'chunk'))
+            .withColumn('chunk_hash', F.xxhash64('chunk'))
+            .dropDuplicatesWithinWatermark(['chunk_hash'])
+            .drop('chunk_hash'))

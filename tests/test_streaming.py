@@ -180,3 +180,48 @@ def test_stream_dedup_readmits_beyond_watermark_horizon(spark, tmp_path):
     sink = _run_stream(out.select('doc_id'), tmp_path, mode='append')
     got = {r['doc_id'] for r in spark.sql(f'SELECT * FROM {sink}').collect()}
     assert got == {0, 1, 2, 3}
+
+
+def test_stream_chunk_dedup_matches_batch(spark, tmp_path):
+    """Chunk-level dedup over 3 micro-batches: surviving (doc_id, idx)
+    chunk rows equal the batch chunk_dedup keep set (doc ids ascend with
+    arrival order, so streaming first-seen == batch min (doc_id, idx))."""
+    import time
+
+    src = tmp_path / 'chunk_stream'
+    src.mkdir()
+    batches = [
+        [(0, '2024-01-01 00:00:00', 'a b c d'),
+         (1, '2024-01-01 00:01:00', 'x y a b')],   # 'a b' dups doc0#0
+        [(2, '2024-01-01 01:00:00', 'c d'),        # dups doc0#1
+         (3, '2024-01-01 01:01:00', 'p q r s')],
+        [(4, '2024-01-01 02:00:00', 'p q x y')],   # both chunks dup
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, 'doc_id long, ts string, text string')
+         .withColumn('ts', F.to_timestamp('ts'))
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream
+              .schema('doc_id long, ts timestamp, text string')
+              .option('maxFilesPerTrigger', 1)
+              .parquet(f'{src}/*'))
+    out = stream_ops.stream_chunk_dedup(stream, chunk_words=2)
+    sink = _run_stream(out.select('doc_id', 'idx', 'chunk'),
+                       tmp_path, mode='append')
+    got = {(r['doc_id'], r['idx'], r['chunk'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    assert got == {(0, 0, 'a b'), (0, 1, 'c d'), (1, 0, 'x y'),
+                   (3, 0, 'p q'), (3, 1, 'r s')}
+
+    from buzzard_spark.operators.corpus import chunk_dedup
+    batch_df = spark.read.schema(
+        'doc_id long, ts timestamp, text string').parquet(f'{src}/*')
+    rebuilt = {r['doc_id']: r['clean_text']
+               for r in chunk_dedup(batch_df, chunk_words=2).collect()}
+    # streaming survivors reassembled per doc == batch clean_text
+    streamed = {}
+    for doc_id, idx, chunk in sorted(got):
+        streamed[doc_id] = (streamed.get(doc_id, '') + ' ' + chunk).strip()
+    for doc_id, text in rebuilt.items():
+        assert streamed.get(doc_id, '') == text
