@@ -452,6 +452,18 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment join (quote/truncation detection) at 0.9 over
+    the near-dup corpus: every truncated copy is fully contained in its
+    original (1000‰) even where Jaccard sits below the near-dup band
+    threshold. k=5 shingles (the realistic excerpt-detection length; the
+    synthetic corpus' 40-word vocabulary makes 3-shingles pathologically
+    hot, which is exactly the boilerplate regime the df-cap handles — at
+    k=5 the index is naturally sparse)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return dedup_ops.containment_pairs(_spread(corpus), k=5, threshold=0.9)
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup over the near-dup corpus (documents
     ∪ truncated copies — the copies' aligned 10-word chunks dedup away
@@ -584,6 +596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'containment_pairs': q_containment_pairs,
     'chunk_dedup': q_chunk_dedup,
     'repetition_stats': q_repetition_stats,
     'tfidf_top_terms': q_tfidf_top_terms,
@@ -970,6 +983,40 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'containment_pairs': (
+            'WITH '
+            "toks AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') w FROM documents), "
+            'corpus AS (SELECT doc_id, w FROM toks UNION ALL '
+            'SELECT doc_id + 1000000, w[1:len(w) - 10] FROM toks '
+            'WHERE len(w) > 20), '
+            'sh AS (SELECT doc_id, list_distinct(list_transform('
+            'generate_series(1, len(w) - 4), '
+            "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || "
+            "w[i + 3] || ' ' || w[i + 4])) s "
+            'FROM corpus WHERE len(w) >= 5), '
+            'inv AS (SELECT doc_id, unnest(s) sg FROM sh), '
+            'hot AS (SELECT sg FROM inv GROUP BY sg '
+            'HAVING COUNT(*) > 1000), '
+            'rare AS (SELECT * FROM inv WHERE sg NOT IN '
+            '(SELECT sg FROM hot)), '
+            'cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib '
+            'FROM rare a JOIN rare b ON a.sg = b.sg '
+            'AND a.doc_id < b.doc_id), '
+            'co AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) inter '
+            'FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id '
+            'GROUP BY 1, 2), '
+            'sz AS (SELECT doc_id, len(s) n FROM sh) '
+            'SELECT cand.ia AS id_a, cand.ib AS id_b, '
+            'CAST(co.inter AS BIGINT) AS inter_n, '
+            'CAST(FLOOR(CAST(co.inter AS DOUBLE) / '
+            'CAST(LEAST(sa.n, sb.n) AS DOUBLE) * 1000E0) AS BIGINT) '
+            'AS containment_pm '
+            'FROM cand JOIN co ON co.ia = cand.ia AND co.ib = cand.ib '
+            'JOIN sz sa ON sa.doc_id = cand.ia '
+            'JOIN sz sb ON sb.doc_id = cand.ib '
+            'WHERE CAST(co.inter AS DOUBLE) / '
+            'CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9E0'),
         'chunk_dedup': corpus_ops.chunk_dedup_oracle_sql(
             corpus_cte=(
                 'SELECT doc_id, text FROM documents UNION ALL '

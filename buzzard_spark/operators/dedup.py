@@ -268,6 +268,77 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     return checkpoint_release(out, [sh] + lsh_cached)
 
 
+def containment_pairs(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text', k: int = 3,
+                      threshold: float = 0.9, df_cap: int = 1000,
+                      materialize: bool = True) -> DataFrame:
+    """Shingle-containment join — quote / truncation / excerpt detection.
+
+    Output ``(id_a, id_b, inter_n, containment_pm)`` for every pair whose
+    smaller shingle set is ≥ ``threshold`` contained in the larger:
+    ``containment = |A∩B| / min(|A|, |B|)`` (exact, integer per-mille).
+    A truncated copy of a page scores 1000‰ against its original even
+    when the Jaccard similarity is far below any near-dup threshold —
+    the case MinHash-LSH banding is blind to (band collision probability
+    tracks JACCARD, so a small-in-large containment pair rarely shares a
+    bucket; this operator exists because :func:`near_dup_pairs` cannot
+    subsume it).
+
+    Index structure (the scale contract): an inverted shingle index with
+    hot shingles dropped — a shingle occurring in more than ``df_cap``
+    documents generates no candidates (boilerplate n-grams at web scale
+    would otherwise each emit O(df²) candidate pairs). Candidates share
+    at least one NON-HOT shingle; the containment value itself is then
+    verified EXACTLY on the full shingle sets (array_intersect), so every
+    returned pair and value is true regardless of the cap — the cap only
+    bounds candidate generation. A true pair is missed only if every one
+    of its shared shingles is hot (≥ threshold·min(|A|,|B|) shingles ALL
+    above df_cap — at the default cap that means the overlap is pure
+    boilerplate). Per-shingle candidate fan-out is ≤ df_cap², and the
+    (id_a, id_b)-distinct shuffle is bounded by the capped co-occurrence
+    count — nothing quadratic in corpus size.
+
+    Shingle identity is the 64-bit xxhash of :func:`shingle_ids` (same
+    collision contract); docs with < k tokens have no shingles and never
+    pair.
+    """
+    base = df.select(id_col, text_col)
+    sh = (shingle_ids(base, text_col, k)
+          .where(F.size('shingles') > 0)
+          .select(id_col, 'shingles').persist())
+    inv = sh.select(F.col(id_col).alias('_id'),
+                    F.explode('shingles').alias('_s'))
+    hot = (inv.groupBy('_s').agg(F.count('*').alias('_df'))
+           .where(F.col('_df') > df_cap).select('_s'))
+    rare = inv.join(hot, '_s', 'left_anti')
+    cand = (rare.alias('a')
+            .join(rare.alias('b'), '_s')
+            .where(F.col('a._id') < F.col('b._id'))
+            .select(F.col('a._id').alias('id_a'),
+                    F.col('b._id').alias('id_b'))
+            .distinct())
+    sh_only = sh.select(F.col(id_col).alias('_jid'), 'shingles')
+    joined = (cand
+              .join(sh_only.withColumnRenamed('shingles', 'sh_a'),
+                    cand.id_a == F.col('_jid')).drop('_jid')
+              .join(sh_only.withColumnRenamed('shingles', 'sh_b'),
+                    cand.id_b == F.col('_jid')).drop('_jid'))
+    cont = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
+            'CAST(LEAST(size(sh_a), size(sh_b)) AS DOUBLE)')
+    out = (joined
+           .withColumn('inter_n',
+                       F.expr('CAST(size(array_intersect(sh_a, sh_b)) '
+                              'AS BIGINT)'))
+           .withColumn('containment_pm',
+                       F.expr(f'CAST(FLOOR({cont} * 1000E0) AS BIGINT)'))
+           .where(F.expr(f'{cont} >= {threshold}E0'))
+           .select('id_a', 'id_b', 'inter_n', 'containment_pm'))
+    if not materialize:
+        return out
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [sh])
+
+
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
                    max_iters: int = 25,
                    release: tuple = ()) -> DataFrame:

@@ -527,3 +527,60 @@ def test_resize_media_real_codec(spark):
         assert got[i]['height'] == 8 and got[i]['width'] == 12
         assert got[i]['channels'] == 3
         assert bytes(got[i]['data']) == want.tobytes()
+
+
+def test_containment_pairs_truncation_detected(spark):
+    """A truncated copy (prefix) is fully contained in its original even
+    when Jaccard is below any near-dup threshold."""
+    base = ' '.join(f'w{i}' for i in range(60))
+    prefix = ' '.join(f'w{i}' for i in range(12))  # J ~ 10/58 << 0.6
+    df = spark.createDataFrame(
+        [(1, base), (2, prefix), (3, 'x0 x1 x2 x3 x4 x5')],
+        'doc_id long, text string')
+    out = dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+    assert [(r['id_a'], r['id_b']) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r['containment_pm'] == 1000      # prefix shingles all present
+    assert r['inter_n'] == 10               # 12 words -> 10 3-shingles
+
+
+def test_containment_pairs_exact_values(spark):
+    """Containment value verified on FULL sets (per-mille floor)."""
+    # A = shingles of 'a b c d e f' (4), B shares 3 of its 4
+    df = spark.createDataFrame(
+        [(1, 'a b c d e f'), (2, 'a b c d e zz')],
+        'doc_id long, text string')
+    out = dedup.containment_pairs(df, k=3, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]['inter_n'] == 3
+    assert out[0]['containment_pm'] == 750  # 3/4
+    # below threshold: filtered
+    assert not dedup.containment_pairs(
+        df, k=3, threshold=0.8).collect()
+
+
+def test_containment_pairs_hot_shingle_cap(spark):
+    """A pair whose EVERY shared shingle is hot emits no candidate (the
+    documented df_cap recall contract); pairs with one rare shared
+    shingle survive and still verify on full sets."""
+    boiler = 'same old boiler plate text'
+    rows = [(i, boiler) for i in range(10)]           # all-hot overlap
+    rows += [(100, boiler + ' rare marker one'),      # shares rare tail
+             (101, boiler + ' rare marker one extra')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = dedup.containment_pairs(df, k=3, threshold=0.9, df_cap=5)
+    pairs = {(r['id_a'], r['id_b']) for r in out.collect()}
+    # boilerplate-only pairs are capped away; the rare-tail pair remains
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, b in pairs)
+    # sanity: with a high cap the boilerplate pairs DO appear
+    uncapped = {(r['id_a'], r['id_b']) for r in dedup.containment_pairs(
+        df, k=3, threshold=0.9, df_cap=1000).collect()}
+    assert (0, 1) in uncapped
+
+
+def test_containment_pairs_no_cache_leak(spark):
+    df = spark.createDataFrame(
+        [(1, 'a b c d'), (2, 'a b c')], 'doc_id long, text string')
+    dedup.containment_pairs(df, k=3, threshold=0.5).collect()
+    assert not dict(spark.sparkContext._jsc.getPersistentRDDs())
