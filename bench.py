@@ -131,12 +131,16 @@ def flagship_worker(master: str, n_pages: int,
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix='bench-manifest-', dir=base)
     try:
-        # warmup is 8M pages (untimed): a 500k warmup left ~1.4s of
-        # first-run-at-scale cost (JIT tiering, shuffle/codegen paths at
-        # real batch sizes) inside the timed run — a fixed tax that lands
-        # hardest on the fastest (local[32]) leg and depressed the 8→32
-        # ratio by ~0.1 raw (measured round 4)
-        run_flagship(spark, min(n_pages, 8_000_000), layout,
+        # warmup is one untimed FULL-SCALE run: an 8M warmup still left
+        # ~0.7-1.0s of first-run-at-scale cost (JIT tier-up, shuffle
+        # arena/page-cache growth) inside the timed run — ~20% of the
+        # local[32] wall, a fixed tax that lands hardest on the fastest
+        # leg and systematically depressed both scaling ratios (measured
+        # round 4: 4.77s first vs 3.74s steady at local[32]/256M, while a
+        # 64M warmup only recovered ~0.25s). Every master gets the
+        # identical treatment, so ratios compare steady-state to
+        # steady-state.
+        run_flagship(spark, n_pages, layout,
                      manifest_root=os.path.join(tmp, 'warm'))
         wall = run_flagship(spark, n_pages, layout,
                             manifest_root=os.path.join(tmp, 'run'))
