@@ -72,13 +72,19 @@ def run_flagship(spark, n_pages: int, layout: str = 'clustered',
 
     # tile assignment on the pages side: evaluated once per page instead of
     # once per joined (page, region) pair (~2.2x fewer expression evals).
-    # 512 input splits at every parallelism level (a 100 TB table has
-    # thousands of file splits): with the clustered layout each task's
-    # partial-agg hash map shrinks to ~groups/512 entries — cache-resident
-    # at any thread count (coarse per-core splits left ~6 MB maps per task
-    # that thrash the shared L3 as threads scale: measured 21.9s -> 11.7s
-    # at local[8]/256M from this change alone)
-    pages = (synth.synthetic_pages(spark, n_pages, partitions=512,
+    # 256 input splits at every parallelism level (a 100 TB table has
+    # thousands of file splits; 1M rows/split here matches a production
+    # file-split size): with the clustered layout each task's partial-agg
+    # hash map stays ~groups/256 entries — cache-resident at any thread
+    # count (COARSE per-core splits left ~6 MB maps per task that thrash
+    # the shared L3 as threads scale: 21.9s -> 11.7s at local[8]/256M,
+    # round 2; 128 splits re-measured worse at local[8], round 4). The
+    # ceiling on split count is the single-threaded DAGScheduler event
+    # loop: ~1-2 ms per task of serialized scheduling is 5% of the
+    # local[2] wall but up to half of the local[32] wall — 512 splits
+    # measured 7.1s vs 3.3s at local[32]/256M against identical input at
+    # 256 splits (round 4), and 256 is faster at local[2]/[8] too.
+    pages = (synth.synthetic_pages(spark, n_pages, partitions=256,
                                    layout=layout)
              .withColumn('tile_x', F.expr(tx))
              .withColumn('tile_y', F.expr(ty)))
