@@ -111,3 +111,44 @@ def test_chunk_dedup_plan_no_python_udf(spark):
     plan = corpus.chunk_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert 'BatchEvalPython' not in plan
     assert 'CartesianProduct' not in plan
+
+
+def _py_chunk_dedup(rows, w):
+    """Pure-python oracle: first-occurrence-wins over (doc_id, idx)."""
+    chunks = {}
+    for doc_id, text in rows:
+        ws = text.strip().split()
+        for i in range(0, max(1, (len(ws) + w - 1) // w)):
+            c = ' '.join(ws[i * w:(i + 1) * w])
+            chunks.setdefault(c, []).append((doc_id, i))
+    first = {c: min(pos) for c, pos in chunks.items()}
+    out = {}
+    for doc_id, text in rows:
+        ws = text.strip().split()
+        n = max(1, (len(ws) + w - 1) // w)
+        kept = [(i, ' '.join(ws[i * w:(i + 1) * w])) for i in range(n)
+                if first[' '.join(ws[i * w:(i + 1) * w])] == (doc_id, i)]
+        out[doc_id] = (n, len(kept), ' '.join(c for _, c in kept))
+    return out
+
+
+def test_chunk_dedup_randomized_vs_python_oracle(spark):
+    """Seeded random corpora (small vocab → heavy chunk collisions,
+    dup docs, empty-ish docs) == pure-python first-occurrence oracle."""
+    import random
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        vocab = [f'w{i}' for i in range(6)]
+        rows = []
+        for doc_id in range(40):
+            n = rng.randrange(1, 30)
+            rows.append((doc_id, ' '.join(rng.choice(vocab)
+                                          for _ in range(n))))
+        # exact duplicate docs with later ids
+        rows += [(100 + i, rows[i][1]) for i in range(5)]
+        expect = _py_chunk_dedup(rows, 4)
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        got = {r['doc_id']: (r['n_chunks'], r['n_kept'], r['clean_text'])
+               for r in corpus.chunk_dedup(df, chunk_words=4).collect()}
+        assert got == expect, f'seed {seed}'

@@ -155,3 +155,34 @@ def test_new_similarity_and_simhash_plans_no_cartesian(spark):
     p3 = _plan(q3)
     assert 'CartesianProduct' not in p3 and 'BroadcastNestedLoopJoin' not in p3
     assert 'BatchEvalPython' not in p3
+
+
+def test_corpus_ops_plans_no_python_no_cartesian(spark):
+    """Round-4 corpus operators stay JVM-side and bucketed: no Python in
+    the row path, no cartesian products; tfidf's vocab join broadcasts
+    when (and only when) asked."""
+    from buzzard_spark.operators import corpus, dedup
+
+    docs = spark.createDataFrame(
+        [(i, f'w{i % 7} shared text w{i % 5} tail{i}') for i in range(40)],
+        'doc_id long, text string')
+
+    for q in (corpus.chunk_dedup(docs),
+              corpus.repetition_stats(docs),
+              dedup.containment_pairs(docs, k=3, threshold=0.5,
+                                      materialize=False)):
+        p = _plan(q)
+        assert 'BatchEvalPython' not in p
+        assert 'CartesianProduct' not in p
+        assert 'BroadcastNestedLoopJoin' not in p
+
+    p_bc = _plan(corpus.tfidf_top_terms(docs, broadcast_vocab=True))
+    assert 'BroadcastHashJoin' in p_bc
+    assert 'BatchEvalPython' not in p_bc
+    p_sh = _plan(corpus.tfidf_top_terms(docs, broadcast_vocab=False))
+    assert 'BatchEvalPython' not in p_sh
+    assert 'CartesianProduct' not in p_sh
+    # containment_pairs(materialize=False) leaves its input pinned by
+    # contract (caller-managed); drop the mark so later cache-hygiene
+    # assertions see a clean session
+    spark.catalog.clearCache()
