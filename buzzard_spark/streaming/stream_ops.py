@@ -74,6 +74,98 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = '1 hour', ts_col: str = 'ts',
+                      user_col: str = 'user_id') -> DataFrame:
+    """Streaming gap-based sessionization — the ingestion-side twin of
+    the batch window-function sessionizer (``q_user_sessions``): an
+    inactivity gap of ``gap_minutes`` closes a session.
+
+    The canonical custom-stateful-operator pattern Spark has no built-in
+    for: ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT. Per-user
+    state is the open session ``(start, last, n_events)`` (three longs —
+    constant per user, no event buffering). A session is emitted when
+
+    - a later event arrives past the gap (closed by evidence), or
+    - the watermark passes ``last + gap`` with no such event (closed by
+      timeout — without this, a user who never returns would hold state
+      forever and their last session would never be reported).
+
+    Output (append mode): ``(user_id, session_start, session_end,
+    n_events)``. Within a micro-batch the segmentation is vectorized
+    (pandas diff/cumsum — no per-event Python loop); the carried state
+    merges with the first segment when no gap separates them. Late
+    events older than the open session's ``last`` still count into the
+    session (n_events += k) but cannot reopen a closed one — closed-by-
+    timeout sessions are final, the same contract as every watermarked
+    aggregation. Timeout registration clamps to watermark + 1 ms (Spark
+    rejects a timeout at or before the current watermark, which happens
+    when the closing gap has already elapsed in event time by the time
+    the batch is processed — the next timeout sweep then fires it).
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def _update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ['user_id', 'session_start', 'session_end', 'n_events']
+
+        def emit(rows):
+            if not rows:
+                return pd.DataFrame({
+                    'user_id': pd.Series([], dtype='int64'),
+                    'session_start': pd.Series([], dtype='datetime64[us]'),
+                    'session_end': pd.Series([], dtype='datetime64[us]'),
+                    'n_events': pd.Series([], dtype='int64')})
+            return pd.DataFrame(
+                [(key[0], pd.Timestamp(s, unit='us'),
+                  pd.Timestamp(e, unit='us'), n) for s, e, n in rows],
+                columns=cols)
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+        ev = pd.concat(list(pdfs))
+        us = (ev[ts_col].sort_values()
+              .astype('datetime64[us]').astype('int64'))  # epoch µs
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        # vectorized segmentation: a new segment begins where the gap to
+        # the previous event exceeds gap_us
+        brk = (us.diff() > gap_us).cumsum()
+        for _, seg in us.groupby(brk):
+            s0, s1, k = int(seg.iloc[0]), int(seg.iloc[-1]), len(seg)
+            if last is not None and s0 <= last + gap_us:
+                # merges with the open session (late events with
+                # s1 <= last extend n but not the end)
+                start, last, n = start, max(last, s1), n + k
+            else:
+                if last is not None:
+                    closed.append((start, last, n))
+                start, last, n = s0, s1, k
+        state.update((int(start), int(last), int(n)))
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last // 1000 + gap_us // 1000,
+                                      wm_ms + 1))
+        yield emit(closed)
+
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                _update,
+                outputStructType='user_id long, session_start timestamp, '
+                                 'session_end timestamp, n_events long',
+                stateStructType='start long, last long, n long',
+                outputMode='append',
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_cell_assign(pages: DataFrame, res: int,
                        lat='lat', lng='lng') -> DataFrame:
     """Stateless cell assignment on a stream — literally the batch

@@ -225,3 +225,62 @@ def test_stream_chunk_dedup_matches_batch(spark, tmp_path):
         streamed[doc_id] = (streamed.get(doc_id, '') + ' ' + chunk).strip()
     for doc_id, text in rebuilt.items():
         assert streamed.get(doc_id, '') == text
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Gap-based streaming sessionization == the batch window-function
+    sessionizer: sessions closed by a later event AND sessions closed by
+    event-time timeout (a flush event for a sentinel user advances the
+    watermark past every real user's last+gap, then a spacer batch lets
+    the timeout sweep fire)."""
+    import time
+
+    gap, wm = 30, '10 minutes'
+    src = tmp_path / 'sess_stream'
+    src.mkdir()
+    batches = [
+        # user 1: two sessions (09:00-09:10, 11:00); user 2: one session
+        [(1, '2024-01-01 09:00:00'), (1, '2024-01-01 09:10:00'),
+         (2, '2024-01-01 09:05:00')],
+        [(1, '2024-01-01 11:00:00'),            # closes user1 session 1
+         (2, '2024-01-01 09:20:00')],           # extends user2 session
+        # sentinel: watermark -> ~2024-01-02, past every last+gap
+        [(999, '2024-01-02 00:00:00')],
+        [(999, '2024-01-02 00:00:01')],         # spacer: timeout sweep
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, 'user_id long, ts string')
+         .withColumn('ts', F.to_timestamp('ts'))
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream.schema('user_id long, ts timestamp')
+              .option('maxFilesPerTrigger', 1).parquet(f'{src}/*'))
+    out = stream_ops.stream_sessionize(stream, gap_minutes=gap,
+                                       watermark=wm)
+    sink = _run_stream(out, tmp_path, mode='append')
+    got = {(r['user_id'], r['session_start'].isoformat(),
+            r['session_end'].isoformat(), r['n_events'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()
+           if r['user_id'] != 999}
+    assert got == {
+        (1, '2024-01-01T09:00:00', '2024-01-01T09:10:00', 2),
+        (1, '2024-01-01T11:00:00', '2024-01-01T11:00:00', 1),
+        (2, '2024-01-01T09:05:00', '2024-01-01T09:20:00', 2),
+    }
+
+    # cross-check against the batch sessionizer's (n_sessions, longest)
+    batch_df = spark.read.schema('user_id long, ts timestamp').parquet(
+        f'{src}/*').where('user_id != 999')
+    w = __import__('pyspark.sql.window', fromlist=['Window']).Window \
+        .partitionBy('user_id').orderBy('ts')
+    sess = (batch_df
+            .withColumn('prev_ts', F.lag('ts').over(w))
+            .withColumn('new_sess', F.expr(
+                f'CASE WHEN prev_ts IS NULL OR ts > prev_ts + '
+                f'INTERVAL {gap} MINUTES THEN 1 ELSE 0 END'))
+            .withColumn('sess_id', F.sum('new_sess').over(
+                w.rowsBetween(-(1 << 30), 0))))
+    truth = {(r['user_id'], r['n']) for r in
+             sess.groupBy('user_id', 'sess_id')
+             .agg(F.count('*').alias('n')).collect()}
+    assert {(u, n) for u, _, _, n in got} == truth
