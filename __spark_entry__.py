@@ -31,6 +31,7 @@ from buzzard_spark.operators import similarity as similarity_ops
 from buzzard_spark.operators import spatial_join
 from buzzard_spark.operators import text as text_ops
 from buzzard_spark.operators import vector_source as vector_ops
+from buzzard_spark.operators import zorder as zorder_ops
 
 CELL_RES = 9          # BASELINE.json: "H3 res-9 index" analogue
 JOIN_RES = 4          # coarser cover grid for region join
@@ -452,6 +453,25 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) write-clustering profile: pages are clustered on
+    the interleaved tile-coordinate Z-value (operators.zorder — the
+    layout a production table is written with so manifest min/max
+    pruning and per-task group locality hold), then profiled per
+    4096-wide Z-bucket. The curve arithmetic is value-checked exactly
+    (same shift/mask expression in DuckDB)."""
+    pages = _pages(spark, sf_dir)
+    tx, ty = sqlgen.tile_xy_sql('lat', 'lng', TILE_FP)
+    tiles = pages.select(F.expr(tx).alias('tile_x'),
+                         F.expr(ty).alias('tile_y'))
+    clustered = zorder_ops.cluster_by_zorder(tiles, 'tile_x', 'tile_y',
+                                             bits=9, n_partitions=16)
+    return (clustered.groupBy(F.expr('zval DIV 4096').alias('z_bucket'))
+            .agg(F.count('*').alias('n_pages'),
+                 F.min('zval').alias('z_min'),
+                 F.max('zval').alias('z_max')))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-containment join (quote/truncation detection) at 0.9 over
     the near-dup corpus: every truncated copy is fully contained in its
@@ -596,6 +616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'zorder_profile': q_zorder_profile,
     'containment_pairs': q_containment_pairs,
     'chunk_dedup': q_chunk_dedup,
     'repetition_stats': q_repetition_stats,
@@ -983,6 +1004,14 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'zorder_profile': (
+            'WITH {pages}, tiles AS (SELECT {tx} AS tile_x, {ty} AS tile_y '
+            'FROM pages), z AS (SELECT {zv} AS zval FROM tiles) '
+            'SELECT zval // 4096 AS z_bucket, COUNT(*) AS n_pages, '
+            'MIN(zval) AS z_min, MAX(zval) AS z_max FROM z GROUP BY 1'
+        ).format(pages=pages, tx=tx, ty=ty,
+                 zv=zorder_ops.zvalue_sql('tile_x', 'tile_y', 9,
+                                          dialect='duckdb')),
         'containment_pairs': (
             'WITH '
             "toks AS (SELECT doc_id, string_split_regex(trim(text), "
