@@ -74,10 +74,14 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, f'snap-{snap_id}.json')) as f:
             return json.load(f)
 
-    def manifests(self) -> list[dict]:
-        """All manifests in the current lineage chain, oldest first."""
+    def manifests(self, start_id: int | None = None) -> list[dict]:
+        """All manifests in a lineage chain, oldest first — the CURRENT
+        chain by default, or the chain rooted at ``start_id`` (time
+        travel across a compaction: the pre-compaction chain is intact on
+        disk, only CURRENT's chain was replaced)."""
         out = []
-        snap_id = self.current_snapshot_id()
+        snap_id = (self.current_snapshot_id() if start_id is None
+                   else start_id)
         while snap_id is not None:
             m = self._load_manifest(snap_id)
             out.append(m)
@@ -93,12 +97,16 @@ class SnapshotTable:
     # -- write -------------------------------------------------------------------
 
     def append(self, df: DataFrame, key_cols: list[str] | None = None,
-               observe: dict | None = None) -> dict:
+               observe: dict | None = None,
+               _replaces: int | None = None) -> dict:
         """Append df as a new snapshot. Returns the manifest dict.
 
         key_cols: tile/content keys recorded for resume anti-joins.
         observe: extra named aggregate Columns measured during the write
         (runs through Spark's Observation API — one pass, no extra job).
+        _replaces: internal (``compact``): commit with ``parent: None`` so
+        the new snapshot REPLACES the chain tipped at that id, recording
+        ``compacted_from`` for provenance.
         """
         parent = self.current_snapshot_id()
         # data lands in a writer-unique dir: two concurrent appends can
@@ -186,7 +194,7 @@ class SnapshotTable:
         while True:
             manifest = {
                 'snapshot_id': snap_id,
-                'parent': parent,
+                'parent': None if _replaces is not None else parent,
                 'created_ms': int(time.time() * 1000),
                 'data_dir': os.path.relpath(data_dir, self.root),
                 'files': files,
@@ -197,6 +205,8 @@ class SnapshotTable:
                 'keys_path': keys_path,
                 'metrics': dict(obs.get) if obs is not None else {},
             }
+            if _replaces is not None:
+                manifest['compacted_from'] = _replaces
             path = os.path.join(self.manifest_dir, f'snap-{snap_id}.json')
             try:
                 fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -211,6 +221,53 @@ class SnapshotTable:
         if cur is None or cur < snap_id:
             self._atomic_write(self._current_path(), str(snap_id))
         return manifest
+
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 << 20,
+                dedupe_keys: list[str] | None = None) -> dict:
+        """Iceberg-style ``rewrite_data_files`` table maintenance: rewrite
+        the current chain's data into ~``target_file_bytes`` files as ONE
+        new snapshot that REPLACES the chain.
+
+        A resumable pipeline appending per-tile batches accumulates many
+        small files (every `append` is a snapshot); at the 100-TB design
+        point the manifest chain and file count grow with append count,
+        not data size — compaction folds N snapshots into one, after
+        which reads list one manifest and ~data/target files.
+
+        Contracts:
+
+        - rows: ``read()`` after == ``read()`` before (bit-identical set).
+          With ``dedupe_keys``, the LATEST-version-per-key view is
+          materialized during the rewrite (Iceberg's rewrite with deletes
+          applied) — required if the table is read with ``dedupe_keys``,
+          because a plain union rewrite would lose the snapshot ordering
+          that resolves later-wins.
+        - time travel: pre-compaction snapshots remain readable via
+          ``read(as_of=old_id)`` — nothing is deleted, only CURRENT's
+          chain is replaced (the new manifest has ``parent: None`` and
+          records ``compacted_from``).
+        - resume: the key sidecar is rewritten from the compacted data
+          (distributed, no driver collect) when every source snapshot
+          used the same ``key_cols``; ``completed_keys`` is unchanged.
+        - concurrency: like Iceberg, compaction assumes no concurrent
+          writer commits between its read and its commit (a racing append
+          chains onto the old tip and is orphaned from the new chain —
+          re-append to recover; the CAS layer keeps ids unique either
+          way).
+        """
+        manifests = self._valid_manifests()
+        if not manifests:
+            raise FileNotFoundError(f'no valid snapshots under {self.root}')
+        old_tip = manifests[-1]['snapshot_id']
+        key_cols = manifests[-1].get('key_cols')
+        if any(m.get('key_cols') != key_cols for m in manifests):
+            key_cols = None
+        df = self.read(spark, dedupe_keys=dedupe_keys)
+        total_bytes = sum(m['bytes'] for m in manifests)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        return self.append(df.repartition(n_files), key_cols=key_cols,
+                           _replaces=old_tip)
 
     # -- read / resume -----------------------------------------------------------
 
@@ -251,7 +308,7 @@ class SnapshotTable:
             self._verified[cache_key] = _md5_file(path) == md5
         return self._verified[cache_key]
 
-    def _valid_manifests(self) -> list[dict]:
+    def _valid_manifests(self, start_id: int | None = None) -> list[dict]:
         """Manifests whose files all pass size + md5 integrity; a snapshot
         with a corrupted/missing file is dropped from the lineage (its keys
         become incomplete → recomputed), matching the reference's
@@ -260,7 +317,7 @@ class SnapshotTable:
         caught, not just truncation). Each file is hashed once per process
         (mtime/size-keyed cache)."""
         good = []
-        for m in self.manifests():
+        for m in self.manifests(start_id=start_id):
             if not all(self._file_ok(f) for f in m['files']):
                 continue
             # a keyed snapshot whose key sidecar is missing/incomplete is
@@ -294,9 +351,20 @@ class SnapshotTable:
         file could hide the LATEST version of a key whose new value moved
         outside the range, resurrecting a stale row — the engine refuses
         rather than guessing)."""
-        manifests = self._valid_manifests()
         if as_of is not None:
-            manifests = [m for m in manifests if m['snapshot_id'] <= as_of]
+            # walk the chain rooted at the requested snapshot when that
+            # manifest exists — this keeps PRE-COMPACTION snapshots
+            # readable (compaction replaces CURRENT's chain but deletes
+            # nothing). Fall back to filtering the current chain for an
+            # id skipped by a CAS claim conflict.
+            if os.path.exists(os.path.join(self.manifest_dir,
+                                           f'snap-{as_of}.json')):
+                manifests = self._valid_manifests(start_id=as_of)
+            else:
+                manifests = [m for m in self._valid_manifests()
+                             if m['snapshot_id'] <= as_of]
+        else:
+            manifests = self._valid_manifests()
         if not manifests:
             raise FileNotFoundError(
                 f'no valid snapshots under {self.root}'

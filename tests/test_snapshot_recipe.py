@@ -227,3 +227,92 @@ def test_resume_keys_sidecar_scales_off_driver(spark, tmp_path):
     import shutil
     shutil.rmtree(_os.path.join(root, manifest['keys_path']))
     assert table.pending(todo, ['tile_y', 'tile_x']).count() == n + 500
+
+
+def test_compact_folds_chain_preserving_rows_and_time_travel(spark, tmp_path):
+    """compact(): N snapshots -> 1 replacing snapshot with identical
+    rows; pre-compaction snapshots stay readable via as_of; subsequent
+    appends chain onto the compacted snapshot."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / 'compact_tbl')
+    table = SnapshotTable(root)
+    for i in range(4):
+        table.append(spark.range(i * 10, (i + 1) * 10)
+                     .select(F.col('id').alias('k'),
+                             (F.col('id') * 2).alias('v')))
+    pre_ids = [m['snapshot_id'] for m in table.manifests()]
+    assert len(pre_ids) == 4
+    before = sorted((r['k'], r['v']) for r in table.read(spark).collect())
+
+    man = table.compact(spark, target_file_bytes=1 << 30)
+    assert man['parent'] is None
+    assert man['compacted_from'] == pre_ids[-1]
+    # one-manifest chain, same rows
+    assert [m['snapshot_id'] for m in table.manifests()] == \
+        [man['snapshot_id']]
+    after = sorted((r['k'], r['v']) for r in table.read(spark).collect())
+    assert after == before
+    # fewer files than the 4-snapshot chain produced
+    n_files = len(man['files'])
+    assert n_files >= 1
+
+    # time travel to a PRE-compaction snapshot still works
+    tt = sorted(r['k'] for r in
+                table.read(spark, as_of=pre_ids[1]).collect())
+    assert tt == list(range(20))
+
+    # appends after compaction chain onto it
+    table.append(spark.range(100, 105).select(
+        F.col('id').alias('k'), (F.col('id') * 2).alias('v')))
+    final = sorted(r['k'] for r in table.read(spark).collect())
+    assert final == list(range(40)) + list(range(100, 105))
+
+
+def test_compact_with_dedupe_keys_materializes_latest(spark, tmp_path):
+    """Latest-version-per-key is applied during the rewrite, so
+    dedupe_keys reads stay correct after compaction."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / 'compact_rmw')
+    table = SnapshotTable(root)
+    table.append(spark.createDataFrame(
+        [(1, 'old'), (2, 'old')], 'k long, v string'))
+    table.append(spark.createDataFrame(
+        [(1, 'new')], 'k long, v string'))
+    assert {(r['k'], r['v']) for r in
+            table.read(spark, dedupe_keys=['k']).collect()} == \
+        {(1, 'new'), (2, 'old')}
+
+    table.compact(spark, dedupe_keys=['k'])
+    got = {(r['k'], r['v']) for r in table.read(spark).collect()}
+    assert got == {(1, 'new'), (2, 'old')}
+    # and the dedupe_keys read path agrees post-compaction
+    got2 = {(r['k'], r['v']) for r in
+            table.read(spark, dedupe_keys=['k']).collect()}
+    assert got2 == got
+
+
+def test_compact_rewrites_key_sidecar(spark, tmp_path):
+    """Resume keys survive compaction: completed_keys after == before,
+    computed from the compacted sidecar (distributed, no driver keys)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / 'compact_keys')
+    table = SnapshotTable(root)
+    for i in range(3):
+        table.append(spark.range(i * 5, (i + 1) * 5)
+                     .select(F.col('id').alias('tile'),
+                             (F.col('id') * 3).alias('v')),
+                     key_cols=['tile'])
+    before = sorted(r['tile'] for r in
+                    table.completed_keys(spark, ['tile']).collect())
+    table.compact(spark)
+    after = sorted(r['tile'] for r in
+                   table.completed_keys(spark, ['tile']).collect())
+    assert after == before == list(range(15))
+    # pending() anti-join still skips everything already computed
+    todo = spark.range(20).select(F.col('id').alias('tile'))
+    left = sorted(r['tile'] for r in
+                  table.pending(todo, ['tile']).collect())
+    assert left == list(range(15, 20))
