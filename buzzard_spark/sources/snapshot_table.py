@@ -269,7 +269,51 @@ class SnapshotTable:
         return self.append(df.repartition(n_files), key_cols=key_cols,
                            _replaces=old_tip)
 
+    def expire_snapshots(self) -> list[int]:
+        """Delete snapshots UNREACHABLE from the current chain (the
+        pre-compaction generations ``compact`` left behind) — Iceberg's
+        ``expire_snapshots`` retention step. Returns the expired ids.
+
+        Destructive and opt-in: after this, ``read(as_of=<expired id>)``
+        raises. Any reader still holding a DataFrame over an expired file
+        fails on materialization — run retention when no time-travel
+        readers are live (the same operational contract as Iceberg).
+        Manifest json, data dir and key sidecar are all removed; the
+        shared ``data/`` parent and live snapshots are untouched.
+        """
+        import glob
+        import shutil
+
+        live = {m['snapshot_id'] for m in self.manifests()}
+        expired = []
+        for path in glob.glob(os.path.join(self.manifest_dir,
+                                           'snap-*.json')):
+            sid = int(os.path.basename(path)[5:-5])
+            if sid in live:
+                continue
+            m = self._load_manifest(sid)
+            shutil.rmtree(os.path.join(self.root, m['data_dir']),
+                          ignore_errors=True)
+            if m.get('keys_path'):
+                shutil.rmtree(os.path.join(self.root, m['keys_path']),
+                              ignore_errors=True)
+            os.remove(path)
+            expired.append(sid)
+        return sorted(expired)
+
     # -- read / resume -----------------------------------------------------------
+
+    @staticmethod
+    def _reader(spark: SparkSession, manifests: list[dict]):
+        """Parquet reader for a manifest set — schema EVOLUTION support:
+        when the chain's recorded schemas differ (a later append added a
+        column), turn on mergeSchema so old files surface the new column
+        as NULL instead of the scan silently binding to whichever file's
+        footer Spark sampled first. The footer-merge cost is paid only on
+        actually-evolved chains (schema equality is the common case)."""
+        if len({m['schema'] for m in manifests}) > 1:
+            return spark.read.option('mergeSchema', 'true')
+        return spark.read
 
     def _empty_like(self, spark: SparkSession,
                     manifests: list[dict]) -> DataFrame:
@@ -387,16 +431,17 @@ class SnapshotTable:
                         paths.append(os.path.join(self.root, f['path']))
             if not paths:
                 return self._empty_like(spark, manifests)
-            return spark.read.parquet(*paths)
+            return self._reader(spark, manifests).parquet(*paths)
         if dedupe_keys is None:
             dirs = [os.path.join(self.root, m['data_dir']) for m in manifests]
-            return spark.read.parquet(*dirs)
+            return self._reader(spark, manifests).parquet(*dirs)
         from pyspark.sql.window import Window
         parts = None
         for m in manifests:
             df = (spark.read.parquet(os.path.join(self.root, m['data_dir']))
                   .withColumn('_snap', F.lit(m['snapshot_id'])))
-            parts = df if parts is None else parts.unionByName(df)
+            parts = df if parts is None else parts.unionByName(
+                df, allowMissingColumns=True)
         w = Window.partitionBy(*dedupe_keys).orderBy(F.col('_snap').desc())
         return (parts.withColumn('_rn', F.row_number().over(w))
                 .where(F.col('_rn') == 1).drop('_rn', '_snap'))

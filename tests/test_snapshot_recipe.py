@@ -316,3 +316,62 @@ def test_compact_rewrites_key_sidecar(spark, tmp_path):
     left = sorted(r['tile'] for r in
                   table.pending(todo, ['tile']).collect())
     assert left == list(range(15, 20))
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """A later append may ADD a column: reads surface it as NULL for
+    pre-evolution rows (mergeSchema), in both the plain and the
+    dedupe_keys read paths."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / 'evolve_tbl')
+    table = SnapshotTable(root)
+    table.append(spark.createDataFrame([(1, 'a')], 'k long, v string'))
+    table.append(spark.createDataFrame(
+        [(2, 'b', 9.5)], 'k long, v string, score double'))
+
+    rows = {r['k']: (r['v'], r['score'])
+            for r in table.read(spark).collect()}
+    assert rows == {1: ('a', None), 2: ('b', 9.5)}
+
+    rows2 = {r['k']: (r['v'], r['score'])
+             for r in table.read(spark, dedupe_keys=['k']).collect()}
+    assert rows2 == rows
+
+    # compaction of an evolved chain keeps the union schema
+    table.compact(spark)
+    rows3 = {r['k']: (r['v'], r['score'])
+             for r in table.read(spark).collect()}
+    assert rows3 == rows
+
+
+def test_expire_snapshots_removes_orphans_only(spark, tmp_path):
+    """expire_snapshots deletes pre-compaction generations (manifest,
+    data dir, sidecar) and nothing reachable; time travel to expired ids
+    then raises."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / 'expire_tbl')
+    table = SnapshotTable(root)
+    for i in range(3):
+        table.append(spark.range(i * 4, (i + 1) * 4)
+                     .select(F.col('id').alias('tile')), key_cols=['tile'])
+    pre_ids = [m['snapshot_id'] for m in table.manifests()]
+    table.compact(spark)
+    live_id = table.current_snapshot_id()
+
+    expired = table.expire_snapshots()
+    assert expired == pre_ids
+    # live snapshot intact, rows intact, resume intact
+    assert sorted(r['tile'] for r in table.read(spark).collect()) == \
+        list(range(12))
+    assert sorted(r['tile'] for r in
+                  table.completed_keys(spark, ['tile']).collect()) == \
+        list(range(12))
+    assert table.current_snapshot_id() == live_id
+    # expired id no longer readable
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        table.read(spark, as_of=pre_ids[0])
+    # idempotent
+    assert table.expire_snapshots() == []
