@@ -453,6 +453,13 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by PMI-lift (transcendental-free
+    n_xy/(n_left·n_right) ranking — bit-identical ordering in DuckDB)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.collocations(_spread(docs), broadcast_vocab=True)
+
+
 def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) write-clustering profile: pages are clustered on
     the interleaved tile-coordinate Z-value (operators.zorder — the
@@ -616,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'collocations': q_collocations,
     'zorder_profile': q_zorder_profile,
     'containment_pairs': q_containment_pairs,
     'chunk_dedup': q_chunk_dedup,
@@ -1004,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'collocations': corpus_ops.collocations_oracle_sql(),
         'zorder_profile': (
             'WITH {pages}, tiles AS (SELECT {tx} AS tile_x, {ty} AS tile_y '
             'FROM pages), z AS (SELECT {zv} AS zval FROM tiles) '

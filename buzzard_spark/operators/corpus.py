@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['chunk_dedup', 'repetition_stats', 'tfidf_top_terms',
-           'chunk_array_sql']
+           'collocations', 'chunk_array_sql']
 
 # chunk index is packed with doc_id into one BIGINT first-occurrence key:
 # doc_id * 2^20 + idx. Contract: doc_id < 2^43 and < 2^20 chunks per
@@ -259,6 +259,84 @@ def tfidf_top_terms(df: DataFrame, text_col: str = 'text',
             .withColumn('rnk', F.row_number().over(win))
             .where(F.col('rnk') <= k)
             .select(F.col(id_col), 'term', 'tf', 'df', 'rnk'))
+
+
+def collocations(df: DataFrame, text_col: str = 'text', k: int = 20,
+                 min_count: int = 5,
+                 broadcast_vocab: bool = False) -> DataFrame:
+    """Top-``k`` collocations (corpus-level bigrams ranked by PMI-lift)::
+
+        (bigram, n_xy, n_left, n_right, rnk)
+
+    Rank orders by ``n_xy / (n_left · n_right)`` descending — monotone in
+    PMI = ln(n_xy·N / (n_left·n_right)) for fixed N, with no
+    transcendental in the comparison (one BIGINT product ≤ 10¹² at 10⁶
+    words, one IEEE double division — bit-identical cross-engine), ties
+    by bigram ascending. ``min_count`` drops hapax noise the way every
+    published collocation extractor does.
+
+    Scale shape: two explode → partial-agg group-bys (unigrams, bigrams)
+    and two equi-joins back on the words; ``broadcast_vocab`` opt-in as
+    in :func:`tfidf_top_terms`. The global top-k is a TakeOrdered, not a
+    full sort.
+    """
+    ws = df.select(F.split(F.trim(text_col), r'\s+').alias('ws'))
+    uni = (ws.select(F.explode('ws').alias('w'))
+           .groupBy('w').agg(F.count('*').alias('n')))
+    if broadcast_vocab:
+        uni = F.broadcast(uni)
+    bigrams = ('transform(sequence(0, size(ws) - 2), '
+               "i -> concat(element_at(ws, i + 1), ' ', "
+               'element_at(ws, i + 2)))')
+    bg = (ws.where(F.expr('size(ws) >= 2'))
+          .select(F.explode(F.expr(bigrams)).alias('bigram'))
+          .groupBy('bigram').agg(F.count('*').alias('n_xy'))
+          .where(F.col('n_xy') >= min_count)
+          .withColumn('_l', F.expr("split(bigram, ' ')[0]"))
+          .withColumn('_r', F.expr("split(bigram, ' ')[1]")))
+    joined = (bg
+              .join(uni.withColumnRenamed('w', '_l')
+                    .withColumnRenamed('n', 'n_left'), '_l')
+              .join(uni.withColumnRenamed('w', '_r')
+                    .withColumnRenamed('n', 'n_right'), '_r'))
+    ranked = (joined
+              .orderBy((F.col('n_xy') /
+                        (F.col('n_left') * F.col('n_right'))).desc(),
+                       F.col('bigram').asc())
+              .limit(k))
+    return (ranked
+            .select('bigram', 'n_xy', 'n_left', 'n_right')
+            .withColumn('rnk', F.row_number().over(
+                Window.orderBy(
+                    (F.col('n_xy') /
+                     (F.col('n_left') * F.col('n_right'))).desc(),
+                    F.col('bigram').asc()))))
+
+
+def collocations_oracle_sql(table: str = 'documents',
+                            text_col: str = 'text', k: int = 20,
+                            min_count: int = 5) -> str:
+    """DuckDB equivalent of :func:`collocations`."""
+    return f"""
+WITH w AS (SELECT string_split_regex(trim({text_col}), '\\s+') AS ws
+           FROM {table}),
+uni AS (SELECT unnest(ws) AS w FROM w),
+un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       FROM w WHERE len(ws) >= 2),
+bn AS (SELECT bigram, COUNT(*) AS n_xy FROM bg GROUP BY 1
+       HAVING COUNT(*) >= {min_count}),
+j AS (SELECT bn.bigram, bn.n_xy, l.n AS n_left, r.n AS n_right
+      FROM bn JOIN un l ON l.w = string_split(bn.bigram, ' ')[1]
+      JOIN un r ON r.w = string_split(bn.bigram, ' ')[2])
+SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(ROW_NUMBER() OVER (ORDER BY CAST(n_xy AS DOUBLE) /
+           (n_left * n_right) DESC, bigram ASC) AS INT) AS rnk
+FROM j ORDER BY rnk LIMIT {k}
+"""
 
 
 def tfidf_top_terms_oracle_sql(table: str = 'documents',

@@ -152,3 +152,33 @@ def test_chunk_dedup_randomized_vs_python_oracle(spark):
         got = {r['doc_id']: (r['n_chunks'], r['n_kept'], r['clean_text'])
                for r in corpus.chunk_dedup(df, chunk_words=4).collect()}
         assert got == expect, f'seed {seed}'
+
+
+def test_collocations_lift_ranking(spark):
+    """'strong tea' (always together, rare words) outranks 'of the'
+    (frequent words, frequent pair) under lift; min_count filters hapax."""
+    rows = []
+    for i in range(10):
+        rows.append((i, 'strong tea of the day of the week'))
+    rows.append((100, 'hapax pair of the end'))
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = corpus.collocations(df, k=5, min_count=2).collect()
+    by_rnk = sorted(out, key=lambda r: r['rnk'])
+    assert by_rnk[0]['bigram'] == 'strong tea'
+    assert by_rnk[0]['n_xy'] == 10
+    assert by_rnk[0]['n_left'] == 10 and by_rnk[0]['n_right'] == 10
+    # hapax pair (n_xy=1 < min_count) absent
+    assert all(r['bigram'] != 'hapax pair' for r in out)
+    # 'of the' present but ranked below strong tea (lift 20/(21*21) << 10/100)
+    of_the = [r for r in out if r['bigram'] == 'of the']
+    assert of_the and of_the[0]['rnk'] > 1
+
+
+def test_collocations_deterministic_ties(spark):
+    """Equal-lift bigrams rank by bigram ascending."""
+    df = spark.createDataFrame(
+        [(i, 'aa bb cc dd') for i in range(5)], 'doc_id long, text string')
+    out = sorted(corpus.collocations(df, k=10, min_count=2).collect(),
+                 key=lambda r: r['rnk'])
+    # all three bigrams have n_xy=5, n_l=n_r=5 -> equal lift -> lexical
+    assert [r['bigram'] for r in out] == ['aa bb', 'bb cc', 'cc dd']
