@@ -453,6 +453,14 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_region_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-region bbox overlap join via shared cover cells (exact
+    recall, no cross join) — the polygon-polygon analogue of the PIP
+    join. Oracle: brute all-pairs bbox predicate in DuckDB."""
+    regions = synth.regions(spark, N_REGIONS)
+    return spatial_join.rect_overlap_pairs(regions, JOIN_RES)
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus collocations by PMI-lift (transcendental-free
     n_xy/(n_left·n_right) ranking — bit-identical ordering in DuckDB)."""
@@ -623,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'region_overlap_pairs': q_region_overlap_pairs,
     'collocations': q_collocations,
     'zorder_profile': q_zorder_profile,
     'containment_pairs': q_containment_pairs,
@@ -1012,6 +1021,13 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'region_overlap_pairs': (
+            'WITH {regions} '
+            'SELECT a.region_id AS id_a, b.region_id AS id_b '
+            'FROM regions a JOIN regions b ON a.region_id < b.region_id '
+            'AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat '
+            'AND a.minlng <= b.maxlng AND b.minlng <= a.maxlng'
+        ).format(regions=regions),
         'collocations': corpus_ops.collocations_oracle_sql(),
         'zorder_profile': (
             'WITH {pages}, tiles AS (SELECT {tx} AS tile_x, {ty} AS tile_y '

@@ -156,3 +156,35 @@ def pip_count_by_region(pages: DataFrame, regions: DataFrame, res: int,
         .groupBy('region_id')
         .agg(F.count('*').alias('page_count'))
     )
+
+
+def rect_overlap_pairs(regions: DataFrame, res: int,
+                       id_col: str = 'region_id') -> DataFrame:
+    """Polygon-polygon (bbox) overlap SELF-join via shared cover cells —
+    the region-to-region analogue of the page-to-region PIP join.
+
+    Candidates: two rectangles that overlap both cover the cell
+    containing any point of their (non-empty) intersection, so a cover ⋈
+    cover equi-join on the cell id has EXACT recall — never a cross join,
+    and per-cell fan-out is bounded by the cover density at ``res``
+    (AQE's skew handling applies to hot cells exactly as in the PIP
+    join). Verify: the exact inclusive bbox-intersection predicate on
+    the pair (boundary touch counts as overlap; the oracle evaluates the
+    identical predicate, so the contract is engine-exact).
+
+    Output: (id_a, id_b), id_a < id_b, distinct.
+    """
+    cov = cover_cells_rect(regions, res).select(
+        F.col(id_col).alias('_id'), 'cell',
+        'minlat', 'maxlat', 'minlng', 'maxlng')
+    a = cov.alias('a')
+    b = cov.alias('b')
+    return (a.join(b, (F.col('a.cell') == F.col('b.cell')) &
+                   (F.col('a._id') < F.col('b._id')))
+            .where((F.col('a.minlat') <= F.col('b.maxlat')) &
+                   (F.col('b.minlat') <= F.col('a.maxlat')) &
+                   (F.col('a.minlng') <= F.col('b.maxlng')) &
+                   (F.col('b.minlng') <= F.col('a.maxlng')))
+            .select(F.col('a._id').alias('id_a'),
+                    F.col('b._id').alias('id_b'))
+            .distinct())
