@@ -453,6 +453,20 @@ def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+SAMPLE_FRACTIONS = {'en': 0.5, 'fr': 0.25, 'zh': 0.1}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified subsample (hash-gated, partitioning- and
+    retry-invariant): per-language fractions, unlisted languages dropped.
+    The identical md5-nibble arithmetic runs in DuckDB, so membership is
+    value-checked row-for-row."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return (corpus_ops.deterministic_sample(
+        docs, SAMPLE_FRACTIONS, strata_col='lang')
+        .select('doc_id', 'lang'))
+
+
 def q_region_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region-region bbox overlap join via shared cover cells (exact
     recall, no cross join) — the polygon-polygon analogue of the PIP
@@ -631,6 +645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_top': q_bigram_top,
     'extract_text': q_extract_text,
     'host_counts': q_host_counts,
+    'corpus_sample': q_corpus_sample,
     'region_overlap_pairs': q_region_overlap_pairs,
     'collocations': q_collocations,
     'zorder_profile': q_zorder_profile,
@@ -1021,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
             "concat('https://host', CAST(doc_id % 1000 AS VARCHAR), "
             "'.example/', CAST(doc_id AS VARCHAR)) AS url FROM documents) "
             'GROUP BY 1'),
+        'corpus_sample': corpus_ops.deterministic_sample_oracle_sql(
+            SAMPLE_FRACTIONS, 'lang', select='doc_id, lang'),
         'region_overlap_pairs': (
             'WITH {regions} '
             'SELECT a.region_id AS id_a, b.region_id AS id_b '

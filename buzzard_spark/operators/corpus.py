@@ -313,6 +313,66 @@ def collocations(df: DataFrame, text_col: str = 'text', k: int = 20,
                     F.col('bigram').asc()))))
 
 
+def _hash_u32_sql(h_col: str, dialect: str = 'spark') -> str:
+    """Uniform 32-bit value from the first 8 hex digits of a pre-computed
+    md5 column — the branch-free nibble arithmetic both engines evaluate
+    identically (same construction as the simhash oracle pairing)."""
+    from buzzard_spark.operators.text import _nibble_sql
+    # BIGINT per term: DuckDB's ascii() is INT32 and nibble·16⁷ overflows
+    return '(' + ' + '.join(
+        f'(CAST({_nibble_sql(h_col, i, dialect)} AS BIGINT) '
+        f'* {16 ** (8 - i)})'
+        for i in range(1, 9)) + ')'
+
+
+def deterministic_sample(df: DataFrame, fraction: float | dict,
+                         id_col: str = 'doc_id', seed: int = 42,
+                         strata_col: str | None = None) -> DataFrame:
+    """Reproducible (hash-gated) sampling — the corpus-subsampling
+    primitive a training-data pipeline needs instead of ``df.sample``:
+    membership depends ONLY on (id, seed), never on partitioning, task
+    retries, or row order, so the same ids are kept on every run, on any
+    cluster, and in the SQL oracle (md5-derived uniform u32 < fraction ·
+    2³², evaluated identically in DuckDB — no RNG state anywhere).
+
+    ``fraction``: a float, or (with ``strata_col``) a {stratum: fraction}
+    dict for stratified sampling (unlisted strata are dropped). The
+    decision is one md5 + integer arithmetic per row in whole-stage
+    codegen — no shuffle, no sort, trivially pushed below everything.
+    """
+    if isinstance(fraction, dict) != (strata_col is not None):
+        raise ValueError('strata_col requires a {stratum: fraction} dict '
+                         'and vice versa')
+    h = F.md5(F.concat_ws(':', F.col(id_col).cast('string'),
+                          F.lit(str(seed))))
+    out = df.withColumn('_h', h)
+    val = _hash_u32_sql('_h', 'spark')
+    if strata_col is None:
+        pred = f'{val} < {int(fraction * (16 ** 8))}'
+    else:
+        whens = ' '.join(
+            f"WHEN {strata_col} = '{k}' THEN {int(v * (16 ** 8))}"
+            for k, v in sorted(fraction.items()))
+        pred = f'{val} < (CASE {whens} ELSE -1 END)'
+    return out.where(F.expr(pred)).drop('_h')
+
+
+def deterministic_sample_oracle_sql(fraction: dict, strata_col: str,
+                                    table: str = 'documents',
+                                    id_col: str = 'doc_id',
+                                    seed: int = 42,
+                                    select: str = '*') -> str:
+    """DuckDB equivalent of the stratified :func:`deterministic_sample`."""
+    val = _hash_u32_sql('_h', 'duckdb')
+    whens = ' '.join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v * (16 ** 8))}"
+        for k, v in sorted(fraction.items()))
+    return (f'WITH h AS (SELECT *, md5(concat_ws(\':\', '
+            f'CAST({id_col} AS VARCHAR), \'{seed}\')) AS _h FROM {table}) '
+            f'SELECT {select} FROM h '
+            f'WHERE {val} < (CASE {whens} ELSE -1 END)')
+
+
 def collocations_oracle_sql(table: str = 'documents',
                             text_col: str = 'text', k: int = 20,
                             min_count: int = 5) -> str:

@@ -1,6 +1,8 @@
 """Unit tests for buzzard_spark.operators.corpus (chunk-level dedup,
 repetition stats, tf-idf top terms)."""
 
+from pyspark.sql import functions as F
+
 from buzzard_spark.operators import corpus
 
 
@@ -182,3 +184,41 @@ def test_collocations_deterministic_ties(spark):
                  key=lambda r: r['rnk'])
     # all three bigrams have n_xy=5, n_l=n_r=5 -> equal lift -> lexical
     assert [r['bigram'] for r in out] == ['aa bb', 'bb cc', 'cc dd']
+
+
+def test_deterministic_sample_invariance(spark):
+    """Membership depends only on (id, seed): identical across
+    partitionings; different seeds decorrelate; fraction ~ observed."""
+    df = spark.range(5000).select(F.col('id').alias('doc_id'))
+    a = {r['doc_id'] for r in
+         corpus.deterministic_sample(df, 0.3, seed=1).collect()}
+    b = {r['doc_id'] for r in corpus.deterministic_sample(
+        df.repartition(17), 0.3, seed=1).collect()}
+    assert a == b
+    c = {r['doc_id'] for r in
+         corpus.deterministic_sample(df, 0.3, seed=2).collect()}
+    assert c != a
+    assert 0.25 < len(a) / 5000 < 0.35
+
+
+def test_deterministic_sample_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, 'en' if i % 2 else 'zh') for i in range(2000)],
+        'doc_id long, lang string')
+    out = corpus.deterministic_sample(
+        df, {'en': 0.8, 'zh': 0.1}, strata_col='lang')
+    rows = out.collect()
+    en = sum(1 for r in rows if r['lang'] == 'en')
+    zh = sum(1 for r in rows if r['lang'] == 'zh')
+    assert 0.7 < en / 1000 < 0.9
+    assert 0.05 < zh / 1000 < 0.16
+    # strata subset of listed ones only
+    df2 = df.withColumn('lang', F.lit('unlisted'))
+    assert corpus.deterministic_sample(
+        df2, {'en': 0.8}, strata_col='lang').count() == 0
+    # mismatched args rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.deterministic_sample(df, 0.5, strata_col='lang')
+    with _pytest.raises(ValueError):
+        corpus.deterministic_sample(df, {'en': 0.5})
