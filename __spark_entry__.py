@@ -367,6 +367,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select('qid', 'vec_id', 'rnk'))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN at exhaustive settings (nprobe == n_cells, rerank ≥
+    corpus) — exact by construction, so the brute-force oracle applies
+    while the query exercises the full compressed-code plumbing (PQ
+    codebook train, byte-code assignment, per-query ADC lookup-table
+    gather, exact SQL re-rank). Truncating-setting recall is pinned by
+    pytest (test_ivfpq_recall_at_truncating_settings)."""
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    corpus = emb.select('vec_id', F.col('embedding').alias('vec'))
+    queries = (emb.where(F.col('vec_id') < 8)
+               .select(F.col('vec_id').alias('qid'),
+                       F.col('embedding').alias('qvec')))
+    return (similarity_ops.ivfpq_topk(corpus, queries, 10,
+                                      n_cells=16, nprobe=16,
+                                      m_sub=8, ks=16, rerank=1_000_000)
+            .select('qid', 'vec_id', 'rnk'))
+
+
 def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at threshold 0.9 — EXACT
     block-matrix similarity self-join (operators.similarity
@@ -638,6 +656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'find_lines_total': q_find_lines_total,
     'ann_topk': q_ann_topk,
     'ivf_topk': q_ivf_topk,
+    'ivfpq_topk': q_ivfpq_topk,
     'cosine_near_pairs': q_cosine_near_pairs,
     'token_count_bpe': q_token_count_bpe,
     'corpus_pipeline': q_corpus_pipeline,
@@ -964,6 +983,14 @@ def oracle_sql() -> dict[str, str]:
             'WHERE rnk <= 10'),
         # exhaustive IVF == brute force: identical truth as ann_topk
         'ivf_topk': (
+            'SELECT qid, vec_id, rnk FROM ('
+            'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '
+            'CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY '
+            'list_cosine_similarity(q.embedding, c.embedding) DESC, '
+            'c.vec_id ASC) AS INT) AS rnk '
+            'FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 8) '
+            'WHERE rnk <= 10'),
+        'ivfpq_topk': (
             'SELECT qid, vec_id, rnk FROM ('
             'SELECT q.vec_id AS qid, c.vec_id AS vec_id, '
             'CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY '

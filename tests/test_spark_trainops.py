@@ -584,3 +584,59 @@ def test_containment_pairs_no_cache_leak(spark):
         [(1, 'a b c d'), (2, 'a b c')], 'doc_id long, text string')
     dedup.containment_pairs(df, k=3, threshold=0.5).collect()
     assert not dict(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def _emb_df(spark, n=120, dim=16, seed=3):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        'vec_id long, vec array<double>')
+
+
+def test_ivfpq_exact_when_exhaustive(spark):
+    """nprobe == n_cells and rerank >= corpus -> identical rows AND
+    identical cos doubles to brute_topk (the exact re-rank runs the same
+    SQL cosine)."""
+    corpus = _emb_df(spark)
+    queries = (corpus.where('vec_id < 5')
+               .select(F.col('vec_id').alias('qid'),
+                       F.col('vec').alias('qvec')))
+    brute = {(r['qid'], r['rnk']): (r['vec_id'], r['cos']) for r in
+             similarity.brute_topk(corpus, queries, 7).collect()}
+    pq = {(r['qid'], r['rnk']): (r['vec_id'], r['cos']) for r in
+          similarity.ivfpq_topk(corpus, queries, 7, n_cells=8, nprobe=8,
+                                m_sub=4, ks=16, rerank=10_000).collect()}
+    assert pq == brute
+
+
+def test_ivfpq_recall_at_truncating_settings(spark):
+    corpus = _emb_df(spark, n=300)
+    queries = (corpus.where('vec_id < 10')
+               .select(F.col('vec_id').alias('qid'),
+                       F.col('vec').alias('qvec')))
+    truth = {}
+    for r in similarity.brute_topk(corpus, queries, 5).collect():
+        truth.setdefault(r['qid'], set()).add(r['vec_id'])
+    got = {}
+    for r in similarity.ivfpq_topk(corpus, queries, 5, n_cells=8,
+                                   nprobe=4, m_sub=4, ks=16,
+                                   rerank=40).collect():
+        got.setdefault(r['qid'], set()).add(r['vec_id'])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.6, recall
+
+
+def test_ivfpq_code_compression(spark):
+    """Codes are m_sub bytes per vector (the memory contract)."""
+    import numpy as np
+    sample = np.random.RandomState(0).randn(200, 16)
+    books = similarity.pq_codebooks(sample, m_sub=4, ks=16)
+    assert books.shape == (4, 16, 4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.pq_codebooks(sample, m_sub=5)  # 16 % 5 != 0
+    with _pytest.raises(ValueError):
+        similarity.pq_codebooks(sample[:8], m_sub=4, ks=16)
