@@ -222,3 +222,9 @@ def test_deterministic_sample_stratified(spark):
         corpus.deterministic_sample(df, 0.5, strata_col='lang')
     with _pytest.raises(ValueError):
         corpus.deterministic_sample(df, {'en': 0.5})
+
+
+def test_deterministic_sample_fraction_edges(spark):
+    df = spark.range(500).select(F.col('id').alias('doc_id'))
+    assert corpus.deterministic_sample(df, 1.0).count() == 500
+    assert corpus.deterministic_sample(df, 0.0).count() == 0
