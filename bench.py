@@ -378,6 +378,17 @@ def main() -> None:
         compact['queries'] = {k: round(v, 1)
                               for k, v in compact['queries'].items()}
         line = json.dumps(compact)
+    if len(line) > 1500 and 'queries' in compact:
+        # still long (the query list keeps growing): fold sub-second
+        # queries into one aggregate — full detail stays in the artifact
+        q = compact['queries']
+        small = {k: v for k, v in q.items() if v < 1.0}
+        if small:
+            compact['queries'] = {k: v for k, v in q.items() if v >= 1.0}
+            compact['queries']['_sub_second_total'] = round(
+                sum(small.values()), 1)
+            compact['n_sub_second_queries'] = len(small)
+        line = json.dumps(compact)
     print(line)
 
 
