@@ -230,31 +230,57 @@ FROM agg JOIN topw USING ({id_col}) LEFT JOIN topb USING ({id_col})
 
 def tfidf_top_terms(df: DataFrame, text_col: str = 'text',
                     id_col: str = 'doc_id', k: int = 3,
-                    broadcast_vocab: bool = False) -> DataFrame:
-    """Top-``k`` characteristic terms per document by tf-idf::
+                    broadcast_vocab: bool = False,
+                    rank_by: str = 'tf_over_df') -> DataFrame:
+    """Top-``k`` characteristic terms per document::
 
         (doc_id, term, tf, df, rnk)
 
-    ``rnk`` orders by ``tf / df`` descending (same ranking as
-    tf·ln(N/df): N is constant and ln monotone — and the division of two
-    BIGINTs is the identical IEEE double in Spark and the oracle, so no
-    transcendental ever enters the comparison), ties by term ascending.
+    ``rank_by='tf_over_df'`` (default, the oracle-checked path) orders by
+    ``tf / df`` descending, ties by term ascending. This is a
+    RARITY-BIASED PROXY for tf-idf, NOT the same ranking: the monotone-
+    transform argument only holds for fixed tf, and across terms with
+    differing tf the two orders diverge (tf/df over-weights rare terms —
+    e.g. N=100: (tf=10, df=50) scores tf·idf≈6.93 but tf/df=0.2, while
+    (tf=1, df=2) scores tf·idf≈3.91 but tf/df=0.5; ADVICE r4). Its
+    virtue is exactness: the division of two BIGINTs is the identical
+    IEEE double in Spark and DuckDB, so the driver oracle value-checks it
+    with no transcendental in the comparison.
 
-    Scale shape: one explode + two partial-agg group-bys; the (term, df)
-    table joins back on term — pass ``broadcast_vocab=True`` only when
-    the vocabulary is known to be broadcast-sized (a web-scale corpus'
-    token vocabulary is NOT; the default shuffles the equi-join and lets
-    AQE pick the strategy).
+    ``rank_by='tfidf'`` orders by true ``tf · ln(N/df)`` descending
+    (N = corpus document count, computed in the same pass via a window
+    over the df table — no extra action). Use this when the classical
+    weighting matters; it is pinned by a numpy-conformance pytest rather
+    than the cross-engine hash oracle, because ``ln`` may differ by 1 ulp
+    between the JVM and libm and a hash compare cannot absorb that.
+
+    Scale shape (both rankings): one explode + two partial-agg group-bys;
+    the (term, df) table joins back on term — pass
+    ``broadcast_vocab=True`` only when the vocabulary is known to be
+    broadcast-sized (a web-scale corpus' token vocabulary is NOT; the
+    default shuffles the equi-join and lets AQE pick the strategy).
     """
+    if rank_by not in ('tf_over_df', 'tfidf'):
+        raise ValueError(f'rank_by must be tf_over_df|tfidf, got {rank_by}')
     tf = (df.select(F.col(id_col),
                     F.explode(F.split(F.trim(text_col), r'\s+'))
                     .alias('term'))
           .groupBy(id_col, 'term').agg(F.count('*').alias('tf')))
     dfreq = tf.groupBy('term').agg(F.count('*').alias('df'))
+    if rank_by == 'tfidf':
+        # N rides along as a column (count of docs, an unpartitioned
+        # window over the doc table's distinct ids — one tiny agg),
+        # avoiding a driver-side count() action inside a lazy builder
+        n_docs = df.select(F.countDistinct(id_col).alias('_n'))
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        score = (F.col('tf') *
+                 F.log(F.col('_n').cast('double') / F.col('df')))
+    else:
+        score = F.col('tf') / F.col('df')
     if broadcast_vocab:
         dfreq = F.broadcast(dfreq)
     win = Window.partitionBy(id_col).orderBy(
-        (F.col('tf') / F.col('df')).desc(), F.col('term').asc())
+        score.desc(), F.col('term').asc())
     return (tf.join(dfreq, 'term')
             .withColumn('rnk', F.row_number().over(win))
             .where(F.col('rnk') <= k)
@@ -270,10 +296,14 @@ def collocations(df: DataFrame, text_col: str = 'text', k: int = 20,
 
     Rank orders by ``n_xy / (n_left · n_right)`` descending — monotone in
     PMI = ln(n_xy·N / (n_left·n_right)) for fixed N, with no
-    transcendental in the comparison (one BIGINT product ≤ 10¹² at 10⁶
-    words, one IEEE double division — bit-identical cross-engine), ties
-    by bigram ascending. ``min_count`` drops hapax noise the way every
-    published collocation extractor does.
+    transcendental in the comparison, ties by bigram ascending.
+    ``min_count`` drops hapax noise the way every published collocation
+    extractor does. The denominator multiplies as DOUBLE·DOUBLE (never a
+    BIGINT product): at web scale two ~10⁹-plus unigram counts would
+    overflow a BIGINT product, which Spark (non-ANSI) wraps silently
+    while DuckDB raises — a cross-engine divergence exactly at the
+    design point (ADVICE r4). Double multiply and divide are correctly
+    rounded IEEE ops, bit-identical in both engines.
 
     Scale shape: two explode → partial-agg group-bys (unigrams, bigrams)
     and two equi-joins back on the words; ``broadcast_vocab`` opt-in as
@@ -299,18 +329,16 @@ def collocations(df: DataFrame, text_col: str = 'text', k: int = 20,
                     .withColumnRenamed('n', 'n_left'), '_l')
               .join(uni.withColumnRenamed('w', '_r')
                     .withColumnRenamed('n', 'n_right'), '_r'))
+    lift = (F.col('n_xy').cast('double') /
+            (F.col('n_left').cast('double') *
+             F.col('n_right').cast('double')))
     ranked = (joined
-              .orderBy((F.col('n_xy') /
-                        (F.col('n_left') * F.col('n_right'))).desc(),
-                       F.col('bigram').asc())
+              .orderBy(lift.desc(), F.col('bigram').asc())
               .limit(k))
     return (ranked
             .select('bigram', 'n_xy', 'n_left', 'n_right')
             .withColumn('rnk', F.row_number().over(
-                Window.orderBy(
-                    (F.col('n_xy') /
-                     (F.col('n_left') * F.col('n_right'))).desc(),
-                    F.col('bigram').asc()))))
+                Window.orderBy(lift.desc(), F.col('bigram').asc()))))
 
 
 def _hash_u32_sql(h_col: str, dialect: str = 'spark') -> str:
@@ -394,7 +422,8 @@ SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy,
        CAST(n_left AS BIGINT) AS n_left,
        CAST(n_right AS BIGINT) AS n_right,
        CAST(ROW_NUMBER() OVER (ORDER BY CAST(n_xy AS DOUBLE) /
-           (n_left * n_right) DESC, bigram ASC) AS INT) AS rnk
+           (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)) DESC,
+           bigram ASC) AS INT) AS rnk
 FROM j ORDER BY rnk LIMIT {k}
 """
 

@@ -45,6 +45,15 @@ def get_data(spark: SparkSession, tiles: DataFrame, raster_fp,
     channel_nodata: per-channel source nodata (channels_schema['nodata'],
     indexed by absolute channel id); channels whose nodata differs are
     remapped independently so nodata-mask propagation stays per-channel.
+
+    .. warning:: this is the SYNC-READ contract (the reference's
+       ``get_data`` also returns a driver-side array): the tile rows
+       intersecting the request window are ``collect()``-ed to assemble
+       the ndarray. A window-sized request collects a window's worth of
+       tiles; a WHOLE-RASTER ``fp`` collects the entire table onto the
+       driver. For bulk/streamed access use ``queue_data`` (bounded
+       per-footprint pulls) or operate on the tile DataFrame directly —
+       the same caveat ``dataset._sliced_by_order`` documents.
     """
     fp = request_fp if request_fp is not None else raster_fp
     onodata = dst_nodata if dst_nodata is not None else (

@@ -31,19 +31,28 @@ def zvalue_sql(x_col: str, y_col: str, bits: int,
     The expression is an unrolled OR of 2·bits constant-shift terms —
     constant-folded into straight-line integer ops by both engines
     (``bits`` ≤ 31; the result needs 2·bits ≤ 62 bits, inside BIGINT).
+
+    The inputs are cast to BIGINT INSIDE the expression: with 32-bit INT
+    columns, Spark's ``shiftleft`` stays INT and Java shift semantics
+    wrap the shift amount mod 32 (DuckDB INT32 shifts misbehave the same
+    way), so any ``bits`` ≥ 16 would silently produce garbage Z-values.
+    The inner cast makes the documented ``bits ≤ 31`` range safe for any
+    integer column type (ADVICE r4).
     """
     if not 1 <= bits <= 31:
         raise ValueError(f'bits must be in [1, 31], got {bits}')
+    xb = f'CAST({x_col} AS BIGINT)'
+    yb = f'CAST({y_col} AS BIGINT)'
     terms = []
     for i in range(bits):
         if dialect == 'duckdb':
-            terms.append(f'((({x_col} >> {i}) & 1) << {2 * i})')
-            terms.append(f'((({y_col} >> {i}) & 1) << {2 * i + 1})')
+            terms.append(f'((({xb} >> {i}) & 1) << {2 * i})')
+            terms.append(f'((({yb} >> {i}) & 1) << {2 * i + 1})')
         else:
             terms.append(
-                f'(shiftleft(shiftright({x_col}, {i}) & 1, {2 * i}))')
+                f'(shiftleft(shiftright({xb}, {i}) & 1, {2 * i}))')
             terms.append(
-                f'(shiftleft(shiftright({y_col}, {i}) & 1, {2 * i + 1}))')
+                f'(shiftleft(shiftright({yb}, {i}) & 1, {2 * i + 1}))')
     return 'CAST((' + ' | '.join(terms) + ') AS BIGINT)'
 
 

@@ -96,7 +96,9 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
     (pandas diff/cumsum — no per-event Python loop); the carried state
     merges with the first segment when no gap separates them. Late
     events older than the open session's ``last`` still count into the
-    session (n_events += k) but cannot reopen a closed one — closed-by-
+    session (n_events += k), and one earlier than the recorded start
+    (but within the merge gap) extends ``session_start`` backwards to
+    match the batch sessionizer; late events cannot reopen a closed-by-
     timeout sessions are final, the same contract as every watermarked
     aggregation. Timeout registration clamps to watermark + 1 ms (Spark
     rejects a timeout at or before the current watermark, which happens
@@ -142,8 +144,12 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
             s0, s1, k = int(seg.iloc[0]), int(seg.iloc[-1]), len(seg)
             if last is not None and s0 <= last + gap_us:
                 # merges with the open session (late events with
-                # s1 <= last extend n but not the end)
-                start, last, n = start, max(last, s1), n + k
+                # s1 <= last extend n but not the end; a within-watermark
+                # late event EARLIER than the recorded start extends
+                # session_start backwards — min(start, s0) — so the
+                # emitted session matches the batch gap sessionizer,
+                # which sees all events sorted; ADVICE r4)
+                start, last, n = min(start, s0), max(last, s1), n + k
             else:
                 if last is not None:
                     closed.append((start, last, n))

@@ -228,3 +228,65 @@ def test_deterministic_sample_fraction_edges(spark):
     df = spark.range(500).select(F.col('id').alias('doc_id'))
     assert corpus.deterministic_sample(df, 1.0).count() == 500
     assert corpus.deterministic_sample(df, 0.0).count() == 0
+
+
+def _tfidf_corpus(spark):
+    """ADVICE r4's counterexample corpus (N=100): in doc 0, 'mid'
+    (tf=10, df=50) outranks 'rare' (tf=1, df=2) under true tf-idf
+    (6.93 vs 3.91) but LOSES under the tf/df proxy (0.2 vs 0.5)."""
+    docs = [(0, ('rare ' + 'mid ' * 10).strip()), (1, 'rare')]
+    docs += [(i, 'mid') for i in range(2, 51)]
+    docs += [(i, f'filler{i}') for i in range(51, 100)]
+    return _docs(spark, docs)
+
+
+def test_tfidf_proxy_and_true_rankings_diverge(spark):
+    df = _tfidf_corpus(spark)
+    proxy = {r['rnk']: r['term'] for r in
+             corpus.tfidf_top_terms(df, k=2).collect()
+             if r['doc_id'] == 0}
+    true = {r['rnk']: r['term'] for r in
+            corpus.tfidf_top_terms(df, k=2, rank_by='tfidf').collect()
+            if r['doc_id'] == 0}
+    assert proxy == {1: 'rare', 2: 'mid'}
+    assert true == {1: 'mid', 2: 'rare'}
+
+
+def test_tfidf_true_ranking_matches_python(spark):
+    """rank_by='tfidf' == tf*ln(N/df) ranking computed in python over
+    the same tf/df tables, for every doc."""
+    import math
+
+    df = _tfidf_corpus(spark)
+    got = corpus.tfidf_top_terms(df, k=3, rank_by='tfidf').collect()
+    # rebuild tf/df in python
+    rows = [(r['doc_id'], r['text']) for r in df.collect()]
+    n_docs = len({d for d, _ in rows})
+    tf, dfreq = {}, {}
+    for d, text in rows:
+        terms = text.split()
+        for t in terms:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = {}
+    for d in {d for d, _ in rows}:
+        terms = [(t, n) for (dd, t), n in tf.items() if dd == d]
+        terms.sort(key=lambda tn: (-tn[1] * math.log(n_docs / dfreq[tn[0]]),
+                                   tn[0]))
+        expect[d] = [t for t, _ in terms[:3]]
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r['doc_id'], []).append((r['rnk'], r['term']))
+    for d, pairs in by_doc.items():
+        assert [t for _, t in sorted(pairs)] == expect[d], d
+        for r in got:
+            if r['doc_id'] == d:
+                assert r['tf'] == tf[(d, r['term'])]
+                assert r['df'] == dfreq[r['term']]
+
+
+def test_tfidf_rank_by_validation(spark):
+    import pytest
+    with pytest.raises(ValueError, match='rank_by'):
+        corpus.tfidf_top_terms(_docs(spark, [(1, 'a')]), rank_by='bogus')

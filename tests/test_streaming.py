@@ -314,3 +314,35 @@ def test_stream_sessionize_late_event_joins_open_session(spark, tmp_path):
            for r in spark.sql(f'SELECT * FROM {sink}').collect()
            if r['user_id'] == 1]
     assert got == [('2024-01-01T09:00:00', '2024-01-01T09:20:00', 3)]
+
+
+def test_stream_sessionize_late_earlier_event_extends_start(spark, tmp_path):
+    """A within-watermark late event EARLIER than the open session's
+    recorded start (but within the merge gap) extends session_start
+    backwards — matching the batch sessionizer, which sees all events
+    sorted (ADVICE r4)."""
+    import time
+
+    src = tmp_path / 'sess_late_early'
+    src.mkdir()
+    batches = [
+        [(1, '2024-01-01 09:10:00'), (1, '2024-01-01 09:20:00')],
+        [(1, '2024-01-01 09:00:00')],   # late AND earlier than start
+        [(999, '2024-01-02 00:00:00')],  # watermark flush
+        [(999, '2024-01-02 00:00:01')],  # timeout sweep spacer
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, 'user_id long, ts string')
+         .withColumn('ts', F.to_timestamp('ts'))
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream.schema('user_id long, ts timestamp')
+              .option('maxFilesPerTrigger', 1).parquet(f'{src}/*'))
+    out = stream_ops.stream_sessionize(stream, gap_minutes=30,
+                                       watermark='30 minutes')
+    sink = _run_stream(out, tmp_path, mode='append')
+    got = [(r['session_start'].isoformat(), r['session_end'].isoformat(),
+            r['n_events'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()
+           if r['user_id'] == 1]
+    assert got == [('2024-01-01T09:00:00', '2024-01-01T09:20:00', 3)]

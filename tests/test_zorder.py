@@ -70,3 +70,29 @@ def test_zvalue_bits_validation():
         zorder.zvalue_sql('x', 'y', 0)
     with pytest.raises(ValueError):
         zorder.zvalue_sql('x', 'y', 32)
+
+
+def test_zvalue_int32_columns_high_bits(spark):
+    """INT32 input columns with bits >= 16: the inner BIGINT cast keeps
+    the shift amount out of Java's/DuckDB's mod-32 INT wrap (ADVICE r4).
+    Both dialects must agree with python Morton on 20-bit coordinates."""
+    rows = [(1 << 17, 1), (123456, 654321),
+            ((1 << 20) - 1, (1 << 20) - 1), (0, 1 << 19)]
+    df = spark.createDataFrame(rows, 'x long, y long').select(
+        F.col('x').cast('int').alias('x'),
+        F.col('y').cast('int').alias('y'))
+    assert dict(df.dtypes) == {'x': 'int', 'y': 'int'}
+    got = {(r['x'], r['y']): r['z'] for r in df.select(
+        'x', 'y', F.expr(zorder.zvalue_sql('x', 'y', 20)).alias('z')
+    ).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton(x, y, 20), (x, y)
+
+    import duckdb
+    expr = zorder.zvalue_sql('x', 'y', 20, dialect='duckdb')
+    got2 = duckdb.sql(
+        'SELECT x, y, ' + expr + ' AS z FROM (VALUES ' +
+        ', '.join(f'(CAST({x} AS INTEGER), CAST({y} AS INTEGER))'
+                  for x, y in rows) + ') t(x, y)').fetchall()
+    for x, y, z in got2:
+        assert z == _py_morton(x, y, 20), (x, y)
