@@ -552,6 +552,56 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.tfidf_top_terms(_spread(docs), broadcast_vocab=True)
 
 
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the multimodal seam, value-
+    checked (VERDICT r4 #4): per document a deterministic synthetic PNG
+    is encoded (size and per-row constant pixel values derived from
+    doc_id; per-row filter type r % 5 exercises ALL five PNG filters),
+    then ``decode_media_meta(decoder='png')`` recovers width/height from
+    the DECODED array and ``resize_media`` nearest-neighbor-resizes the
+    decoded pixels to 4×4 — whose byte sum has a closed form the DuckDB
+    oracle computes from doc_id arithmetic alone. A wrong inflate,
+    unfilter, dimension parse or resize index breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from buzzard_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id')
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf['doc_id']:
+                d = int(d)
+                w, h = 4 + d % 9, 3 + d % 17
+                vals = (d % 200) + np.arange(h, dtype=np.int64)
+                arr = np.repeat(np.repeat(vals[:, None], w, 1)[:, :, None],
+                                3, 2).astype(np.uint8)
+                ids.append(d)
+                blobs.append(mm.encode_png(
+                    arr, filters=[r % 5 for r in range(h)]))
+            yield pd.DataFrame({'id': ids, 'payload': blobs})
+
+    media = docs.mapInPandas(_mk, 'id long, payload binary')
+    meta = (mm.decode_media_meta(media, decoder='png')
+            .select('id', 'width', 'height'))
+    resized = mm.resize_media(media, (4, 4), decoder='png')
+
+    def _sum(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                'id': pdf['id'],
+                'rs_sum': [int(np.frombuffer(b, np.uint8).sum())
+                           for b in pdf['data']]})
+
+    sums = resized.mapInPandas(_sum, 'id long, rs_sum long')
+    return (meta.join(sums, 'id')
+            .select(F.col('id').alias('doc_id'), 'width', 'height',
+                    'rs_sum'))
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -672,6 +722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'chunk_dedup': q_chunk_dedup,
     'repetition_stats': q_repetition_stats,
     'tfidf_top_terms': q_tfidf_top_terms,
+    'png_meta': q_png_meta,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1124,6 +1175,17 @@ def oracle_sql() -> dict[str, str]:
                 "'\\s+') ws FROM documents) WHERE len(ws) > 20")),
         'repetition_stats': corpus_ops.repetition_stats_oracle_sql(),
         'tfidf_top_terms': corpus_ops.tfidf_top_terms_oracle_sql(),
+        # closed form of the synthetic PNG geometry + the 4x4 nearest-
+        # neighbor resize byte sum: src row for dst r is ((2r+1)*h)//8
+        # (exact integer form of floor((r+0.5)*h/4)); each source row is
+        # the constant doc_id%200 + row, 4 cols x 3 channels
+        'png_meta': (
+            'WITH p AS (SELECT doc_id, 4 + doc_id % 9 AS w, '
+            '3 + doc_id % 17 AS h, doc_id % 200 AS v FROM documents) '
+            'SELECT doc_id, CAST(w AS INT) AS width, '
+            'CAST(h AS INT) AS height, '
+            'CAST(12 * (4 * v + (1 * h) // 8 + (3 * h) // 8 + '
+            '(5 * h) // 8 + (7 * h) // 8) AS BIGINT) AS rs_sum FROM p'),
     }
 
 

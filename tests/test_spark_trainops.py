@@ -640,3 +640,66 @@ def test_ivfpq_code_compression(spark):
         similarity.pq_codebooks(sample, m_sub=5)  # 16 % 5 != 0
     with _pytest.raises(ValueError):
         similarity.pq_codebooks(sample[:8], m_sub=4, ks=16)
+
+
+def test_png_decoder_roundtrip_all_filters_and_types():
+    """Pure-stdlib PNG codec (zlib inflate + unfilter; VERDICT r4 #4):
+    encode -> decode is pixel-identical for every scanline filter type
+    (None/Sub/Up/Average/Paeth, per-row mixed) and for grey / grey+alpha
+    / RGB / RGBA at 8-bit plus RGB at 16-bit."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (13, 7, 3), dtype=np.uint8)
+    for fts in ([0] * 13, [1] * 13, [2] * 13, [3] * 13, [4] * 13,
+                [r % 5 for r in range(13)]):
+        got = multimodal.decode_png(multimodal.encode_png(img, filters=fts))
+        assert np.array_equal(got, img), fts
+    for shape, dt in (((5, 9, 4), np.uint8), ((6, 6), np.uint8),
+                      ((4, 8, 2), np.uint8), ((5, 5, 3), np.uint16)):
+        hi = 1 << 16 if dt == np.uint16 else 256
+        arr = rng.randint(0, hi, shape).astype(dt)
+        got = multimodal.decode_png(multimodal.encode_png(
+            arr, filters=[r % 5 for r in range(shape[0])]))
+        assert got.dtype == dt and np.array_equal(got, arr), (shape, dt)
+
+
+def test_png_decoder_rejects_unsupported():
+    with pytest.raises(ValueError, match='signature'):
+        multimodal.decode_png(b'NOTAPNG' + b'\0' * 32)
+    # interlaced: flip the IHDR interlace byte (and fix nothing else —
+    # the decoder must refuse before reading IDAT)
+    png = bytearray(multimodal.encode_png(np.zeros((2, 2), np.uint8)))
+    png[8 + 8 + 12] = 1                     # IHDR payload byte 12
+    with pytest.raises(ValueError, match='[Ii]nterlace'):
+        multimodal.decode_png(bytes(png))
+
+
+def test_png_through_multimodal_seam(spark):
+    """COMPRESSED real bytes through the seam: PNG payloads (zlib,
+    mixed per-row filters) decode inside mapInPandas for metadata,
+    features and resize — the decoded pixels drive all three."""
+    rng = np.random.RandomState(17)
+    imgs = {i: rng.randint(0, 256, (10 + i, 21 - i, 3), dtype=np.uint8)
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_png(
+            img, filters=[r % 5 for r in range(img.shape[0])])))
+         for i, img in imgs.items()],
+        'id long, payload binary')
+    meta = {r['id']: r for r in multimodal.decode_media_meta(
+        df, decoder='png').collect()}
+    for i, img in imgs.items():
+        assert meta[i]['height'] == img.shape[0]
+        assert meta[i]['width'] == img.shape[1]
+    feats = {r['id']: np.asarray(r['feature']) for r in
+             multimodal.extract_features(df, decoder='png').collect()}
+    proj = np.random.RandomState(123).randn(256, 16).astype(np.float32)
+    for i, img in imgs.items():
+        hist = np.bincount(img.ravel(), minlength=256)[:256] \
+            .astype(np.float32)
+        hist /= np.linalg.norm(hist)
+        assert np.allclose(feats[i], hist @ proj, atol=1e-5)
+    got = {r['id']: r for r in
+           multimodal.resize_media(df, (6, 9), decoder='png').collect()}
+    for i, img in imgs.items():
+        want = multimodal.resize_nearest(img, 6, 9)
+        assert bytes(got[i]['data']) == want.tobytes()
