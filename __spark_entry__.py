@@ -729,6 +729,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def bench_extra_queries() -> dict[str, Callable[[SparkSession, str],
+                                                DataFrame]]:
+    """Bench-only timed rows (VERDICT r4 directive #6): the IVF / IVF-PQ
+    queries in ``queries()`` deliberately probe ALL cells so the
+    brute-force oracle is exhaustive truth; these variants run the
+    nprobe < n_cells configuration users actually run at scale (recall
+    pinned by pytest — test_ivf_topk recall / ivfpq recall-at-truncation
+    — so no oracle applies; bench.py times them alongside the sweep)."""
+
+    def ivf_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+        corpus = emb.select('vec_id', F.col('embedding').alias('vec'))
+        queries_df = (emb.where(F.col('vec_id') < 8)
+                      .select(F.col('vec_id').alias('qid'),
+                              F.col('embedding').alias('qvec')))
+        return (similarity_ops.ivf_topk(corpus, queries_df, 10,
+                                        n_cells=16, nprobe=4)
+                .select('qid', 'vec_id', 'rnk'))
+
+    def ivfpq_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+        corpus = emb.select('vec_id', F.col('embedding').alias('vec'))
+        queries_df = (emb.where(F.col('vec_id') < 8)
+                      .select(F.col('vec_id').alias('qid'),
+                              F.col('embedding').alias('qvec')))
+        return (similarity_ops.ivfpq_topk(corpus, queries_df, 10,
+                                          n_cells=16, nprobe=4,
+                                          m_sub=8, ks=16, rerank=100)
+                .select('qid', 'vec_id', 'rnk'))
+
+    return {'ivf_topk_nprobe4': ivf_nprobe4,
+            'ivfpq_topk_nprobe4': ivfpq_nprobe4}
+
+
 def _near_dup_ctes() -> str:
     """CTE chain (toks → corpus → shingle sets → inverted index → exact
     Jaccard) shared by the near-dup pair and cluster oracles."""

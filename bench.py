@@ -3,13 +3,13 @@
 Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], writes the FULL
 artifact (per-query sweep + every scaling pass + host probes) to
-BENCH_full_r4.json in the repo, and prints ONE COMPACT JSON line (≤1.5 KB
+BENCH_full_r5.json in the repo, and prints ONE COMPACT JSON line (≤1.5 KB
 so the driver's tail capture parses it):
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "flagship_pages_per_sec": ..., "scaling": {median pairwise effs},
-   "full_artifact": "BENCH_full_r4.json"}
+   "full_artifact": "BENCH_full_r5.json"}
 
 The flagship job is the BASELINE.json metric: spatial-join +
 tile-assignment throughput over a deterministic synthetic pages table
@@ -196,14 +196,45 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
       host's own pair-wise CPU scaling in the SAME sweep (clamped at 1.0:
       "scaled at least as well as the host itself could right then") and
       is likewise reported as the across-sweep median.
-    - ``single_pass`` is sweep 0 verbatim — one worker per master.
+    - ``single_pass`` is the first ACCEPTED sweep verbatim — one worker
+      per master.
+
+    Saturation defense (VERDICT r4 #1 — the protocol was honest but had
+    no defense against committing a run taken while a neighbor saturates
+    the shared host, which owned the committed medians two rounds
+    running): a sweep is accepted only if EVERY leg's in-sweep pure-CPU
+    probe (``cpu_ref_sec``) is within 1.5× of the running session median
+    for that master. A discarded sweep is recorded verbatim under
+    ``discarded_saturated`` (nothing is hidden) and one replacement
+    sweep runs in its place, bounded at ``passes`` +
+    $SPARK_GRAFT_BENCH_MAX_EXTRA_SWEEPS (default 3) total attempts. If
+    saturation persists through the attempt budget, whatever sweeps
+    exist are used and ``saturation_persistent`` is set — disclosure,
+    never selection: acceptance depends ONLY on the host probe, never on
+    the flagship walls or the resulting efficiencies.
     """
     masters = ('local[2]', 'local[8]', 'local[32]')
     if passes is None:
         passes = int(os.environ.get('SPARK_GRAFT_BENCH_PASSES', '5'))
-    sweeps = []
-    for _ in range(passes):
-        sweeps.append({m: _worker(m, n_pages, layout) for m in masters})
+    sat_factor = 1.5
+    max_attempts = passes + int(os.environ.get(
+        'SPARK_GRAFT_BENCH_MAX_EXTRA_SWEEPS', '3'))
+    attempts = []
+    while True:
+        attempts.append({m: _worker(m, n_pages, layout) for m in masters})
+        probe_med = {m: _median([a[m]['cpu_ref_sec'] for a in attempts])
+                     for m in masters}
+
+        def _clean(a):
+            return all(a[m]['cpu_ref_sec'] <= sat_factor * probe_med[m]
+                       for m in masters)
+
+        accepted = [a for a in attempts if _clean(a)]
+        if len(accepted) >= passes or len(attempts) >= max_attempts:
+            break
+    discarded = [a for a in attempts if a not in accepted]
+    saturation_persistent = len(accepted) < passes
+    sweeps = accepted if accepted else attempts
 
     def leg(sw, hi, lo):
         return (sw[lo]['wall_sec'] / sw[hi]['wall_sec']) / 4.0
@@ -232,9 +263,15 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
         'layout': layout,
         'method': ('interleaved A-B-A-B sweeps; pair-wise ratios within '
                    'each sweep; median across sweeps; no best-of, '
-                   'no early stop'),
-        'n_sweeps': passes,
+                   'no early stop; sweeps whose host CPU probe drifts '
+                   f'>{sat_factor}x from the session median are '
+                   'discarded (recorded) and re-run, bounded at '
+                   f'{max_attempts} attempts'),
+        'n_sweeps': len(sweeps),
+        'n_attempts': len(attempts),
         'passes': [sweep_stats(sw) for sw in sweeps],
+        'discarded_saturated': [sweep_stats(sw) for sw in discarded],
+        'saturation_persistent': saturation_persistent,
         'single_pass': sweep_stats(sweeps[0]),
         'throughput_2': n_pages / _median(
             [sw['local[2]']['wall_sec'] for sw in sweeps]),
@@ -295,19 +332,34 @@ def main() -> None:
         _W.partitionBy('k').orderBy('id')).alias('rn')) \
         .where('rn <= 3').write.format('noop').mode('overwrite').save()
 
-    per_query = {}
-    total = 0.0
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format('noop').mode('overwrite').save()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        # cache hygiene is now the OPERATORS' contract (they release their
-        # persisted intermediates once materialized — see
-        # session.checkpoint_release and tests/test_cache_hygiene.py);
-        # no clearCache between queries
+    # Per-query drift protection (VERDICT r4 #2): the committed number
+    # per query is the MEDIAN of >=3 reps, with the rep loop OUTER so a
+    # host burst (or first-run JIT/codegen tier-up — measured 12.3s ->
+    # 2.3s across reps of simhash_near_pairs on a quiet host) lands on
+    # ONE rep of every query instead of every rep of one query. All reps
+    # plus a per-rep host CPU probe go to the full artifact.
+    items = list(entrymod.queries().items())
+    if hasattr(entrymod, 'bench_extra_queries'):
+        # timed-only rows (nprobe < n_cells ANN configs; recall-gated by
+        # pytest, no oracle — VERDICT r4 #6)
+        items += list(entrymod.bench_extra_queries().items())
+    reps = int(os.environ.get('SPARK_GRAFT_BENCH_QUERY_REPS', '3'))
+    rep_walls: dict[str, list] = {name: [] for name, _ in items}
+    rep_probes = []
+    for _ in range(reps):
+        for name, fn in items:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format('noop').mode('overwrite').save()
+            rep_walls[name].append(round(time.time() - t0, 3))
+            # cache hygiene is the OPERATORS' contract (they release
+            # persisted intermediates once materialized — see
+            # session.checkpoint_release and tests/test_cache_hygiene.py);
+            # no clearCache between queries
+        rep_probes.append(round(_cpu_probe(spark), 3))
+    per_query = {name: round(_median(walls), 3)
+                 for name, walls in rep_walls.items()}
+    total = round(sum(per_query.values()), 3)
 
     spark.stop()
 
@@ -335,6 +387,11 @@ def main() -> None:
         'value': round(total, 3),
         'unit': 'sec',
         'queries': per_query,
+        'query_reps': rep_walls,
+        'query_rep_host_probes_sec': rep_probes,
+        'query_method': (f'median of {reps} interleaved reps (rep loop '
+                         'outer); all reps + per-rep host CPU probes '
+                         'recorded here'),
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
         'flagship_pages_per_sec': round(pages_per_sec, 1),
         'flagship_wall_sec': round(wall, 3),
@@ -347,7 +404,8 @@ def main() -> None:
     # window — round 3's single fat line got truncated and the committed
     # BENCH_r03.json lost its per-query sweep (parsed: null, VERDICT r3 #1)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(repo_dir, 'BENCH_full_r4.json')
+    full_path = os.path.join(repo_dir, os.environ.get(
+        'SPARK_GRAFT_BENCH_FULL', 'BENCH_full_r5.json'))
     with open(full_path, 'w') as f:
         json.dump(full, f, indent=1)
     compact = {
