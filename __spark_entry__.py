@@ -25,6 +25,7 @@ from buzzard_spark.kernels import cells
 from buzzard_spark.kernels.footprint import Footprint
 from buzzard_spark.operators import corpus as corpus_ops
 from buzzard_spark.operators import dedup as dedup_ops
+from buzzard_spark.operators import graph as graph_ops
 from buzzard_spark.operators import knn as knn_ops
 from buzzard_spark.operators import raster_ops
 from buzzard_spark.operators import similarity as similarity_ops
@@ -683,6 +684,46 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy('host').agg(F.count('*').alias('n_pages')))
 
 
+def _pagerank_edges(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Deterministic out-degree-4 link multigraph over the documents table
+    (each doc links to 4 md5-hash-derived targets — duplicates and
+    self-loops kept as parallel edges so out-degree stays exactly 4, the
+    uniformity :func:`graph.pagerank_exact_uniform` requires). The DuckDB
+    oracle derives the identical edge list from the identical md5s."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    u32 = corpus_ops._hash_u32_sql('_h', 'spark')
+    return (docs.select('doc_id')
+            .withColumn('j', F.explode(F.expr('array(0, 1, 2, 3)')))
+            .withColumn('_h', F.md5(F.concat_ws(
+                ':', F.col('doc_id').cast('string'),
+                F.col('j').cast('string'), F.lit('pr'))))
+            .select(F.col('doc_id').alias('src'),
+                    F.expr(f'({u32}) % {n}').alias('dst')))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact damped PageRank (3 iterations, β = 17/20) over the
+    deterministic hash link graph — the link-authority signal a crawl
+    pipeline ranks hosts/pages with, as the textbook distributed
+    join+agg iteration. ``pr_scaled`` = PageRank · 80³ exactly (BIGINT
+    recurrence, see graph.pagerank_exact_uniform) so the DuckDB oracle
+    compares bit-for-bit with no float reassociation anywhere."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    n = docs.count()
+    edges = _pagerank_edges(spark, sf_dir, n)
+    nodes = docs.select(F.col('doc_id').alias('v'))
+    pr = graph_ops.pagerank_exact_uniform(nodes, edges, iters=3, d_out=4)
+    return pr.select(F.col('v').alias('doc_id'), 'pr_scaled')
+
+
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-coverage quality signal (integer counts of bigram
+    occurrences whose corpus frequency >= 5) — the transcendental-free
+    LM-coverage gate of a training-data pipeline."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.bigram_coverage(_spread(docs), min_df=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
@@ -723,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'repetition_stats': q_repetition_stats,
     'tfidf_top_terms': q_tfidf_top_terms,
     'png_meta': q_png_meta,
+    'pagerank': q_pagerank,
+    'bigram_coverage': q_bigram_coverage,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1220,6 +1263,32 @@ def oracle_sql() -> dict[str, str]:
             'CAST(h AS INT) AS height, '
             'CAST(12 * (4 * v + (1 * h) // 8 + (3 * h) // 8 + '
             '(5 * h) // 8 + (7 * h) // 8) AS BIGINT) AS rs_sum FROM p'),
+        # integer-exact PageRank: A_0 = 1,
+        # A_k(v) = 3·d·(20d)^(k-1) + 17·Σ_{u→v} A_(k-1)(u)  (d = 4 →
+        # bases 12 / 960 / 76800); edge list = 4 md5-derived targets per
+        # doc, the same md5-nibble u32 both engines share
+        'pagerank': (
+            'WITH e AS (SELECT doc_id AS src, ({u32}) % '
+            '(SELECT COUNT(*) FROM documents) AS dst '
+            'FROM (SELECT doc_id, md5(concat_ws(\':\', '
+            'CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR), \'pr\')) AS _h '
+            'FROM documents, (SELECT unnest([0, 1, 2, 3]) AS j) js)), '
+            's0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS a '
+            'FROM documents), '
+            'c1 AS (SELECT e.dst AS v, SUM(s.a) AS s FROM e '
+            'JOIN s0 s ON s.v = e.src GROUP BY 1), '
+            's1 AS (SELECT s0.v, CAST(12 + 17 * COALESCE(c1.s, 0) '
+            'AS BIGINT) AS a FROM s0 LEFT JOIN c1 USING (v)), '
+            'c2 AS (SELECT e.dst AS v, SUM(s.a) AS s FROM e '
+            'JOIN s1 s ON s.v = e.src GROUP BY 1), '
+            's2 AS (SELECT s1.v, CAST(960 + 17 * COALESCE(c2.s, 0) '
+            'AS BIGINT) AS a FROM s1 LEFT JOIN c2 USING (v)), '
+            'c3 AS (SELECT e.dst AS v, SUM(s.a) AS s FROM e '
+            'JOIN s2 s ON s.v = e.src GROUP BY 1) '
+            'SELECT s2.v AS doc_id, CAST(76800 + 17 * COALESCE(c3.s, 0) '
+            'AS BIGINT) AS pr_scaled FROM s2 LEFT JOIN c3 USING (v)'
+        ).format(u32=corpus_ops._hash_u32_sql('_h', 'duckdb')),
+        'bigram_coverage': corpus_ops.bigram_coverage_oracle_sql(),
     }
 
 

@@ -447,3 +447,78 @@ FROM (SELECT tf.{id_col} AS {id_col}, tf.term, tf.tf, dfreq.df,
       FROM tf JOIN dfreq USING (term))
 WHERE rnk <= {k}
 """
+
+
+def bigram_coverage(df: DataFrame, text_col: str = 'text',
+                    id_col: str = 'doc_id', min_df: int = 5) -> DataFrame:
+    """Per-document n-gram COVERAGE quality signal: how much of a document
+    is made of bigrams the corpus itself has seen at least ``min_df``
+    times.  A transcendental-free stand-in for CCNet's LM-perplexity
+    filter — documents whose bigrams are mostly corpus-rare are gibberish,
+    boilerplate-mangled, or off-distribution, and a training-data pipeline
+    gates on exactly this ratio; keeping the outputs integer counts
+    (``n_bigrams``, ``n_covered``) makes the cross-engine compare exact
+    (the same integer-only discipline as ``repetition_stats``).
+
+    Plan: tokenize once per row (the materialized-``ws`` lesson from the
+    round-3 ``bigram_top`` regression), pre-aggregate to the narrow
+    (doc, bigram, m) table, derive corpus frequencies FROM that table
+    (one extra partial-agg instead of a second full tokenize), equi-join
+    back and sum.  The (doc, bigram, m) table is persisted for its two
+    scans and released through the final checkpoint.  Hot bigrams skew
+    the join key; AQE splits them like any hot key.  Returns one row per
+    input document (docs with < 2 words get zeros).
+    """
+    from buzzard_spark.session import checkpoint_release
+
+    ws = df.select(F.col(id_col),
+                   F.split(F.trim(text_col), r'\s+').alias('ws')) \
+           .where(F.expr('size(ws) >= 2'))
+    bigrams = ('transform(sequence(0, size(ws) - 2), '
+               "i -> concat(element_at(ws, i + 1), ' ', "
+               'element_at(ws, i + 2)))')
+    db = (ws.select(F.col(id_col),
+                    F.explode(F.expr(bigrams)).alias('bigram'))
+          .groupBy(id_col, 'bigram').agg(F.count('*').alias('m'))
+          .persist())
+    cf = db.groupBy('bigram').agg(F.sum('m').alias('n_corpus'))
+    per = (db.join(cf, 'bigram')
+           .groupBy(id_col)
+           .agg(F.sum('m').alias('nb'),
+                F.sum(F.when(F.col('n_corpus') >= min_df, F.col('m'))
+                      .otherwise(F.lit(0))).alias('nc')))
+    out = (df.select(id_col)
+           .join(per, id_col, 'left')
+           .select(F.col(id_col),
+                   F.coalesce('nb', F.lit(0)).cast('long')
+                   .alias('n_bigrams'),
+                   F.coalesce('nc', F.lit(0)).cast('long')
+                   .alias('n_covered')))
+    return checkpoint_release(out, [db])
+
+
+def bigram_coverage_oracle_sql(table: str = 'documents',
+                               text_col: str = 'text',
+                               id_col: str = 'doc_id',
+                               min_df: int = 5) -> str:
+    """DuckDB equivalent of :func:`bigram_coverage` (sums cast back to
+    BIGINT — DuckDB widens SUM(BIGINT) to HUGEINT)."""
+    return f"""
+WITH w AS (SELECT {id_col},
+                  string_split_regex(trim({text_col}), '\\s+') AS ws
+           FROM {table}),
+b AS (SELECT {id_col}, unnest(list_transform(
+          generate_series(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w WHERE len(ws) >= 2),
+db AS (SELECT {id_col}, bigram, COUNT(*) AS m FROM b GROUP BY 1, 2),
+cf AS (SELECT bigram, SUM(m) AS n_corpus FROM db GROUP BY 1),
+per AS (SELECT {id_col}, SUM(m) AS nb,
+               SUM(CASE WHEN cf.n_corpus >= {min_df} THEN m ELSE 0 END)
+                   AS nc
+        FROM db JOIN cf USING (bigram) GROUP BY 1)
+SELECT d.{id_col},
+       CAST(COALESCE(per.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.nc, 0) AS BIGINT) AS n_covered
+FROM {table} d LEFT JOIN per USING ({id_col})
+"""

@@ -178,3 +178,102 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # then drop every round's localCheckpoint blocks: iterative operators
     # must not leak cached partitions into a long-lived session
     return checkpoint_release(out, list(rounds) + list(extra_release))
+
+
+def pagerank_exact_uniform(nodes: DataFrame, edges: DataFrame,
+                           iters: int = 3, d_out: int = 4,
+                           id_col: str = 'v') -> DataFrame:
+    """Damped PageRank (β = 0.85) over an out-degree-UNIFORM multigraph,
+    computed in EXACT integer arithmetic so two engines agree bit-for-bit.
+
+    With every node emitting exactly ``d_out`` out-edges (duplicates and
+    self-loops allowed — they count as parallel edges), the classic
+    recurrence  s_k(v) = (1-β) + β · Σ_{u→v} s_{k-1}(u) / d_out  with
+    s_0 = 1 and β = 17/20 stays RATIONAL with denominator
+    M^k = (20·d_out)^k.  Scaling A_k = M^k · s_k gives the pure-BIGINT
+    recurrence this function iterates::
+
+        A_0(v) = 1
+        A_k(v) = 3·d_out·M^(k-1)  +  17 · Σ_{u→v} A_(k-1)(u)
+
+    The returned score column ``pr_scaled`` IS A_iters — identical in any
+    engine that can sum 64-bit integers, so the DuckDB oracle is an
+    unrolled CTE chain with no float reassociation anywhere (the same
+    integer-only-compare discipline as ``repetition_stats``).  Rankings
+    equal float PageRank's exactly (pinned by pytest vs :func:`pagerank`).
+
+    Scale: each iteration is one equi-join of the edge list with the
+    score table on ``src`` plus one ``groupBy(dst)`` partial-aggregated
+    sum — the textbook distributed PageRank step (shuffles on the edge
+    key only, AQE handles hub skew like any hot key).  Nothing graph-
+    sized touches the driver.  Overflow: A_k ≤ 12·M^(k-1) +
+    17·max_in_deg·max(A_(k-1)); for hash-random near-regular graphs
+    A_k ≈ M^k · O(1), BIGINT-safe for k ≤ 6 even at 10^12 nodes; the
+    caller keeps ``iters`` small (rank stabilizes in a few rounds).
+    """
+    from buzzard_spark.session import checkpoint_release
+
+    if d_out <= 0 or iters < 1:
+        raise ValueError('d_out >= 1 and iters >= 1 required')
+    M = 20 * d_out
+    base_nodes = nodes.select(F.col(id_col).alias('v'))
+    scores = base_nodes.select('v', F.lit(1).cast('long').alias('a'))
+    rounds = []
+    for k in range(1, iters + 1):
+        base = 3 * d_out * M ** (k - 1)
+        contrib = (edges.join(scores, edges['src'] == scores['v'])
+                   .groupBy('dst').agg(F.sum('a').alias('s')))
+        # lazy local checkpoint per round: without it the logical plan
+        # nests one join+agg deeper every iteration (the same blow-up
+        # connected_components guards against)
+        scores = (base_nodes
+                  .join(contrib, base_nodes['v'] == contrib['dst'], 'left')
+                  .select('v', (F.lit(base).cast('long')
+                                + F.lit(17) * F.coalesce('s', F.lit(0)))
+                          .cast('long').alias('a'))
+                  .localCheckpoint(eager=False))
+        rounds.append(scores)
+    out = scores.select('v', F.col('a').alias('pr_scaled'))
+    return checkpoint_release(out, rounds)
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
+             damping: float = 0.85, id_col: str = 'v') -> DataFrame:
+    """General damped PageRank over an arbitrary directed multigraph
+    (float scores, mass-normalized to average 1.0) — the production
+    variant; :func:`pagerank_exact_uniform` is its oracle-checkable twin
+    on uniform-out-degree graphs (same ranking, pinned by pytest).
+
+    Per iteration: out-degrees join (computed once, reused), contribution
+    sum via ``groupBy(dst)``, and the standard dangling-mass
+    redistribution — nodes with no out-edges donate their mass uniformly.
+    The dangling sum is a ONE-ROW aggregate collected per iteration (a
+    bounded driver scalar, never rows; GraphX does the same).
+    """
+    from buzzard_spark.session import checkpoint_release
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col(id_col).alias('v'),
+                            F.lit(0.0).alias('pr'))
+    base_nodes = nodes.select(F.col(id_col).alias('v'))
+    deg = edges.groupBy('src').agg(F.count('*').alias('out_deg'))
+    ed = edges.join(deg, 'src')
+    scores = base_nodes.select('v', F.lit(1.0).alias('a'))
+    rounds = []
+    for _ in range(iters):
+        contrib = (ed.join(scores, ed['src'] == scores['v'])
+                   .groupBy('dst')
+                   .agg(F.sum(F.col('a') / F.col('out_deg')).alias('s')))
+        dangling = (scores.join(deg, scores['v'] == deg['src'], 'left_anti')
+                    .agg(F.sum('a')).collect()[0][0]) or 0.0
+        scores = (base_nodes
+                  .join(contrib, base_nodes['v'] == contrib['dst'], 'left')
+                  .select('v', (F.lit(1.0 - damping)
+                                + F.lit(damping)
+                                * (F.coalesce('s', F.lit(0.0))
+                                   + F.lit(dangling / n))).alias('a'))
+                  .localCheckpoint(eager=False))
+        rounds.append(scores)
+    out = scores.select('v', F.col('a').alias('pr'))
+    return checkpoint_release(out, rounds)

@@ -106,11 +106,15 @@ class SnapshotTable:
 
     def append(self, df: DataFrame, key_cols: list[str] | None = None,
                observe: dict | None = None,
+               extra_meta: dict | None = None,
                _replaces: int | None = None,
                _expected_tip: int | None = None) -> dict:
         """Append df as a new snapshot. Returns the manifest dict.
 
         key_cols: tile/content keys recorded for resume anti-joins.
+        extra_meta: small application-owned dict recorded verbatim in the
+        manifest as ``app_meta`` (e.g. the streaming sink's epoch id for
+        exactly-once replay detection — never data, never keys).
         observe: extra named aggregate Columns measured during the write
         (runs through Spark's Observation API — one pass, no extra job).
         _replaces: internal (``compact``): commit with ``parent: None`` so
@@ -227,6 +231,8 @@ class SnapshotTable:
                 'keys_path': keys_path,
                 'metrics': dict(obs.get) if obs is not None else {},
             }
+            if extra_meta:
+                manifest['app_meta'] = extra_meta
             if _replaces is not None:
                 manifest['compacted_from'] = _replaces
             path = os.path.join(self.manifest_dir, f'snap-{snap_id}.json')
@@ -257,6 +263,79 @@ class SnapshotTable:
         if cur is None or cur < snap_id:
             self._atomic_write(self._current_path(), str(snap_id))
         return manifest
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> dict:
+        """Iceberg-style row-level DELETE by predicate: commit a DATA-LESS
+        snapshot recording a SQL predicate; at read time rows of every
+        EARLIER snapshot matching it are filtered out (NULL predicate
+        values keep the row — only TRUE deletes). Later appends are
+        untouched, so re-inserting a deleted key resurrects it, and
+        ``read(as_of=<pre-delete id>)`` still sees the rows (time travel
+        is never rewritten — the delete is part of the lineage).
+
+        This is the scan-planning flavor of Iceberg's delete files
+        ("metadata delete"): no anti-join, no data rewrite — the
+        predicate lands in the scan filter where Catalyst pushes it into
+        the parquet reader, so a delete costs O(1) at commit and only a
+        pushed filter at read. ``compact()`` afterwards materializes the
+        post-delete rows and drops the predicate from the new chain.
+
+        The predicate is analyzed against the chain's recorded schema
+        BEFORE committing (a typo'd column would otherwise poison every
+        future read).  Returns the manifest dict.
+        """
+        manifests = self._valid_manifests()
+        schema_holder = None
+        for m in reversed(manifests):
+            if not m.get('delete_predicate') and m.get('schema'):
+                schema_holder = m
+                break
+        if schema_holder is not None:
+            probe = self._empty_like(spark, [schema_holder])
+            # force analysis so an unresolvable predicate raises HERE
+            probe.where(F.expr(predicate)).schema
+        parent = self.current_snapshot_id()
+        snap_id = (parent or 0) + 1
+        while True:
+            manifest = {
+                'snapshot_id': snap_id,
+                'parent': parent,
+                'created_ms': int(time.time() * 1000),
+                'data_dir': None,
+                'files': [],
+                'schema': None,
+                'rows': 0,
+                'bytes': 0,
+                'key_cols': None,
+                'keys_path': None,
+                'metrics': {},
+                'delete_predicate': predicate,
+            }
+            path = os.path.join(self.manifest_dir, f'snap-{snap_id}.json')
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                parent = snap_id     # lost the claim: chain onto the winner
+                snap_id += 1
+                continue
+            with os.fdopen(fd, 'w') as f:
+                f.write(json.dumps(manifest, default=str))
+            break
+        cur = self.current_snapshot_id()
+        if cur is None or cur < snap_id:
+            self._atomic_write(self._current_path(), str(snap_id))
+        return manifest
+
+    @staticmethod
+    def _delete_filter(df: DataFrame, manifest_id: int,
+                       deletes: list[tuple[int, str]]) -> DataFrame:
+        """Apply every delete predicate committed AFTER ``manifest_id`` —
+        keep a row unless the predicate is definitely TRUE (NULL keeps)."""
+        for did, pred in deletes:
+            if did > manifest_id:
+                df = df.where(~F.coalesce(F.expr(pred).cast('boolean'),
+                                          F.lit(False)))
+        return df
 
     def compact(self, spark: SparkSession,
                 target_file_bytes: int = 128 << 20,
@@ -306,12 +385,15 @@ class SnapshotTable:
         if not manifests:
             raise FileNotFoundError(f'no valid snapshots under {self.root}')
         old_tip = manifests[-1]['snapshot_id']
-        key_cols = manifests[-1].get('key_cols')
-        if any(m.get('key_cols') != key_cols for m in manifests):
+        # key/sidecar logic looks only at DATA snapshots — delete_where
+        # manifests carry no keys and must not null out the chain's key_cols
+        data_ms = [m for m in manifests if not m.get('delete_predicate')]
+        key_cols = data_ms[-1].get('key_cols') if data_ms else None
+        if any(m.get('key_cols') != key_cols for m in data_ms):
             key_cols = None
         if dedupe_keys is None and key_cols:
             sidecars = [os.path.join(self.root, m['keys_path'])
-                        for m in manifests if m.get('keys_path')]
+                        for m in data_ms if m.get('keys_path')]
             if len(sidecars) > 1:
                 # each sidecar is per-snapshot DISTINCT, so a count > 1
                 # means the key has versions in multiple snapshots
@@ -354,8 +436,9 @@ class SnapshotTable:
             if sid in live:
                 continue
             m = self._load_manifest(sid)
-            shutil.rmtree(os.path.join(self.root, m['data_dir']),
-                          ignore_errors=True)
+            if m.get('data_dir'):       # delete_where snapshots are data-less
+                shutil.rmtree(os.path.join(self.root, m['data_dir']),
+                              ignore_errors=True)
             if m.get('keys_path'):
                 shutil.rmtree(os.path.join(self.root, m['keys_path']),
                               ignore_errors=True)
@@ -475,13 +558,23 @@ class SnapshotTable:
             raise FileNotFoundError(
                 f'no valid snapshots under {self.root}'
                 + (f' at snapshot {as_of}' if as_of is not None else ''))
+        # row-level deletes (``delete_where``): a delete snapshot's
+        # predicate filters every EARLIER data snapshot in this view
+        deletes = [(m['snapshot_id'], m['delete_predicate'])
+                   for m in manifests if m.get('delete_predicate')]
+        data_ms = [m for m in manifests if not m.get('delete_predicate')]
+        if not data_ms:
+            raise FileNotFoundError(
+                f'no data snapshots under {self.root}'
+                + (f' at snapshot {as_of}' if as_of is not None else ''))
         if minmax_filter is not None:
             if dedupe_keys is not None:
                 raise ValueError(
                     'minmax_filter cannot combine with dedupe_keys: file '
                     'skipping may hide the latest version of a key')
-            paths = []
-            for m in manifests:
+            kept = []                      # (manifest_id, [paths])
+            for m in data_ms:
+                paths = []
                 for f in m['files']:
                     keep = True
                     for c, (lo, hi) in minmax_filter.items():
@@ -491,17 +584,40 @@ class SnapshotTable:
                             break
                     if keep:
                         paths.append(os.path.join(self.root, f['path']))
-            if not paths:
-                return self._empty_like(spark, manifests)
-            return self._reader(spark, manifests).parquet(*paths)
+                if paths:
+                    kept.append((m['snapshot_id'], paths))
+            if not kept:
+                return self._empty_like(spark, data_ms)
+            if not deletes:
+                allp = [p for _, ps in kept for p in ps]
+                return self._reader(spark, data_ms).parquet(*allp)
+            parts = None
+            for mid, paths in kept:
+                df = self._delete_filter(spark.read.parquet(*paths),
+                                         mid, deletes)
+                parts = df if parts is None else parts.unionByName(
+                    df, allowMissingColumns=True)
+            return parts
         if dedupe_keys is None:
-            dirs = [os.path.join(self.root, m['data_dir']) for m in manifests]
-            return self._reader(spark, manifests).parquet(*dirs)
+            if not deletes:
+                dirs = [os.path.join(self.root, m['data_dir'])
+                        for m in data_ms]
+                return self._reader(spark, data_ms).parquet(*dirs)
+            parts = None
+            for m in data_ms:
+                df = self._delete_filter(
+                    spark.read.parquet(os.path.join(self.root,
+                                                    m['data_dir'])),
+                    m['snapshot_id'], deletes)
+                parts = df if parts is None else parts.unionByName(
+                    df, allowMissingColumns=True)
+            return parts
         from pyspark.sql.window import Window
         parts = None
-        for m in manifests:
+        for m in data_ms:
             df = (spark.read.parquet(os.path.join(self.root, m['data_dir']))
                   .withColumn('_snap', F.lit(m['snapshot_id'])))
+            df = self._delete_filter(df, m['snapshot_id'], deletes)
             parts = df if parts is None else parts.unionByName(
                 df, allowMissingColumns=True)
         w = Window.partitionBy(*dedupe_keys).orderBy(F.col('_snap').desc())

@@ -242,3 +242,43 @@ def stream_chunk_dedup(docs: DataFrame, watermark: str = '2 hours',
             .withColumn('chunk_hash', F.xxhash64('chunk'))
             .dropDuplicatesWithinWatermark(['chunk_hash'])
             .drop('chunk_hash'))
+
+
+def snapshot_sink(table_root: str, key_cols: list[str] | None = None):
+    """foreachBatch sink writing a stream into a :class:`SnapshotTable`
+    with EXACTLY-ONCE snapshot commits across restarts.
+
+    Structured Streaming's foreachBatch contract is at-least-once: after
+    a crash between the batch function and the offset-log commit, the
+    SAME epoch re-runs with the same ``epoch_id``.  The sink records the
+    epoch id in the snapshot manifest (``app_meta.epoch_id``) and skips a
+    batch whose epoch is already committed — idempotent replay, the same
+    trick Spark's own DeltaSink uses (txn version = batchId).  Epoch ids
+    are scanned from the CURRENT chain's manifests only — a driver-side
+    walk over a handful of json files, never data.
+
+    Use::
+
+        q = (df.writeStream.option('checkpointLocation', ckpt)
+               .foreachBatch(snapshot_sink(root)).start())
+
+    Note ``compact()`` folds the chain into one snapshot whose manifest
+    carries no epoch ids — run it only while the stream is stopped, or
+    a post-compaction replay of the tip epoch would double-append (the
+    same operational contract as Iceberg's expire-while-streaming).
+    """
+    from buzzard_spark.sources.snapshot_table import SnapshotTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        table = SnapshotTable(table_root)
+        try:
+            done = {m.get('app_meta', {}).get('epoch_id')
+                    for m in table.manifests()}
+        except FileNotFoundError:
+            done = set()
+        if epoch_id in done:
+            return                      # replayed epoch — already committed
+        table.append(batch_df, key_cols=key_cols,
+                     extra_meta={'epoch_id': epoch_id})
+
+    return _write

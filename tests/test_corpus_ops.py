@@ -290,3 +290,48 @@ def test_tfidf_rank_by_validation(spark):
     import pytest
     with pytest.raises(ValueError, match='rank_by'):
         corpus.tfidf_top_terms(_docs(spark, [(1, 'a')]), rank_by='bogus')
+
+
+def test_bigram_coverage_hand_computed(spark):
+    """'a b a b' bigrams: (a b)x2, (b a)x1; 'a b c': (a b), (b c);
+    with min_df=2 only 'a b' (corpus freq 3) is covered."""
+    docs = spark.createDataFrame(
+        [(0, 'a b a b'), (1, 'a b c'), (2, 'solo'), (3, '')],
+        'doc_id long, text string')
+    out = {r['doc_id']: (r['n_bigrams'], r['n_covered'])
+           for r in corpus.bigram_coverage(docs, min_df=2).collect()}
+    assert out == {0: (3, 2), 1: (2, 1), 2: (0, 0), 3: (0, 0)}
+
+
+def test_bigram_coverage_min_df_one_covers_everything(spark):
+    docs = spark.createDataFrame(
+        [(0, 'x y z'), (1, 'p q')], 'doc_id long, text string')
+    out = {r['doc_id']: (r['n_bigrams'], r['n_covered'])
+           for r in corpus.bigram_coverage(docs, min_df=1).collect()}
+    assert out == {0: (2, 2), 1: (1, 1)}
+
+
+def test_bigram_coverage_randomized_vs_python_oracle(spark):
+    import random
+    rng = random.Random(11)
+    vocab = ['aa', 'bb', 'cc', 'dd', 'ee']
+    rows = [(i, ' '.join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(40)]
+    min_df = 4
+    from collections import Counter
+    per_doc = {}
+    corpus_freq = Counter()
+    for doc_id, text in rows:
+        ws = text.strip().split()
+        bgs = [f'{a} {b}' for a, b in zip(ws, ws[1:])]
+        per_doc[doc_id] = Counter(bgs)
+        corpus_freq.update(bgs)
+    expect = {d: (sum(c.values()),
+                  sum(m for bg, m in c.items()
+                      if corpus_freq[bg] >= min_df))
+              for d, c in per_doc.items()}
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_bigrams'], r['n_covered'])
+           for r in corpus.bigram_coverage(docs, min_df=min_df).collect()}
+    assert got == expect

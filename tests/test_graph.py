@@ -64,3 +64,87 @@ def test_cc_star_and_cliques(spark):
     edges = [(0, i) for i in range(1, 50)]                  # hub
     edges += [(a, b) for a in range(60, 70) for b in range(a + 1, 70)]
     _run(spark, 80, edges)
+
+
+# -- PageRank ------------------------------------------------------------------
+
+def _edges_df(spark, pairs):
+    if not pairs:
+        return spark.createDataFrame([], 'src long, dst long')
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs],
+                                 'src long, dst long')
+
+
+def _nodes_df(spark, n):
+    return spark.range(n).selectExpr('id AS v')
+
+
+def test_pagerank_exact_two_cycle(spark):
+    """Symmetric 2-cycle, d_out=1: s_k = 1 forever, so A_k = M^k = 20^k."""
+    from buzzard_spark.operators.graph import pagerank_exact_uniform
+    out = pagerank_exact_uniform(
+        _nodes_df(spark, 2), _edges_df(spark, [(0, 1), (1, 0)]),
+        iters=3, d_out=1)
+    got = {r['v']: r['pr_scaled'] for r in out.collect()}
+    assert got == {0: 20 ** 3, 1: 20 ** 3}
+
+
+def test_pagerank_exact_hand_computed_chain(spark):
+    """0→1, 1→2, 2→1 (d_out=1, M=20): hand-unrolled recurrence."""
+    from buzzard_spark.operators.graph import pagerank_exact_uniform
+    edges = [(0, 1), (1, 2), (2, 1)]
+    # A_0 = (1, 1, 1)
+    # A_1 = (3, 3+17*(1+1), 3+17*1) = (3, 37, 20)
+    # A_2 = (60, 60+17*(3+20), 60+17*37) = (60, 451, 689)
+    # A_3 = (1200, 1200+17*(60+689), 1200+17*451)
+    expect = {0: 1200, 1: 1200 + 17 * 749, 2: 1200 + 17 * 451}
+    out = pagerank_exact_uniform(
+        _nodes_df(spark, 3), _edges_df(spark, edges), iters=3, d_out=1)
+    got = {r['v']: r['pr_scaled'] for r in out.collect()}
+    assert got == expect
+
+
+def test_pagerank_exact_mass_conservation_and_multigraph(spark):
+    """Hash multigraph (dupes + self-loops kept): total mass Σ A_k must be
+    exactly N · M^k when out-degree is uniform (PageRank conserves mass),
+    and the float variant must produce the identical ranking."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from buzzard_spark.operators.graph import pagerank, pagerank_exact_uniform
+    n, d = 120, 4
+    pairs = []
+    for v in range(n):
+        for j in range(d):
+            h = hashlib.md5(f'{v}:{j}:t'.encode()).hexdigest()
+            pairs.append((v, int(h[:8], 16) % n))
+    nodes, edges = _nodes_df(spark, n), _edges_df(spark, pairs)
+    exact = pagerank_exact_uniform(nodes, edges, iters=3, d_out=d)
+    rows = exact.collect()
+    assert sum(r['pr_scaled'] for r in rows) == n * (20 * d) ** 3
+    flt = pagerank(nodes, edges, iters=3)
+    fr = {r['v']: r['pr'] for r in flt.collect()}
+    M3 = float((20 * d) ** 3)
+    for r in rows:   # float twin agrees to rounding on every node
+        assert abs(fr[r['v']] - r['pr_scaled'] / M3) < 1e-9 * max(
+            1.0, r['pr_scaled'] / M3)
+
+
+def test_pagerank_float_dangling_mass_conserved(spark):
+    """Node 2 has no out-edges: its mass redistributes uniformly; total
+    mass stays N (average score 1.0)."""
+    from buzzard_spark.operators.graph import pagerank
+    out = pagerank(_nodes_df(spark, 3),
+                   _edges_df(spark, [(0, 1), (1, 2)]), iters=8)
+    total = sum(r['pr'] for r in out.collect())
+    assert abs(total - 3.0) < 1e-9
+
+
+def test_pagerank_exact_validates_args(spark):
+    import pytest as _pytest
+    from buzzard_spark.operators.graph import pagerank_exact_uniform
+    with _pytest.raises(ValueError):
+        pagerank_exact_uniform(_nodes_df(spark, 1),
+                               _edges_df(spark, []), iters=0)
+    with _pytest.raises(ValueError):
+        pagerank_exact_uniform(_nodes_df(spark, 1),
+                               _edges_df(spark, []), d_out=0)

@@ -463,3 +463,135 @@ def test_compact_refuses_multi_version_keys_without_dedupe(spark, tmp_path):
     table.compact(spark, dedupe_keys=['k'])
     got = {(r['k'], r['v']) for r in table.read(spark).collect()}
     assert got == {(1, 'new'), (2, 'old')}
+
+
+# -- row-level deletes (delete_where) ------------------------------------------
+
+def test_delete_where_filters_earlier_snapshots_only(spark, tmp_path):
+    """Predicate delete removes matching rows from EARLIER snapshots;
+    a later append resurrects them; time travel still sees them."""
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 10).selectExpr('id AS k', 'id * 2 AS v'))
+    t.append(spark.range(10, 20).selectExpr('id AS k', 'id * 2 AS v'))
+    pre_delete = t.current_snapshot_id()
+    t.delete_where(spark, 'k < 5 OR k >= 18')
+    got = sorted(r['k'] for r in t.read(spark).collect())
+    assert got == list(range(5, 18))
+    # time travel to before the delete sees everything
+    old = sorted(r['k'] for r in
+                 t.read(spark, as_of=pre_delete).collect())
+    assert old == list(range(20))
+    # a later append is untouched by the earlier delete
+    t.append(spark.range(0, 3).selectExpr('id AS k', 'id * 100 AS v'))
+    got2 = sorted(r['k'] for r in t.read(spark).collect())
+    assert got2 == [0, 1, 2] + list(range(5, 18))
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """A predicate evaluating to NULL must KEEP the row (only TRUE
+    deletes) — SQL three-valued logic would otherwise silently drop it."""
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.createDataFrame([(1, 'x'), (2, None)],
+                                   'k long, s string'))
+    t.delete_where(spark, "s = 'x'")     # NULL for k=2
+    got = sorted(r['k'] for r in t.read(spark).collect())
+    assert got == [2]
+
+
+def test_delete_where_validates_predicate_schema(spark, tmp_path):
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.range(5).selectExpr('id AS k'))
+    with pytest.raises(Exception):
+        t.delete_where(spark, 'no_such_column > 3')
+    # the failed delete must not have committed anything
+    assert t.current_snapshot_id() == 1
+
+
+def test_delete_where_with_dedupe_keys_interplay(spark, tmp_path):
+    """Delete kills the OLD version; a later re-append becomes the live
+    version under later-wins reads."""
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], 'k long, v long'),
+             key_cols=['k'])
+    t.delete_where(spark, 'k = 1')
+    t.append(spark.createDataFrame([(1, 11)], 'k long, v long'),
+             key_cols=['k'])
+    got = {r['k']: r['v'] for r in
+           t.read(spark, dedupe_keys=['k']).collect()}
+    assert got == {1: 11, 2: 20}
+
+
+def test_delete_where_minmax_filter_composes(spark, tmp_path):
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 100).selectExpr('id AS k'))
+    t.delete_where(spark, 'k % 2 = 0')
+    # minmax_filter is FILE skipping; the delete predicate still applies
+    # to the surviving files' rows (the caller adds the row filter)
+    pruned = t.read(spark, minmax_filter={'k': (10, 20)})
+    got = sorted(r['k'] for r in
+                 pruned.where('k BETWEEN 10 AND 20').collect())
+    assert got == [11, 13, 15, 17, 19]
+    # every row of every kept file has the delete applied (no evens),
+    # and file skipping never resurrects a deleted row
+    rest = [r['k'] for r in pruned.collect()]
+    assert rest and all(k % 2 == 1 for k in rest)
+
+
+def test_compact_materializes_deletes(spark, tmp_path):
+    """compact() folds the chain to post-delete rows and drops the
+    predicate from the new chain (no delete manifest survives)."""
+    root = str(tmp_path / 'tbl')
+    t = SnapshotTable(root)
+    t.append(spark.range(0, 10).selectExpr('id AS k'))
+    t.delete_where(spark, 'k >= 7')
+    before = sorted(r['k'] for r in t.read(spark).collect())
+    t.compact(spark)
+    after = sorted(r['k'] for r in t.read(spark).collect())
+    assert before == after == list(range(7))
+    assert not any(m.get('delete_predicate') for m in t.manifests())
+
+
+# -- streaming snapshot sink (epoch-idempotent foreachBatch) -------------------
+
+def test_snapshot_sink_idempotent_replay(spark, tmp_path):
+    """Replaying an epoch (foreachBatch's at-least-once contract after a
+    crash) must not double-append; distinct epochs append normally."""
+    from buzzard_spark.streaming.stream_ops import snapshot_sink
+    root = str(tmp_path / 'sink')
+    write = snapshot_sink(root)
+    b0 = spark.range(0, 5).selectExpr('id AS k')
+    b1 = spark.range(5, 8).selectExpr('id AS k')
+    write(b0, 0)
+    write(b0, 0)                       # replay of epoch 0 — must be a no-op
+    write(b1, 1)
+    t = SnapshotTable(root)
+    got = sorted(r['k'] for r in t.read(spark).collect())
+    assert got == list(range(8))
+    assert t.current_snapshot_id() == 2
+    epochs = [m.get('app_meta', {}).get('epoch_id') for m in t.manifests()]
+    assert epochs == [0, 1]
+
+
+def test_snapshot_sink_end_to_end_stream(spark, tmp_path):
+    """Real writeStream → foreachBatch(snapshot_sink) run over a file
+    source; table contents equal the batch read of the same input."""
+    from buzzard_spark.streaming.stream_ops import snapshot_sink
+    src = str(tmp_path / 'src')
+    spark.range(0, 50).selectExpr('id AS k', 'id % 7 AS g') \
+        .repartition(4).write.parquet(src)
+    root = str(tmp_path / 'sink')
+    stream = (spark.readStream.schema('k long, g long')
+              .option('maxFilesPerTrigger', 2).parquet(src))
+    q = (stream.writeStream
+         .option('checkpointLocation', str(tmp_path / 'ckpt'))
+         .foreachBatch(snapshot_sink(root))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r['k'] for r in
+                 SnapshotTable(root).read(spark).collect())
+    assert got == list(range(50))
