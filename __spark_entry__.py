@@ -724,6 +724,44 @@ def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.bigram_coverage(_spread(docs), min_df=5)
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language n_chars distribution profile (count/min/max +
+    discrete p25/p50/p75/p95 via integer rank arithmetic) — the
+    length-cutoff profiling step of a corpus build, integer-only so the
+    cross-engine compare is exact."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.column_profile(docs, 'n_chars', 'lang')
+
+
+def _messy_urls_sql(dialect: str) -> list[str]:
+    """Three deterministic messy variants per page (shared construction
+    both engines): base+query, case/port/fragment/param-order noise on
+    the same logical URL, and an http://...:80 twin — the first two must
+    collapse to ONE canonical form, the third to its own."""
+    cast = 'STRING' if dialect == 'spark' else 'VARCHAR'
+    n = f'CAST(page_id % 1000 AS {cast})'
+    i = f'CAST(page_id AS {cast})'
+    return [
+        f"concat('https://host', {n}, '.example/', {i}, '?z=9&a=1')",
+        f"concat('HTTPS://HOST', {n}, '.EXAMPLE:443/', {i}, '?a=1&z=9#f')",
+        f"concat('http://host', {n}, '.example:80/', {i})",
+    ]
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-frontier dedup): 3 messy variants per
+    page; canonicalization must collapse the first two (scheme/host case,
+    default port, fragment, query-param order) and keep the http twin
+    separate — n_variants IS that collapse, value-checked."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    v = ', '.join(_messy_urls_sql('spark'))
+    canon = text_ops.canonical_url_sql('u', 'spark')
+    return (docs.select(F.col('doc_id').alias('page_id'))
+            .select(F.explode(F.expr(f'array({v})')).alias('u'))
+            .select(F.expr(canon).alias('canon_url'))
+            .groupBy('canon_url').agg(F.count('*').alias('n_variants')))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
@@ -766,6 +804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'png_meta': q_png_meta,
     'pagerank': q_pagerank,
     'bigram_coverage': q_bigram_coverage,
+    'column_profile': q_column_profile,
+    'url_canonical': q_url_canonical,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1289,6 +1329,15 @@ def oracle_sql() -> dict[str, str]:
             'AS BIGINT) AS pr_scaled FROM s2 LEFT JOIN c3 USING (v)'
         ).format(u32=corpus_ops._hash_u32_sql('_h', 'duckdb')),
         'bigram_coverage': corpus_ops.bigram_coverage_oracle_sql(),
+        'column_profile': corpus_ops.column_profile_oracle_sql(
+            'documents', 'n_chars', 'lang'),
+        'url_canonical': (
+            'WITH p AS (SELECT doc_id AS page_id FROM documents), '
+            'm AS (SELECT page_id, unnest([{v}]) AS u FROM p) '
+            'SELECT {canon} AS canon_url, COUNT(*) AS n_variants '
+            'FROM m GROUP BY 1'
+        ).format(v=', '.join(_messy_urls_sql('duckdb')),
+                 canon=text_ops.canonical_url_sql('u', 'duckdb')),
     }
 
 

@@ -522,3 +522,56 @@ SELECT d.{id_col},
        CAST(COALESCE(per.nc, 0) AS BIGINT) AS n_covered
 FROM {table} d LEFT JOIN per USING ({id_col})
 """
+
+
+def column_profile(df: DataFrame, value_col: str, group_col: str,
+                   qs: tuple = (25, 50, 75, 95)) -> DataFrame:
+    """EXACT per-group distribution profile (count / min / max / discrete
+    percentiles) — the corpus-profiling step a training-data pipeline
+    runs before choosing length/quality cutoffs. ``qs`` are integer
+    percents; each p-th value is the classic discrete quantile (the value
+    at rank ceil(p·n/100) in ascending order), computed with INTEGER rank
+    arithmetic ``(p·n + 99) div 100`` so both engines agree exactly and
+    no float/DECIMAL literal ever enters the plan (the ``dlit`` trap).
+
+    Exactness costs a per-group sort (one window over
+    ``partitionBy(group)``) — correct and distributed at any group count,
+    but at the 100-TB design point a profile over few huge groups should
+    use ``approx_percentile`` (t-digest, mergeable map-side) instead;
+    this operator is the exact-truth twin the approximate path is
+    validated against. Ties: ranks among equal values are arbitrary but
+    the VALUE at a given rank is deterministic, which is all the output
+    exposes.
+    """
+    from pyspark.sql.window import Window
+    for q in qs:
+        if not (isinstance(q, int) and 0 < q <= 100):
+            raise ValueError(f'qs must be integer percents in (0, 100]: {q}')
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (df.select(group_col, value_col)
+              .withColumn('rn', F.row_number().over(w))
+              .withColumn('n', F.count('*').over(wn)))
+    aggs = [F.max('n').alias('n_rows'),
+            F.min(value_col).alias('min_v'),
+            F.max(value_col).alias('max_v')]
+    aggs += [F.max(F.when(
+        F.expr(f'rn = ({q} * n + 99) div 100'), F.col(value_col)))
+        .alias(f'p{q}') for q in qs]
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def column_profile_oracle_sql(table: str, value_col: str, group_col: str,
+                              qs: tuple = (25, 50, 75, 95)) -> str:
+    """DuckDB equivalent of :func:`column_profile` (same integer rank
+    arithmetic; ``//`` is DuckDB's integer division)."""
+    g, v = group_col, value_col
+    ps = ', '.join(
+        f'CAST(MAX(CASE WHEN rn = ({q} * n + 99) // 100 THEN {v} END) '
+        f'AS BIGINT) AS p{q}' for q in qs)
+    return (f'WITH r AS (SELECT {g}, {v}, '
+            f'ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {v}) AS rn, '
+            f'COUNT(*) OVER (PARTITION BY {g}) AS n FROM {table}) '
+            f'SELECT {g}, CAST(MAX(n) AS BIGINT) AS n_rows, '
+            f'MIN({v}) AS min_v, MAX({v}) AS max_v, {ps} '
+            f'FROM r GROUP BY {g}')

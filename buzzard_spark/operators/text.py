@@ -194,3 +194,50 @@ def html_text_sql(html_col: str, dialect: str = 'spark') -> str:
                     ('&#39;', "''"), ('&amp;', '&')):
         x = f"replace({x}, '{ent}', '{ch}')"
     return f"trim({rr(x, ws, ' ')})"
+
+
+def canonical_url_sql(col: str, dialect: str = 'spark') -> str:
+    """URL canonicalization — the crawl-frontier / exact-URL-dedup
+    normalizer (same role as e.g. Nutch's BasicURLNormalizer, public
+    spec: RFC 3986 §6 normalization, minus dot-segment resolution):
+
+    - drop the fragment (``#…``),
+    - lowercase scheme and host,
+    - strip the scheme's default port (``:80`` for http, ``:443`` for
+      https),
+    - empty path → ``/``,
+    - sort query parameters (``?b=2&a=1`` == ``?a=1&b=2``; a bare ``?``
+      is dropped); path case and param repeats are preserved.
+
+    One nested string expression per row, whole-stage codegen on the
+    Spark side; the DuckDB dialect swaps only the array function names
+    (split/array_sort/array_join ↔ string_split/list_sort/
+    array_to_string), so both engines canonicalize byte-identically —
+    the oracle pairing trick used across this engine.
+    """
+    if dialect == 'spark':
+        def sort_join(q):
+            return f"array_join(array_sort(split({q}, '&')), '&')"
+    else:
+        def sort_join(q):
+            return f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    nofrag = f"regexp_replace({col}, '#.*$', '')"
+    scheme = (f"lower(regexp_extract({nofrag}, "
+              f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1))")
+    hostport = (f"lower(regexp_extract({nofrag}, "
+                f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    host = (f"(CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END)")
+    path = (f"regexp_extract({nofrag}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    path_norm = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    # Spark unescapes backslashes inside SQL string literals, DuckDB does
+    # not — same split as every shared regex in this engine ('\\s+' pair)
+    qpat = "'\\\\?(.*)$'" if dialect == 'spark' else "'\\?(.*)$'"
+    query = f"regexp_extract({nofrag}, {qpat}, 1)"
+    query_part = (f"(CASE WHEN {query} = '' THEN '' "
+                  f"ELSE concat('?', {sort_join(query)}) END)")
+    return (f"concat({scheme}, '://', {host}, {path_norm}, {query_part})")
