@@ -29,6 +29,7 @@ from buzzard_spark.operators import graph as graph_ops
 from buzzard_spark.operators import knn as knn_ops
 from buzzard_spark.operators import raster_ops
 from buzzard_spark.operators import similarity as similarity_ops
+from buzzard_spark.operators import sketch as sketch_ops
 from buzzard_spark.operators import spatial_join
 from buzzard_spark.operators import text as text_ops
 from buzzard_spark.operators import vector_source as vector_ops
@@ -762,6 +763,112 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy('canon_url').agg(F.count('*').alias('n_variants')))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL cardinality (p=8, deterministic md5-nibble
+    registers) joined against the exact distinct count — the sketch a
+    100-TB profile runs instead of COUNT(DISTINCT); the estimate and
+    the empty-register count are value-checked cross-engine."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    est = sketch_ops.approx_distinct(docs, 'text', 'lang', p=8)
+    exact = docs.groupBy('lang').agg(
+        F.countDistinct('text').alias('n_exact'))
+    return est.join(exact, 'lang')
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates over the corpus token stream (a
+    natural Zipf workload): per distinct token the true count and the
+    d=3 × w=16 sketch estimate (w chosen below the vocabulary size so
+    collisions actually exercise the bound) — the fixed-size summary a
+    skew-salting planner keeps; the one-sided guarantee
+    cm_est >= n_true is what the oracle hash pins."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    toks = docs.select(F.explode(
+        F.split(F.trim('text'), r'\s+')).alias('tok'))
+    return sketch_ops.count_min_estimates(toks, 'tok', d=3, width=16)
+
+
+def _link_html_sql(dialect: str) -> str:
+    """Deterministic 3-anchor html per page (shared construction): two
+    messy spellings of the SAME logical target (case/port/fragment/
+    param-order noise) plus one distinct http target — canonicalization
+    must collapse the first two."""
+    cast = 'VARCHAR' if dialect == 'duckdb' else 'STRING'
+    a = f'CAST((page_id * 7) % 1000 AS {cast})'
+    b = f'CAST((page_id * 13) % 1000 AS {cast})'
+    pa = f'CAST(page_id % 50 AS {cast})'
+    pb = f'CAST(page_id % 20 AS {cast})'
+    return (
+        "concat('<p>t</p><a href=\"https://host', {a}, '.example/', {pa}, "
+        "'?z=9&a=1\">l1</a>"
+        "<a href=\"HTTPS://HOST', {a}, '.EXAMPLE:443/', {pa}, "
+        "'?a=1&z=9#x\">l2</a>"
+        "<a href=\"http://host', {b}, '.example:80/p', {pb}, '\">l3</a>')"
+    ).format(a=a, b=b, pa=pa, pb=pb)
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web-graph edges from raw html: extract hrefs
+    (regexp_extract_all) → canonicalize each target → DISTINCT
+    (page, canonical) so messy duplicate spellings collapse → host edge
+    list with counts. This is the crawl→graph step whose output feeds
+    the PageRank operator; every stage is shared SQL."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    pages = docs.select(F.col('doc_id').alias('page_id')).select(
+        F.expr("concat('host', CAST(page_id % 1000 AS STRING), "
+               "'.example')").alias('src_host'),
+        F.expr(_link_html_sql('spark')).alias('html'))
+    canon = text_ops.canonical_url_sql('u', 'spark')
+    edges = (pages
+             .select('src_host', F.explode(F.expr(
+                 text_ops.extract_links_sql('html'))).alias('u'))
+             .select('src_host', F.expr(canon).alias('canon'))
+             .select('src_host', 'canon', F.expr(
+                 "regexp_extract(canon, '^https?://([^/]+)/', 1)")
+                 .alias('dst_host')))
+    # distinct-canonical per edge as a direct countDistinct — Catalyst
+    # expands it to the two-phase partial-distinct aggregate, so the
+    # dedup happens map-side per (src, dst) instead of a global
+    # DISTINCT shuffle of full URL strings
+    return edges.groupBy('src_host', 'dst_host').agg(
+        F.countDistinct('canon').alias('n_links'))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-postings inverted index over the corpus token stream:
+    per token exact df / total count plus the first 8 posting doc ids —
+    postings are capped BEFORE collection (window rank inside the same
+    token partitioning) so a stop-word's list can't blow memory at
+    scale."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return corpus_ops.inverted_index(docs, max_postings=8)
+
+
+def _host_fixture_sql(dialect: str) -> str:
+    """Deterministic hostname per page across 4 TLD shapes (two of them
+    two-label public suffixes) — shared construction both engines."""
+    cast = 'VARCHAR' if dialect == 'duckdb' else 'STRING'
+    tld = ("(CASE page_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+           "WHEN 2 THEN 'com.au' ELSE 'org' END)")
+    return (f"concat('w', CAST(page_id % 3 AS {cast}), '.site', "
+            f"CAST(page_id % 40 AS {cast}), '.', {tld})")
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup (eTLD+1 via the public-suffix CASE
+    extractor): page and distinct-host counts — the domain-level quota /
+    per-site-cap grouping a crawl pipeline runs; subdomains of the same
+    site under a two-label suffix must fold together."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    hosts = docs.select(F.col('doc_id').alias('page_id')).select(
+        F.expr(_host_fixture_sql('spark')).alias('host'))
+    dom = text_ops.registrable_domain_sql('host', 'spark')
+    return (hosts.select(F.expr(dom).alias('domain'), 'host')
+            .groupBy('domain')
+            .agg(F.count('*').alias('n_pages'),
+                 F.countDistinct('host').alias('n_hosts')))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_count_by_region': q_pip_count_by_region,
     'pip_join_pairs': q_pip_join_pairs,
@@ -806,6 +913,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bigram_coverage': q_bigram_coverage,
     'column_profile': q_column_profile,
     'url_canonical': q_url_canonical,
+    'hll_distinct': q_hll_distinct,
+    'cm_heavy_hitters': q_cm_heavy_hitters,
+    'link_graph': q_link_graph,
+    'domain_rollup': q_domain_rollup,
+    'inverted_index': q_inverted_index,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1338,6 +1450,40 @@ def oracle_sql() -> dict[str, str]:
             'FROM m GROUP BY 1'
         ).format(v=', '.join(_messy_urls_sql('duckdb')),
                  canon=text_ops.canonical_url_sql('u', 'duckdb')),
+        'hll_distinct': (
+            'SELECT h.lang, h.n_hll, h.v_empty, e.n_exact '
+            'FROM ({hll}) h JOIN (SELECT lang, CAST(COUNT(DISTINCT text) '
+            'AS BIGINT) AS n_exact FROM documents GROUP BY 1) e '
+            'USING (lang)'
+        ).format(hll=sketch_ops.approx_distinct_oracle_sql(
+            'documents', 'text', 'lang', p=8)),
+        'cm_heavy_hitters': sketch_ops.count_min_oracle_sql(
+            "(SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+            'AS tok FROM documents) toks',
+            'tok', d=3, width=16),
+        'link_graph': (
+            'WITH p AS (SELECT doc_id AS page_id FROM documents), '
+            "h AS (SELECT concat('host', CAST(page_id % 1000 AS VARCHAR), "
+            "'.example') AS src_host, {html} AS html FROM p), "
+            'l AS (SELECT src_host, unnest({links}) AS u FROM h), '
+            'c AS (SELECT src_host, {canon} AS canon FROM l) '
+            'SELECT src_host, '
+            "regexp_extract(canon, '^https?://([^/]+)/', 1) AS dst_host, "
+            'CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_links '
+            'FROM c GROUP BY 1, 2'
+        ).format(html=_link_html_sql('duckdb'),
+                 links=text_ops.extract_links_sql('html', 'duckdb'),
+                 canon=text_ops.canonical_url_sql('u', 'duckdb')),
+        'domain_rollup': (
+            'WITH p AS (SELECT doc_id AS page_id FROM documents), '
+            'h AS (SELECT {host} AS host FROM p) '
+            'SELECT {dom} AS domain, COUNT(*) AS n_pages, '
+            'CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts '
+            'FROM h GROUP BY 1'
+        ).format(host=_host_fixture_sql('duckdb'),
+                 dom=text_ops.registrable_domain_sql('host', 'duckdb')),
+        'inverted_index': corpus_ops.inverted_index_oracle_sql(
+            max_postings=8),
     }
 
 

@@ -150,8 +150,8 @@ def _shuffle_probe(spark) -> float:
     return time.time() - t0
 
 
-def flagship_worker(master: str, n_pages: int,
-                    layout: str = 'clustered') -> None:
+def flagship_worker(master: str, n_pages: int, layout: str = 'clustered',
+                    best_wall: float | None = None) -> None:
     import shutil
     import tempfile
 
@@ -185,6 +185,21 @@ def flagship_worker(master: str, n_pages: int,
         walls_all = [run_flagship(spark, n_pages, layout,
                                   manifest_root=os.path.join(tmp, f'run{i}'))
                      for i in range(2)]
+        # adaptive extra reps (run-J failure mode: a burst spanning BOTH
+        # base reps of one leg — sweep walls 15.3/18.9 s beside a 10.0 s
+        # clean leg — leaves min() corrupted and the in-sweep ratio
+        # wrong): when the session has already seen a faster wall for
+        # this master (best_wall, min over all prior sweeps incl.
+        # discarded) and this leg's min exceeds 1.3× it, time up to 2
+        # more reps. One-sided noise → extra reps strictly improve the
+        # min estimator (timeit's rationale); the rule and its threshold
+        # are identical for every master and every rep is recorded in
+        # walls_all.
+        while (best_wall is not None and len(walls_all) < 4
+               and min(walls_all) > 1.3 * best_wall):
+            walls_all.append(run_flagship(
+                spark, n_pages, layout,
+                manifest_root=os.path.join(tmp, f'run{len(walls_all)}')))
         shuf_post = _shuffle_probe(spark)
         cpu_ref = _cpu_probe(spark)
     finally:
@@ -197,10 +212,12 @@ def flagship_worker(master: str, n_pages: int,
                       'layout': layout}))
 
 
-def _worker(master: str, n_pages: int, layout: str = 'clustered') -> dict:
+def _worker(master: str, n_pages: int, layout: str = 'clustered',
+            best_wall: float | None = None) -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         '--flagship-worker', master, str(n_pages), layout],
+         '--flagship-worker', master, str(n_pages), layout,
+         'none' if best_wall is None else repr(float(best_wall))],
         capture_output=True, text=True, timeout=1200)
     line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
     return json.loads(line)
@@ -263,10 +280,17 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
     on the flagship walls or the resulting efficiencies.
 
     Each leg's ``wall_sec`` is the MIN of 2 timed full-scale runs after
-    the untimed warmup (both raw values recorded in ``walls_all``):
+    the untimed warmup (all raw values recorded in ``walls_all``):
     interference is one-sided noise — it only ever adds time — so the
     min estimates the uncontended wall (timeit's rationale), identically
-    for every master; a single corrupted rep no longer owns a leg.
+    for every master; a single corrupted rep no longer owns a leg. When
+    BOTH base reps of a leg are corrupted (run J: a burst spanning the
+    whole leg — 15.3/18.9 s beside a 10.0 s clean sweep — that the
+    bracketing probes cannot always catch), the worker times up to 2
+    extra reps whenever its min exceeds 1.3× the fastest wall the
+    session has seen for that master (min over all prior sweeps,
+    discarded included) — same rule, same threshold, every master,
+    every rep recorded.
     """
     masters = ('local[2]', 'local[8]', 'local[32]')
     if passes is None:
@@ -275,8 +299,14 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
     max_attempts = passes + int(os.environ.get(
         'SPARK_GRAFT_BENCH_MAX_EXTRA_SWEEPS', '3'))
     attempts = []
+    best = {m: None for m in masters}  # fastest wall seen per master
     while True:
-        attempts.append({m: _worker(m, n_pages, layout) for m in masters})
+        sweep = {}
+        for m in masters:
+            sweep[m] = _worker(m, n_pages, layout, best_wall=best[m])
+            w = sweep[m]['wall_sec']
+            best[m] = w if best[m] is None else min(best[m], w)
+        attempts.append(sweep)
         probe_med = {m: _median([a[m]['cpu_ref_sec'] for a in attempts])
                      for m in masters}
         shuf_med = {m: _median([min(a[m]['shuf_pre_sec'],
@@ -335,7 +365,9 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
         'n_pages': n_pages,
         'layout': layout,
         'method': ('interleaved A-B-A-B sweeps; per-leg wall = min of 2 '
-                   'timed runs after warmup (both recorded); pair-wise '
+                   'timed runs after warmup, plus up to 2 adaptive extra '
+                   'reps when the min exceeds 1.3x the fastest session '
+                   'wall for that master (all reps recorded); pair-wise '
                    'ratios within each sweep; median across sweeps; no '
                    'best-of, no early stop; sweeps where either the CPU '
                    'probe or min(pre,post) of the bracketing shuffle probes drift '
@@ -379,8 +411,10 @@ def _round_deep(obj):
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == '--flagship-worker':
+        bw = sys.argv[5] if len(sys.argv) > 5 else 'none'
         flagship_worker(sys.argv[2], int(sys.argv[3]),
-                        sys.argv[4] if len(sys.argv) > 4 else 'clustered')
+                        sys.argv[4] if len(sys.argv) > 4 else 'clustered',
+                        None if bw == 'none' else float(bw))
         return
 
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')

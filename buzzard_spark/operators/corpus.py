@@ -575,3 +575,56 @@ def column_profile_oracle_sql(table: str, value_col: str, group_col: str,
             f'SELECT {g}, CAST(MAX(n) AS BIGINT) AS n_rows, '
             f'MIN({v}) AS min_v, MAX({v}) AS max_v, {ps} '
             f'FROM r GROUP BY {g}')
+
+
+def inverted_index(df: DataFrame, text_col: str = 'text',
+                   id_col: str = 'doc_id',
+                   max_postings: int = 32) -> DataFrame:
+    """Inverted index over the corpus: per token its document frequency,
+    total occurrence count, and the first ``max_postings`` posting doc
+    ids (ascending, comma-joined) — the search-index build step, and the
+    classic hot-key workload: a stop-word's posting list at 100 TB is
+    billions of ids, so the list is BOUNDED before any collection
+    happens. ``row_number`` over (token → id) ranks postings inside the
+    same hash partitioning the final groupBy uses (one shuffle total),
+    and ``collect_list`` only ever sees rows with ``rn <= max_postings``
+    — no unbounded per-token buffer anywhere; ``df``/``n_total`` stay
+    exact over ALL rows. Postings are emitted as a joined STRING so the
+    cross-engine compare is a plain value hash.
+    """
+    from pyspark.sql.window import Window
+    if max_postings < 1:
+        raise ValueError(f'max_postings must be >= 1: {max_postings}')
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.trim(text_col), r'\s+')).alias('tok'))
+    per = toks.groupBy('tok', id_col).agg(F.count('*').alias('tf'))
+    w = Window.partitionBy('tok').orderBy(id_col)
+    ranked = per.withColumn('rn', F.row_number().over(w))
+    return ranked.groupBy('tok').agg(
+        F.count('*').alias('df'),
+        F.sum('tf').alias('n_total'),
+        F.array_join(F.sort_array(F.collect_list(
+            F.when(F.col('rn') <= max_postings, F.col(id_col)))), ',')
+        .alias('postings'))
+
+
+def inverted_index_oracle_sql(table: str = 'documents',
+                              text_col: str = 'text',
+                              id_col: str = 'doc_id',
+                              max_postings: int = 32) -> str:
+    """DuckDB twin of :func:`inverted_index` (FILTER instead of the
+    null-dropping collect_list; same bounded-postings contract)."""
+    return (
+        f'WITH t AS (SELECT {id_col}, '
+        f"unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok "
+        f'FROM {table}), '
+        f'per AS (SELECT tok, {id_col}, COUNT(*) AS tf '
+        f'FROM t GROUP BY 1, 2), '
+        f'r AS (SELECT tok, {id_col}, tf, ROW_NUMBER() OVER '
+        f'(PARTITION BY tok ORDER BY {id_col}) AS rn FROM per) '
+        f'SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, '
+        f'CAST(SUM(tf) AS BIGINT) AS n_total, '
+        f'array_to_string(list_sort(list({id_col}) '
+        f'FILTER (WHERE rn <= {max_postings})), \',\') AS postings '
+        f'FROM r GROUP BY tok')

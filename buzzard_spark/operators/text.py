@@ -207,7 +207,11 @@ def canonical_url_sql(col: str, dialect: str = 'spark') -> str:
       https),
     - empty path → ``/``,
     - sort query parameters (``?b=2&a=1`` == ``?a=1&b=2``; a bare ``?``
-      is dropped); path case and param repeats are preserved.
+      is dropped); path case and param repeats are preserved,
+    - schemeless input (relative / protocol-relative hrefs) passes
+      through unchanged except the fragment drop — there is no
+      authority to normalize and mangling it would corrupt the link
+      graph.
 
     One nested string expression per row, whole-stage codegen on the
     Spark side; the DuckDB dialect swaps only the array function names
@@ -240,4 +244,47 @@ def canonical_url_sql(col: str, dialect: str = 'spark') -> str:
     query = f"regexp_extract({nofrag}, {qpat}, 1)"
     query_part = (f"(CASE WHEN {query} = '' THEN '' "
                   f"ELSE concat('?', {sort_join(query)}) END)")
-    return (f"concat({scheme}, '://', {host}, {path_norm}, {query_part})")
+    # schemeless input (relative hrefs, protocol-relative //host/..,
+    # mailto-less fragments a crawl emits constantly) has no authority
+    # to normalize — pass it through with only the fragment dropped,
+    # instead of mangling it into '://…'
+    return (f"(CASE WHEN {scheme} = '' THEN {nofrag} "
+            f"ELSE concat({scheme}, '://', {host}, {path_norm}, "
+            f'{query_part}) END)')
+
+
+def extract_links_sql(html_col: str, dialect: str = 'spark') -> str:
+    """ARRAY of href targets in ``html`` — the link-extraction step that
+    turns a crawl into a web graph (explode → :func:`canonical_url_sql`
+    → host → edge list feeds the PageRank operator). The builtin is
+    spelled ``regexp_extract_all`` in BOTH engines and the pattern uses
+    no escapes, so one string serves the query and its oracle; the
+    ``dialect`` arg is kept for signature symmetry with the rest of the
+    module."""
+    return f'regexp_extract_all({html_col}, \'href="([^"]+)"\', 1)'
+
+
+# two-label public suffixes the extractor recognises (a representative
+# subset of the public-suffix list, baked in — the real list is a data
+# file a deployment broadcast-joins; the ALGORITHM is what's tested)
+PUBLIC_SUFFIXES_2 = ('co.uk', 'com.au', 'co.jp', 'com.br', 'co.in',
+                     'gov.uk', 'ac.uk', 'or.jp', 'net.au', 'org.uk')
+
+
+def registrable_domain_sql(host_col: str, dialect: str = 'spark') -> str:
+    """Registrable domain (eTLD+1) of a lowercase hostname: the last two
+    labels, or the last THREE when the last two are a known two-label
+    public suffix (``a.b.co.uk`` → ``b.co.uk``, ``a.b.example.com`` →
+    ``example.com``) — the grouping key for domain-level corpus stats,
+    per-site quotas and host-level dedup. Pure regex CASE, shared
+    between engines (Spark's SQL parser unescapes backslashes in string
+    literals, DuckDB's does not — same split as every shared regex
+    here)."""
+    bs = '\\\\' if dialect == 'spark' else '\\'
+    alts = '|'.join(s.replace('.', f'{bs}.') for s in PUBLIC_SUFFIXES_2)
+    lab = f'[^.]+{bs}.'
+    suf3 = f"'({lab}(?:{alts}))$'"
+    suf2 = f"'({lab}[^.]+)$'"
+    return (f'(CASE WHEN regexp_extract({host_col}, {suf3}, 1) <> \'\' '
+            f'THEN regexp_extract({host_col}, {suf3}, 1) '
+            f'ELSE regexp_extract({host_col}, {suf2}, 1) END)')

@@ -282,3 +282,55 @@ def snapshot_sink(table_root: str, key_cols: list[str] | None = None):
                      extra_meta={'epoch_id': epoch_id})
 
     return _write
+
+
+def stream_count_min(values: DataFrame, value_col: str,
+                     d: int = 3, width: int = 256) -> DataFrame:
+    """Streaming Count-Min sketch: maintains the d×width counter table
+    over an unbounded value stream — the fixed-size heavy-hitter /
+    skew-detection state a 100-TB ingest keeps while it runs (e.g. to
+    pick the hot keys the batch planner salts). Stateless projection to
+    (row, column) triples via the SAME salted-md5 column hashes as the
+    batch sketch (operators.sketch), then a streaming groupBy-sum in
+    update/complete mode: state is exactly d·width rows regardless of
+    stream length, and the result is bit-identical to the batch sketch
+    over the same rows (pinned by the streaming==batch pytest).
+
+    Probing (min over the d cells of a key) is a batch join against the
+    in-progress sketch table, identical to the batch path.
+    """
+    from buzzard_spark.operators.sketch import _cm_hash_sql, \
+        _nibble_int_sql
+    hashed = values.select(
+        F.col(value_col).alias('v'),
+        *[F.expr(_cm_hash_sql('v', i, 'spark')).alias(f'_h{i}')
+          for i in range(d)])
+    tall = hashed.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias('i'),
+            F.expr(f"({_nibble_int_sql(f'_h{i}', 1, 8, 'spark')} "
+                   f'% {width})').alias('c'))
+        for i in range(d)])).alias('rc')
+    ).select('rc.i', 'rc.c')
+    return tall.groupBy('i', 'c').agg(F.count('*').alias('cell'))
+
+
+def stream_hll_registers(values: DataFrame, value_col: str,
+                         group_col: str, p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog: maintains the per-(group, bucket) register
+    table over an unbounded stream — bounded distinct-count state
+    (2^p rows per group, forever) where exact streaming DISTINCT state
+    grows with the stream. Same md5-nibble hash / trailing-zeros rank
+    expressions as the batch sketch, then a streaming MAX aggregation,
+    so the registers are bit-identical to batch over the same rows
+    (pinned by the streaming==batch pytest); feed them to the batch
+    estimator's final SELECT for the estimate.
+    """
+    from buzzard_spark.operators.sketch import _hll_frags
+    _, h, bucket, w, rho, _, _ = _hll_frags(value_col, p, 'spark')
+    return (values
+            .select(group_col, F.expr(h).alias('_h'))
+            .select(group_col, F.expr(bucket).alias('_b'),
+                    F.expr(w).alias('_w'))
+            .select(group_col, '_b', F.expr(rho).alias('_r'))
+            .groupBy(group_col, '_b').agg(F.max('_r').alias('_m')))

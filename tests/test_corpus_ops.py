@@ -335,3 +335,20 @@ def test_bigram_coverage_randomized_vs_python_oracle(spark):
     got = {r['doc_id']: (r['n_bigrams'], r['n_covered'])
            for r in corpus.bigram_coverage(docs, min_df=min_df).collect()}
     assert got == expect
+
+
+def test_inverted_index_bounded_postings(spark):
+    docs = spark.createDataFrame(
+        [(3, 'x y x'), (1, 'x z'), (2, 'x')], 'doc_id long, text string')
+    out = {r['tok']: (r['df'], r['n_total'], r['postings'])
+           for r in corpus.inverted_index(docs, max_postings=2).collect()}
+    assert out['x'] == (3, 4, '1,2')   # capped at 2, ascending
+    assert out['y'] == (1, 1, '3')
+    assert out['z'] == (1, 1, '1')
+
+
+def test_inverted_index_validates(spark):
+    import pytest
+    docs = spark.createDataFrame([(1, 'a')], 'doc_id long, text string')
+    with pytest.raises(ValueError):
+        corpus.inverted_index(docs, max_postings=0)

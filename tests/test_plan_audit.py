@@ -186,3 +186,20 @@ def test_corpus_ops_plans_no_python_no_cartesian(spark):
     # contract (caller-managed); drop the mark so later cache-hygiene
     # assertions see a clean session
     spark.catalog.clearCache()
+
+
+def test_sketch_plans_no_python_no_cartesian(spark):
+    """Round-5 sketches stay JVM-side: md5-nibble hashing and bit
+    arithmetic are codegen expressions; the CM probe join is a hash
+    join on (i, c), never a cartesian."""
+    from buzzard_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(f'g{i % 2}', f'v{i % 50}') for i in range(200)],
+        'g string, v string')
+    for q in (sketch.approx_distinct(df, 'v', 'g', p=4),
+              sketch.count_min_estimates(df, 'v', d=2, width=16)):
+        p = _plan(q)
+        assert 'BatchEvalPython' not in p
+        assert 'CartesianProduct' not in p
+        assert 'BroadcastNestedLoopJoin' not in p

@@ -346,3 +346,76 @@ def test_stream_sessionize_late_earlier_event_extends_start(spark, tmp_path):
            for r in spark.sql(f'SELECT * FROM {sink}').collect()
            if r['user_id'] == 1]
     assert got == [('2024-01-01T09:00:00', '2024-01-01T09:20:00', 3)]
+
+
+def test_stream_count_min_matches_batch(spark, tmp_path):
+    """Streaming CM sketch over 3 micro-batches == batch sketch cells
+    over the union of rows (complete mode: the sketch IS the state)."""
+    import time
+
+    src = tmp_path / 'vals_stream'
+    src.mkdir()
+    all_rows = []
+    for i in range(3):
+        rows = [(f'k{(j * j + i) % 17}',) for j in range(40)]
+        all_rows += rows
+        (spark.createDataFrame(rows, 'v string')
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream.schema('v string')
+              .option('maxFilesPerTrigger', 1).parquet(f'{src}/*'))
+    out = stream_ops.stream_count_min(stream, 'v', d=3, width=8)
+    sink = _run_stream(out, tmp_path, mode='complete')
+    got = {(r['i'], r['c']): r['cell'] for r in
+           spark.sql(f'SELECT * FROM {sink}').collect()}
+
+    from buzzard_spark.operators import sketch
+    batch = spark.createDataFrame(all_rows, 'v string')
+    # batch twin: the probe table's sketch CTE — recompute cells the
+    # same way (sum of per-value counts)
+    est = sketch.count_min_estimates(batch, 'v', d=3, width=8)
+    # cross-check: every value's cm_est equals min over its streamed cells
+    import hashlib
+
+    def col(v, i, w=8):
+        h = hashlib.md5((v + f':cm{i}:').encode()).hexdigest()
+        return int(h[:8], 16) % w
+
+    for r in est.collect():
+        v = r['v']
+        assert r['cm_est'] == min(got[(i, col(v, i))] for i in range(3))
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """Streaming HLL registers over 3 micro-batches == the batch
+    sketch's register table over the union (MAX is order-insensitive:
+    the streaming state is exactly the sketch)."""
+    import time
+
+    src = tmp_path / 'hll_stream'
+    src.mkdir()
+    all_rows = []
+    for i in range(3):
+        rows = [(f'g{j % 2}', f'v{(j * 13 + i * 100) % 300}',)
+                for j in range(80)]
+        all_rows += rows
+        (spark.createDataFrame(rows, 'g string, v string')
+         .coalesce(1).write.parquet(str(src / f'b{i}')))
+        time.sleep(1.1)
+    stream = (spark.readStream.schema('g string, v string')
+              .option('maxFilesPerTrigger', 1).parquet(f'{src}/*'))
+    out = stream_ops.stream_hll_registers(stream, 'v', 'g', p=4)
+    sink = _run_stream(out, tmp_path, mode='complete')
+    got = {(r['g'], r['_b']): r['_m'] for r in
+           spark.sql(f'SELECT * FROM {sink}').collect()}
+
+    from buzzard_spark.operators import sketch
+    m, h, bucket, w, rho, _, _ = sketch._hll_frags('v', 4, 'spark')
+    batch = (spark.createDataFrame(all_rows, 'g string, v string')
+             .select('g', F.expr(h).alias('_h'))
+             .select('g', F.expr(bucket).alias('_b'),
+                     F.expr(w).alias('_w'))
+             .select('g', '_b', F.expr(rho).alias('_r'))
+             .groupBy('g', '_b').agg(F.max('_r').alias('_m')))
+    want = {(r['g'], r['_b']): r['_m'] for r in batch.collect()}
+    assert got == want
