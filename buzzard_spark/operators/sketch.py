@@ -116,7 +116,11 @@ def approx_distinct(df: DataFrame, value_col: str, group_col: str,
     correction's ``ln`` would be the one libm-specific transcendental
     in the engine, so its 255 possible values are pre-computed and
     emitted as exact float64 CASE literals — bit-identical in any
-    engine.
+    engine. At ``p=12`` that table has 4095 branches: still correct,
+    but large enough that Catalyst may drop the final (one-row-per-
+    group) projection out of whole-stage codegen into interpreted mode
+    — prefer ``p=8`` (±6.5% σ) unless the use case genuinely needs
+    ±1.6%.
 
     Plan shape: project (group, bucket, rho) → ``MAX`` per
     (group, bucket) → ``SUM``/``COUNT`` per group. Both aggregations
