@@ -834,6 +834,37 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct('canon').alias('n_links'))
 
 
+def _edge_list_sql(dialect: str) -> str:
+    """Two deterministic host-graph edges per page (same host arithmetic
+    as the link fixture), as a UNION ALL both engines share."""
+    cast = 'VARCHAR' if dialect == 'duckdb' else 'STRING'
+
+    def host(expr):
+        return f"concat('host', CAST(({expr}) % 1000 AS {cast}), '.example')"
+
+    # multipliers 7, 13 and 91 = 7·13: host(x)—host(7x)—host(91x) closes
+    # a triangle for every page (7x's ×13 edge lands on 91x), so the
+    # oracle checks a non-trivial count, not a vacuous zero
+    return (f"SELECT {host('page_id')} AS src, "
+            f"{host('page_id * 7')} AS dst FROM p "
+            f'UNION ALL SELECT {host("page_id")} AS src, '
+            f"{host('page_id * 13')} AS dst FROM p "
+            f'UNION ALL SELECT {host("page_id")} AS src, '
+            f"{host('page_id * 91')} AS dst FROM p")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle + wedge count of the host link graph
+    (degree-oriented node-iterator — the 'last reducer' skew fix): the
+    community/spam-density signal over the crawl graph; the DuckDB
+    oracle recomputes it with the naive ordered triple join."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs.select(F.col('doc_id').alias('page_id')) \
+        .createOrReplaceTempView('p')
+    edges = spark.sql(_edge_list_sql('spark'))
+    return graph_ops.triangle_count(edges, 'src', 'dst')
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-postings inverted index over the corpus token stream:
     per token exact df / total count plus the first 8 posting doc ids —
@@ -918,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'link_graph': q_link_graph,
     'domain_rollup': q_domain_rollup,
     'inverted_index': q_inverted_index,
+    'triangle_count': q_triangle_count,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1484,6 +1516,9 @@ def oracle_sql() -> dict[str, str]:
                  dom=text_ops.registrable_domain_sql('host', 'duckdb')),
         'inverted_index': corpus_ops.inverted_index_oracle_sql(
             max_postings=8),
+        'triangle_count': graph_ops.triangle_count_oracle_sql(
+            'WITH p AS (SELECT doc_id AS page_id FROM documents) '
+            + _edge_list_sql('duckdb'), 'src', 'dst'),
     }
 
 

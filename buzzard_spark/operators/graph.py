@@ -277,3 +277,88 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
         rounds.append(scores)
     out = scores.select('v', F.col('a').alias('pr'))
     return checkpoint_release(out, rounds)
+
+
+def triangle_count(edges: DataFrame, src: str = 'src',
+                   dst: str = 'dst') -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph under the
+    edge list — the clustering/community signal for a web link graph
+    (spam farms show abnormal triangle density; the count also yields
+    the global clustering coefficient against the wedge count).
+
+    Scale shape (node-iterator with degree orientation — public: Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): edges are canonicalized (min, max) + DISTINCT,
+    then each edge is ORIENTED from its lower-(degree, id) endpoint to
+    the higher one, so every wedge is generated at its lowest-degree
+    apex — the hub that would otherwise emit deg² wedges emits almost
+    none, which is exactly the "last reducer" skew fix. Wedges
+    equi-join back against the oriented edge set to close triangles;
+    every step is a plain join/agg (AQE-skew-handled), nothing on the
+    driver. Output: one row ``(n_triangles BIGINT, n_wedges BIGINT)``
+    — n_wedges is the UNDIRECTED wedge count Σ d·(d−1)/2 (the global
+    clustering coefficient's denominator is n_wedges, its numerator
+    3·n_triangles); the triangle count is orientation-invariant, so the
+    DuckDB oracle can use the naive a<b<c triple join.
+    """
+    e = (edges
+         .select(F.least(src, dst).alias('a'),
+                 F.greatest(src, dst).alias('b'))
+         .where('a <> b').distinct())
+    deg = (e.select(F.col('a').alias('v'))
+            .unionAll(e.select(F.col('b').alias('v')))
+            .groupBy('v').agg(F.count('*').alias('d')))
+    # orient each edge low -> high by (degree, id); both endpoints'
+    # degrees ride along via two broadcast-eligible joins on the
+    # (already deduplicated) edge set
+    da = deg.select(F.col('v').alias('a'), F.col('d').alias('da'))
+    db = deg.select(F.col('v').alias('b'), F.col('d').alias('db'))
+    o = (e.join(da, 'a').join(db, 'b')
+          .select(
+              F.when((F.col('da') < F.col('db'))
+                     | ((F.col('da') == F.col('db'))
+                        & (F.col('a') < F.col('b'))), F.col('a'))
+               .otherwise(F.col('b')).alias('lo'),
+              F.when((F.col('da') < F.col('db'))
+                     | ((F.col('da') == F.col('db'))
+                        & (F.col('a') < F.col('b'))), F.col('b'))
+               .otherwise(F.col('a')).alias('hi')))
+    # wedges generated only at the low-degree apex: (x -> y), (x -> z),
+    # y < z — each triangle appears exactly once, at its (degree, id)-
+    # minimal vertex
+    o1 = o.select(F.col('lo').alias('x'), F.col('hi').alias('y'))
+    o2 = o.select(F.col('lo').alias('x'), F.col('hi').alias('z'))
+    wedges = o1.join(o2, 'x').where('y < z')
+    # both orientations of each closing edge; unionAll matches columns
+    # by POSITION, so the swapped branch lists hi FIRST (under 'y')
+    closed = wedges.join(
+        o.select(F.col('lo').alias('y'), F.col('hi').alias('z'))
+         .unionAll(o.select(F.col('hi').alias('y'), F.col('lo').alias('z'))),
+        ['y', 'z'])
+    # undirected wedge count straight from the degree table (the
+    # clustering-coefficient denominator) — exact integer aggregation
+    return (closed.agg(F.count('*').alias('n_triangles'))
+            .crossJoin(deg.agg(F.expr('sum(d * (d - 1) div 2)')
+                               .alias('n_wedges'))))
+
+
+def triangle_count_oracle_sql(edges_sql: str, src: str = 'src',
+                              dst: str = 'dst') -> str:
+    """DuckDB twin of :func:`triangle_count`: naive ordered triple join
+    a < b < c over the canonical undirected edge set (orientation-
+    invariant, so it needs no degree logic), wedge count via
+    sum(d·(d-1)/2)."""
+    return (
+        f'WITH raw AS ({edges_sql}), '
+        f'e AS (SELECT DISTINCT least({src}, {dst}) AS a, '
+        f'greatest({src}, {dst}) AS b FROM raw '
+        f'WHERE {src} <> {dst}), '
+        'tri AS (SELECT COUNT(*) AS n FROM e e1 '
+        'JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b '
+        'JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), '
+        'deg AS (SELECT v, COUNT(*) AS d FROM '
+        '(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) '
+        'GROUP BY v) '
+        'SELECT CAST(tri.n AS BIGINT) AS n_triangles, '
+        'CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) '
+        'AS n_wedges FROM tri')

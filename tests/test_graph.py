@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from buzzard_spark.operators import graph
 from buzzard_spark.operators.graph import connected_components
 
 
@@ -148,3 +149,29 @@ def test_pagerank_exact_validates_args(spark):
     with _pytest.raises(ValueError):
         pagerank_exact_uniform(_nodes_df(spark, 1),
                                _edges_df(spark, []), d_out=0)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4}: 4 triangles, wedges = 4 * C(3,2) = 12; plus a
+    # pendant 4-5 (adds wedges at 4: d=4 -> C(4,2)-C(3,2)=3 more) and a
+    # self-loop + duplicate edge that must be ignored
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 5), (5, 4), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, 'src long, dst long')
+    [r] = graph.triangle_count(df, 'src', 'dst').collect()
+    assert r['n_triangles'] == 4
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1  => 3*3 + 6 + 0 = 15
+    assert r['n_wedges'] == 15
+
+
+def test_triangle_count_matches_duckdb_oracle(spark):
+    import duckdb
+    rng_edges = [((i * i) % 23, (i * 3 + 1) % 23) for i in range(80)]
+    df = spark.createDataFrame(rng_edges, 'src long, dst long')
+    got = graph.triangle_count(df, 'src', 'dst').collect()[0]
+    con = duckdb.connect()
+    con.execute('CREATE TABLE edges_t (src BIGINT, dst BIGINT)')
+    con.executemany('INSERT INTO edges_t VALUES (?, ?)', rng_edges)
+    want = con.execute(graph.triangle_count_oracle_sql(
+        'SELECT src, dst FROM edges_t')).fetchone()
+    assert (got['n_triangles'], got['n_wedges']) == want
