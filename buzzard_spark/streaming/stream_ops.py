@@ -334,3 +334,38 @@ def stream_hll_registers(values: DataFrame, value_col: str,
                     F.expr(w).alias('_w'))
             .select(group_col, '_b', F.expr(rho).alias('_r'))
             .groupBy(group_col, '_b').agg(F.max('_r').alias('_m')))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str = 'user_id',
+                         left_ts: str = 'l_ts', right_ts: str = 'r_ts',
+                         within: str = '10 minutes',
+                         watermark: str = '20 minutes') -> DataFrame:
+    """Watermarked stream-stream interval (attribution) join: each right
+    event matches left events with the same key whose timestamp lies in
+    ``[right_ts - within, right_ts]`` — the impression→click /
+    fetch→response pairing. Both sides carry a watermark and the join
+    condition bounds event-time distance in BOTH directions, which is
+    exactly what lets Structured Streaming expire join state: a left
+    row can be dropped once the right watermark passes
+    ``left_ts + within`` (state is bounded by ``watermark + within`` of
+    stream time, never by stream length). Results equal the batch join
+    with the same predicate (pinned by the streaming==batch pytest).
+
+    The two inputs must carry DISTINCT timestamp column names (rename
+    upstream); output is (key, left_ts, right_ts, lag_sec).
+    """
+    lw = left.withWatermark(left_ts, watermark).alias('l')
+    rw = right.withWatermark(right_ts, watermark).alias('r')
+    cond = (
+        (F.col(f'l.{key}') == F.col(f'r.{key}'))
+        & (F.col(f'r.{right_ts}') >= F.col(f'l.{left_ts}'))
+        & (F.col(f'r.{right_ts}')
+           <= F.col(f'l.{left_ts}') + F.expr(f'INTERVAL {within}')))
+    return (lw.join(rw, cond, 'inner')
+            .select(F.col(f'l.{key}').alias(key),
+                    F.col(f'l.{left_ts}').alias(left_ts),
+                    F.col(f'r.{right_ts}').alias(right_ts),
+                    (F.unix_timestamp(f'r.{right_ts}')
+                     - F.unix_timestamp(f'l.{left_ts}'))
+                    .cast('long').alias('lag_sec')))

@@ -419,3 +419,56 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
              .groupBy('g', '_b').agg(F.max('_r').alias('_m')))
     want = {(r['g'], r['_b']): r['_m'] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join over 2 micro-batches per side ==
+    batch join with the same predicate (incl. a cross-micro-batch
+    match and an out-of-window non-match)."""
+    import time
+
+    lsrc, rsrc = tmp_path / 'ljoin', tmp_path / 'rjoin'
+    lsrc.mkdir(); rsrc.mkdir()
+    lrows = [
+        [(1, '2024-01-01 00:00:00'), (2, '2024-01-01 00:01:00')],
+        [(1, '2024-01-01 01:00:00')],
+    ]
+    rrows = [
+        [(1, '2024-01-01 00:05:00')],     # in-window match for l-batch 0
+        [(2, '2024-01-01 00:30:00'),      # out of 10-min window: no match
+         (1, '2024-01-01 01:09:00')],     # cross-batch in-window match
+    ]
+    for i, rows in enumerate(lrows):
+        (spark.createDataFrame(rows, 'user_id long, l_ts string')
+         .withColumn('l_ts', F.to_timestamp('l_ts'))
+         .coalesce(1).write.parquet(str(lsrc / f'b{i}')))
+        time.sleep(1.1)
+    for i, rows in enumerate(rrows):
+        (spark.createDataFrame(rows, 'user_id long, r_ts string')
+         .withColumn('r_ts', F.to_timestamp('r_ts'))
+         .coalesce(1).write.parquet(str(rsrc / f'b{i}')))
+        time.sleep(1.1)
+    ls = (spark.readStream.schema('user_id long, l_ts timestamp')
+          .option('maxFilesPerTrigger', 1).parquet(f'{lsrc}/*'))
+    rs = (spark.readStream.schema('user_id long, r_ts timestamp')
+          .option('maxFilesPerTrigger', 1).parquet(f'{rsrc}/*'))
+    out = stream_ops.stream_interval_join(ls, rs)
+    sink = _run_stream(out, tmp_path, mode='append')
+    got = {(r['user_id'], r['lag_sec'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+
+    lb = spark.read.schema('user_id long, l_ts timestamp') \
+        .parquet(f'{lsrc}/*').alias('l')
+    rb = spark.read.schema('user_id long, r_ts timestamp') \
+        .parquet(f'{rsrc}/*').alias('r')
+    cond = ((F.col('l.user_id') == F.col('r.user_id'))
+            & (F.col('r.r_ts') >= F.col('l.l_ts'))
+            & (F.col('r.r_ts') <= F.col('l.l_ts')
+               + F.expr('INTERVAL 10 minutes')))
+    want = {(r['user_id'], r['lag'])
+            for r in lb.join(rb, cond).select(
+                F.col('l.user_id').alias('user_id'),
+                (F.unix_timestamp('r.r_ts')
+                 - F.unix_timestamp('l.l_ts')).cast('long').alias('lag'))
+            .collect()}
+    assert got == want and len(got) == 2
