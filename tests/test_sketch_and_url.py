@@ -225,3 +225,19 @@ def test_canonical_url_schemeless_passthrough(spark):
     got = _canon_spark(spark, [
         '/relative/path#sec', '//cdn.example/x', 'page.html'])
     assert got == ['/relative/path', '//cdn.example/x', 'page.html']
+
+
+def test_canonical_url_idempotent(spark):
+    # frontier requirement: canonicalizing an already-canonical URL is a
+    # no-op (otherwise re-crawled URLs fork new frontier entries)
+    urls = [
+        'HTTPS://Example.COM:443/Path/X?b=2&a=1#frag',
+        'http://example.com:80',
+        'https://example.com:8443/x?z=1&y=2&x=3',
+        '/relative/path#sec',
+        '//cdn.example/x',
+        'http://a.b/c?q=1&q=0',
+    ]
+    once = _canon_spark(spark, urls)
+    twice = _canon_spark(spark, once)
+    assert once == twice
