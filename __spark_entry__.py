@@ -865,6 +865,55 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.triangle_count(edges, 'src', 'dst')
 
 
+def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal seam, value-checked: per
+    document a deterministic PCM WAV (rate/length/channels and every
+    int16 sample derived from doc_id arithmetic) is encoded, then
+    ``decode_media_meta(decoder='wav')`` recovers sample_rate / frame
+    count / duration from the RIFF chunks and the decoded-sample sum is
+    recomputed by the DuckDB oracle from the same closed form — a wrong
+    chunk walk, sample width, or channel interleave breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from buzzard_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id')
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf['doc_id']:
+                d = int(d)
+                rate = 8000 * (1 + d % 3)
+                n = 400 + d % 500
+                ch = 1 + d % 2
+                i = np.arange(n, dtype=np.int64)[:, None]
+                j = np.arange(ch, dtype=np.int64)[None, :]
+                vals = ((d * 31 + i * 7 + j * 13) % 65536
+                        - 32768).astype(np.int16)
+                ids.append(d)
+                blobs.append(mm.encode_wav(vals, rate))
+            yield pd.DataFrame({'id': ids, 'payload': blobs})
+
+    media = docs.mapInPandas(_mk, 'id long, payload binary')
+    meta = mm.decode_media_meta(media, decoder='wav', media_type='audio')
+
+    def _sum(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                'id': pdf['id'],
+                'pcm_sum': [int(mm.decode_wav(bytes(b))
+                                .astype(np.int64).sum())
+                            for b in pdf['payload']]})
+
+    sums = media.mapInPandas(_sum, 'id long, pcm_sum long')
+    return (meta.join(sums, 'id')
+            .select(F.col('id').alias('doc_id'), 'sample_rate',
+                    'n_frames', 'duration_ms', 'byte_len', 'pcm_sum'))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-postings inverted index over the corpus token stream:
     per token exact df / total count plus the first 8 posting doc ids —
@@ -950,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'domain_rollup': q_domain_rollup,
     'inverted_index': q_inverted_index,
     'triangle_count': q_triangle_count,
+    'wav_meta': q_wav_meta,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1519,6 +1569,20 @@ def oracle_sql() -> dict[str, str]:
         'triangle_count': graph_ops.triangle_count_oracle_sql(
             'WITH p AS (SELECT doc_id AS page_id FROM documents) '
             + _edge_list_sql('duckdb'), 'src', 'dst'),
+        'wav_meta': (
+            'WITH p AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate, '
+            '400 + doc_id % 500 AS n, 1 + doc_id % 2 AS ch '
+            'FROM documents), '
+            's AS (SELECT p.doc_id, '
+            'SUM(((p.doc_id * 31 + r.i * 7 + c.j * 13) % 65536) - 32768) '
+            'AS pcm_sum FROM p JOIN range(0, 900) r(i) ON r.i < p.n '
+            'JOIN range(0, 2) c(j) ON c.j < p.ch GROUP BY 1) '
+            'SELECT p.doc_id, CAST(p.rate AS INT) AS sample_rate, '
+            'CAST(p.n AS INT) AS n_frames, '
+            'CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms, '
+            'CAST(44 + p.n * p.ch * 2 AS BIGINT) AS byte_len, '
+            'CAST(s.pcm_sum AS BIGINT) AS pcm_sum '
+            'FROM p JOIN s USING (doc_id)'),
     }
 
 

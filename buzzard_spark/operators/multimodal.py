@@ -305,7 +305,86 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             chunk(b'IEND', b''))
 
 
-REAL_DECODERS = {'ppm': decode_ppm, 'bmp': decode_bmp, 'png': decode_png}
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode, zero dependencies: RIFF/WAVE PCM (the public
+    canonical WAV layout) — chunk walk over 'fmt '/'data', 8-bit
+    unsigned or 16-bit signed little-endian samples, mono or multi-
+    channel. Returns (n_samples, n_channels) int16 (8-bit input is
+    center-shifted and scaled to int16, the usual convention). Makes
+    the AUDIO modality of the multimodal seam real, alongside the
+    PPM/BMP/PNG image decoders."""
+    import struct
+    if payload[:4] != b'RIFF' or payload[8:12] != b'WAVE':
+        raise ValueError('not a RIFF/WAVE payload')
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], 'little')
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b'fmt ':
+            fmt = struct.unpack('<HHIIHH', body[:16])
+        elif cid == b'data':
+            data = body
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError('missing fmt/data chunk')
+    audio_format, n_ch, _rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f'only PCM 8/16-bit supported '
+                         f'(format={audio_format}, bits={bits})')
+    if bits == 16:
+        arr = np.frombuffer(data, dtype='<i2').astype(np.int16)
+    else:
+        arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                - 128) << 8)
+    n = len(arr) // n_ch
+    return arr[:n * n_ch].reshape(n, n_ch)
+
+
+def _wav_meta(payload: bytes) -> dict:
+    """Audio metadata for :func:`decode_media_meta` — sample_rate and
+    frame count straight from the fmt/data chunks (the decoder itself
+    returns only the sample array, which carries no rate)."""
+    import struct
+    arr = decode_wav(payload)                 # validates + gives frames
+    pos = 12
+    rate = 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], 'little')
+        if cid == b'fmt ':
+            rate = struct.unpack('<HHIIHH', payload[pos + 8:pos + 24])[2]
+        pos += 8 + size + (size & 1)
+    n = arr.shape[0]
+    return {'width': 0, 'height': 0, 'n_frames': int(n),
+            'sample_rate': int(rate),
+            'duration_ms': int(n * 1000 // rate) if rate else 0}
+
+
+decode_wav.media_meta = _wav_meta
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical 44-byte-header PCM WAV encoder (16-bit LE) for the
+    round-trip tests and the deterministic ``wav_meta`` driver fixture.
+    ``samples``: (n, channels) or (n,) int16."""
+    import struct
+    arr = np.asarray(samples, dtype='<i2')
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack('<HHIIHH', 1, n_ch, sample_rate,
+                      sample_rate * n_ch * 2, n_ch * 2, 16)
+    return (b'RIFF' + (36 + len(data)).to_bytes(4, 'little') + b'WAVE'
+            + b'fmt ' + (16).to_bytes(4, 'little') + fmt
+            + b'data' + len(data).to_bytes(4, 'little') + data)
+
+
+REAL_DECODERS = {'ppm': decode_ppm, 'bmp': decode_bmp,
+                 'png': decode_png, 'wav': decode_wav}
 
 
 def _fake_decode_meta(payload: bytes) -> dict:
@@ -351,7 +430,13 @@ def decode_media_meta(df: DataFrame, payload_col: str = 'payload',
             out = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload)
-                if callable(decoder):
+                meta_fn = getattr(decoder, 'media_meta', None)
+                if meta_fn is not None:
+                    # non-image decoders (audio: decode_wav) publish
+                    # their own meta extractor — the sample array alone
+                    # carries no rate/duration
+                    meta = {'byte_len': len(buf), **meta_fn(buf)}
+                elif callable(decoder):
                     arr = np.asarray(decoder(buf))
                     frames = arr.shape[0] if arr.ndim == 4 else 1
                     h, w = (arr.shape[1:3] if arr.ndim == 4
@@ -393,7 +478,13 @@ def extract_features(df: DataFrame, payload_col: str = 'payload',
             for payload in pdf[payload_col]:
                 buf = bytes(payload)
                 if callable(decoder):
-                    arr = np.asarray(decoder(buf), dtype=np.uint8).ravel()
+                    arr = np.asarray(decoder(buf))
+                    # histogram the decoded array's raw BYTES: identity
+                    # for uint8 pixels, and well-defined for non-uint8
+                    # decodes (int16 PCM audio) without the silent
+                    # mod-256 wrap an astype(uint8) would introduce
+                    arr = np.ascontiguousarray(arr.ravel()) \
+                        .view(np.uint8)
                 else:
                     arr = np.frombuffer(buf, dtype=np.uint8)
                 hist = np.bincount(arr, minlength=256)[:256].astype(np.float32)

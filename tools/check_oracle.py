@@ -46,6 +46,11 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name must not "pass" by checking nothing
+        print(f'unknown query name(s): {sorted(unknown)}')
+        sys.exit(2)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
