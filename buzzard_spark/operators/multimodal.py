@@ -17,6 +17,11 @@ are NOT in this container, so the decode step is pluggable:
   derive from the decoded pixel array (round-4/5 judge directives: real
   formats — including a COMPRESSED one — run through the seam, tested in
   test_spark_trainops and value-checked by the ``png_meta`` oracle).
+- ``decoder='wav'`` — REAL audio decode (``decode_wav``: RIFF/WAVE PCM
+  chunk walk, 8/16-bit, mono/multi-channel → (n_samples, channels)
+  int16); publishes a ``media_meta`` hook so metadata reports
+  sample_rate/n_frames/duration_ms instead of image dimensions
+  (value-checked by the ``wav_meta`` oracle).
 - ``decoder=<callable bytes → np.ndarray>`` — any other codec plugged in
   by the caller (e.g. ``lambda b: np.asarray(PIL.Image.open(...))``)
   ships to the workers via cloudpickle and runs inside the same
