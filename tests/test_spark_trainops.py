@@ -735,3 +735,32 @@ def test_wav_roundtrip_and_seam(spark):
         assert np.array_equal(mm.decode_wav(bytes(payload)), arr)
     feats = mm.extract_features(df, decoder='wav', dim=8).collect()
     assert len(feats) == 6 and all(len(f['feature']) == 8 for f in feats)
+
+
+def test_wav_decoder_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from buzzard_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match='RIFF'):
+        mm.decode_wav(b'NOPE' + b'\x00' * 40)
+    # fmt present but no data chunk
+    import struct
+    fmt = struct.pack('<HHIIHH', 1, 1, 8000, 8000, 1, 16)
+    nofata = (b'RIFF' + (4 + 24).to_bytes(4, 'little') + b'WAVE'
+              + b'fmt ' + (16).to_bytes(4, 'little') + fmt)
+    with pytest.raises(ValueError, match='missing'):
+        mm.decode_wav(nofata)
+    # non-PCM format code
+    fmt3 = struct.pack('<HHIIHH', 3, 1, 8000, 32000, 4, 32)
+    ieee = (b'RIFF' + (36).to_bytes(4, 'little') + b'WAVE'
+            + b'fmt ' + (16).to_bytes(4, 'little') + fmt3
+            + b'data' + (0).to_bytes(4, 'little'))
+    with pytest.raises(ValueError, match='PCM'):
+        mm.decode_wav(ieee)
+    # odd-size chunk before data must stay word-aligned
+    wav = mm.encode_wav(np.arange(8, dtype=np.int16), 8000)
+    oddchunk = b'LIST' + (3).to_bytes(4, 'little') + b'abc\x00'
+    padded = wav[:12] + oddchunk + wav[12:]
+    assert mm.decode_wav(padded).shape == (8, 1)
