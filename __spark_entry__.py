@@ -865,6 +865,32 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.triangle_count(edges, 'src', 'dst')
 
 
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule admission filter with longest-match precedence: per
+    host a disallow on /p<k> plus a LONGER allow on /p<k>/q<j> — the
+    verdict flips with the most specific matching rule (allowed exactly
+    when the path carries the whitelisted q, or no rule matches), which
+    is the REP semantics the oracle recomputes with the same window."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    urls = docs.select(F.expr(
+        "concat('https://host', CAST(doc_id % 50 AS STRING), "
+        "'.example/p', CAST(doc_id % 20 AS STRING), '/q', "
+        "CAST(doc_id % 7 AS STRING))").alias('url')).distinct()
+    hosts = spark.range(50).select(
+        F.expr("concat('host', CAST(id AS STRING), '.example')")
+        .alias('host'), F.col('id'))
+    rules = hosts.select(
+        'host',
+        F.explode(F.array(
+            F.struct(F.expr("concat('/p', CAST(id % 20 AS STRING))")
+                     .alias('prefix'), F.lit(False).alias('allow')),
+            F.struct(F.expr("concat('/p', CAST(id % 20 AS STRING), "
+                            "'/q', CAST(id % 7 AS STRING))")
+                     .alias('prefix'), F.lit(True).alias('allow')),
+        )).alias('r')).select('host', 'r.prefix', 'r.allow')
+    return text_ops.robots_filter(urls, F.broadcast(rules))
+
+
 def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the multimodal seam, value-checked: per
     document a deterministic PCM WAV (rate/length/channels and every
@@ -1000,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'inverted_index': q_inverted_index,
     'triangle_count': q_triangle_count,
     'wav_meta': q_wav_meta,
+    'robots_allowed': q_robots_allowed,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1583,6 +1610,32 @@ def oracle_sql() -> dict[str, str]:
             'CAST(44 + p.n * p.ch * 2 AS BIGINT) AS byte_len, '
             'CAST(s.pcm_sum AS BIGINT) AS pcm_sum '
             'FROM p JOIN s USING (doc_id)'),
+        'robots_allowed': (
+            "WITH u AS (SELECT DISTINCT concat('https://host', "
+            "CAST(doc_id % 50 AS VARCHAR), '.example/p', "
+            "CAST(doc_id % 20 AS VARCHAR), '/q', "
+            "CAST(doc_id % 7 AS VARCHAR)) AS url FROM documents), "
+            "h AS (SELECT url, lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host, "
+            "regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path "
+            'FROM u), '
+            "hosts AS (SELECT concat('host', CAST(i AS VARCHAR), "
+            "'.example') AS host, i FROM range(0, 50) t(i)), "
+            'r AS ('
+            "SELECT host, concat('/p', CAST(i % 20 AS VARCHAR)) AS "
+            'prefix, FALSE AS allow FROM hosts UNION ALL '
+            "SELECT host, concat('/p', CAST(i % 20 AS VARCHAR), '/q', "
+            "CAST(i % 7 AS VARCHAR)) AS prefix, TRUE AS allow "
+            'FROM hosts), '
+            'j AS (SELECT h.url, r.prefix, r.allow, '
+            "starts_with(CASE WHEN h.path = '' THEN '/' ELSE h.path END, "
+            'r.prefix) AS hit FROM h LEFT JOIN r USING (host)), '
+            'rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url '
+            'ORDER BY CASE WHEN hit THEN length(prefix) ELSE -1 END '
+            'DESC, allow DESC) AS rn FROM j) '
+            'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
+            'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
     }
 
 

@@ -288,3 +288,49 @@ def registrable_domain_sql(host_col: str, dialect: str = 'spark') -> str:
     return (f'(CASE WHEN regexp_extract({host_col}, {suf3}, 1) <> \'\' '
             f'THEN regexp_extract({host_col}, {suf3}, 1) '
             f'ELSE regexp_extract({host_col}, {suf2}, 1) END)')
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = 'url', host_col: str = 'host',
+                  prefix_col: str = 'prefix',
+                  allow_col: str = 'allow') -> DataFrame:
+    """Robots-rules URL filtering with LONGEST-MATCH precedence (the
+    documented REP semantics: the most specific matching rule wins;
+    allow beats disallow on equal length; no matching rule → allowed) —
+    the crawl-frontier admission filter.
+
+    ``rules``: one row per (host, path-prefix, allow BOOLEAN). The join
+    is an equi-join on host (the natural shuffle key — a host's rule
+    set is small, so per-host fan-out is bounded), prefix match and
+    precedence are Catalyst expressions (``startswith``, one window by
+    (url) over match length), and unmatched urls come back via the
+    left join's NULL branch. At web scale: rules tables are tiny
+    relative to the frontier — mark the rules side
+    ``F.broadcast(rules)`` at the call site and the shuffle disappears
+    entirely.
+
+    Output: the url rows plus ``allowed BOOLEAN``.
+    """
+    from pyspark.sql.window import Window
+    path = F.expr(
+        f"regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+        f"([^#]*)', 1)")
+    u = urls.withColumn('_host', F.expr(
+        f"lower(regexp_extract({url_col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))")) \
+        .withColumn('_path', F.when(path == '', '/').otherwise(path))
+    r = rules.select(F.col(host_col).alias('_host'),
+                     F.col(prefix_col).alias('_prefix'),
+                     F.col(allow_col).alias('_allow'))
+    j = (u.join(r, '_host', 'left')
+          .withColumn('_hit', F.expr('startswith(_path, _prefix)')))
+    w = Window.partitionBy(url_col).orderBy(
+        F.when(F.col('_hit'), F.length('_prefix')).otherwise(-1).desc(),
+        F.col('_allow').desc())
+    best = (j.withColumn('_rn', F.row_number().over(w))
+             .where('_rn = 1')
+             .withColumn('allowed',
+                         F.when(F.col('_hit').isNull()
+                                | ~F.col('_hit'), F.lit(True))
+                          .otherwise(F.col('_allow'))))
+    return best.drop('_host', '_path', '_prefix', '_allow', '_hit', '_rn')

@@ -241,3 +241,33 @@ def test_canonical_url_idempotent(spark):
     once = _canon_spark(spark, urls)
     twice = _canon_spark(spark, once)
     assert once == twice
+
+
+def test_robots_filter_precedence(spark):
+    """Longest match wins; allow beats disallow on ties; no rule ->
+    allowed; rule-less host -> allowed."""
+    urls = spark.createDataFrame([
+        ('https://a.x/docs/page',),      # matched by /docs (deny)
+        ('https://a.x/docs/pub/ok',),    # longer /docs/pub allow wins
+        ('https://a.x/other',),          # no matching prefix
+        ('https://b.x/anything',),       # host without rules
+        ('https://a.x/tie',),            # equal-length allow+deny: allow
+        ('https://a.x',),                # empty path -> '/'
+    ], 'url string')
+    rules = spark.createDataFrame([
+        ('a.x', '/docs', False),
+        ('a.x', '/docs/pub', True),
+        ('a.x', '/tie', True),
+        ('a.x', '/tie', False),
+        ('a.x', '/', False),
+    ], 'host string, prefix string, allow boolean')
+    got = {r['url']: r['allowed']
+           for r in text_ops.robots_filter(urls, rules).collect()}
+    assert got == {
+        'https://a.x/docs/page': False,
+        'https://a.x/docs/pub/ok': True,
+        'https://a.x/other': False,     # matched by the '/' catch-all
+        'https://b.x/anything': True,
+        'https://a.x/tie': True,
+        'https://a.x': False,           # empty path -> '/' -> deny
+    }
