@@ -891,6 +891,24 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.robots_filter(urls, F.broadcast(rules))
 
 
+def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level boilerplate removal over a deterministic
+    boilerplate-injected corpus: every page of a host carries the host's
+    MENU header (100% df → removed everywhere), ~1/3 carry a PROMO line
+    (≤ the 50% ratio → kept), the body line is unique (kept). Both the
+    removal and the keep-at-threshold branches are value-checked."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    host = F.expr("concat('h', CAST(doc_id % 25 AS STRING))")
+    corpus = docs.select(
+        F.col('doc_id'), host.alias('host'),
+        F.concat(F.lit('MENU of '), host, F.lit('\n'), F.col('text'),
+                 F.when(F.col('doc_id') % 3 == 0,
+                        F.lit('\nPROMO subscribe now'))
+                  .otherwise(F.lit(''))).alias('text'))
+    return corpus_ops.boilerplate_remove(_spread(corpus))
+
+
 def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the multimodal seam, value-checked: per
     document a deterministic PCM WAV (rate/length/channels and every
@@ -1027,6 +1045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'triangle_count': q_triangle_count,
     'wav_meta': q_wav_meta,
     'robots_allowed': q_robots_allowed,
+    'boilerplate_removed': q_boilerplate_removed,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1636,6 +1655,12 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'boilerplate_removed': corpus_ops.boilerplate_remove_oracle_sql(
+            "SELECT doc_id, concat('h', CAST(doc_id % 25 AS VARCHAR)) "
+            "AS host, concat('MENU of h', CAST(doc_id % 25 AS VARCHAR), "
+            'chr(10), text, CASE WHEN doc_id % 3 = 0 THEN '
+            "concat(chr(10), 'PROMO subscribe now') ELSE '' END) "
+            'AS text FROM documents'),
     }
 
 

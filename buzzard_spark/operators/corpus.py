@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['chunk_dedup', 'repetition_stats', 'tfidf_top_terms',
-           'collocations', 'chunk_array_sql']
+           'collocations', 'chunk_array_sql', 'boilerplate_remove']
 
 # chunk index is packed with doc_id into one BIGINT first-occurrence key:
 # doc_id * 2^20 + idx. Contract: doc_id < 2^43 and < 2^20 chunks per
@@ -628,3 +628,102 @@ def inverted_index_oracle_sql(table: str = 'documents',
         f'array_to_string(list_sort(list({id_col}) '
         f'FILTER (WHERE rn <= {max_postings})), \',\') AS postings '
         f'FROM r GROUP BY tok')
+
+
+def boilerplate_remove(df: DataFrame, text_col: str = 'text',
+                       id_col: str = 'doc_id', group_col: str = 'host',
+                       max_ratio_pct: int = 50,
+                       min_df: int = 2) -> DataFrame:
+    """CCNet-style boilerplate LINE removal: within each ``group_col``
+    (canonically the host — a site's navigation/footer/cookie-banner
+    lines repeat across ITS pages), a line is boilerplate iff it occurs
+    in at least ``min_df`` documents of the group AND in strictly more
+    than ``max_ratio_pct`` percent of them. Boilerplate lines are
+    dropped from every document; each document is rebuilt from its
+    surviving lines in order. Returns one row per input document::
+
+        (id_col, n_lines, n_kept, clean_text)
+
+    This is the df-RATIO filter that complements :func:`chunk_dedup`
+    (first-occurrence-wins keeps ONE copy of a repeated chunk;
+    boilerplate removal deletes ALL copies of a site-wide line — CCNet,
+    Wenzek et al. LREC 2020, applies exactly this per-shard line filter
+    before LM scoring). The threshold compare is pure integer arithmetic
+    (``line_df * 100 > max_ratio_pct * n_docs``) so both engines agree
+    exactly. Note empty lines repeat like any other line: a group's
+    blank separators typically exceed the ratio and are removed, which
+    is the documented CCNet behavior.
+
+    Scale shape (100 TB): the df decision runs on a NARROW
+    (group, xxhash64(line), doc) projection — line text is never
+    shuffled for the frequency count; flagged hashes come back via an
+    equi-join on (group, hash) against the exploded table (a host's
+    distinct-line set is bounded, so per-group fan-out is bounded), and
+    one final per-doc group-by rebuilds the text. No window over the
+    whole group, nothing collected to the driver.
+    """
+    if not (0 <= max_ratio_pct <= 100):
+        raise ValueError(f'max_ratio_pct must be in [0, 100]: {max_ratio_pct}')
+    lines = df.select(
+        F.col(group_col).alias('_g'), F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), '\n')).alias('idx', 'line'))
+    narrow = lines.select('_g', F.xxhash64('line').alias('_h'),
+                          F.col(id_col)).distinct()
+    dfreq = narrow.groupBy('_g', '_h').agg(F.count('*').alias('_df'))
+    ndocs = df.groupBy(F.col(group_col).alias('_g')).agg(
+        F.countDistinct(id_col).alias('_n'))
+    boiler = (dfreq.join(ndocs, '_g')
+              .where((F.col('_df') >= min_df)
+                     & (F.col('_df') * 100 > max_ratio_pct * F.col('_n')))
+              .select('_g', '_h'))
+    kept = (lines.withColumn('_h', F.xxhash64('line'))
+            .join(boiler, ['_g', '_h'], 'left_anti'))
+    totals = df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size(split({text_col}, '\\n')) AS BIGINT)")
+        .alias('n_lines'))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count('*').alias('n_kept'),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('idx', 'line'))),
+                lambda s: s.line),
+            '\n').alias('clean_text'))
+    return (totals.join(rebuilt, id_col, 'left')
+            .select(F.col(id_col), F.col('n_lines'),
+                    F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
+                    F.coalesce('clean_text', F.lit('')).alias('clean_text')))
+
+
+def boilerplate_remove_oracle_sql(corpus_cte: str, text_col: str = 'text',
+                                  id_col: str = 'doc_id',
+                                  group_col: str = 'host',
+                                  max_ratio_pct: int = 50,
+                                  min_df: int = 2) -> str:
+    """DuckDB twin of :func:`boilerplate_remove` (groups by the line
+    STRING instead of its 64-bit hash — value-identical absent a
+    collision; same integer ratio compare). ``corpus_cte``: SQL for a
+    CTE named ``corpus`` providing (group_col, id_col, text_col)."""
+    g, i, t = group_col, id_col, text_col
+    return f"""
+WITH corpus AS ({corpus_cte}),
+ln AS (SELECT {g}, {i}, unnest(string_split({t}, chr(10))) AS line,
+              unnest(range(len(string_split({t}, chr(10))))) AS idx
+       FROM corpus),
+dfreq AS (SELECT {g}, line, COUNT(DISTINCT {i}) AS line_df
+          FROM ln GROUP BY 1, 2),
+nd AS (SELECT {g}, COUNT(DISTINCT {i}) AS n_docs FROM corpus GROUP BY 1),
+boiler AS (SELECT {g}, line FROM dfreq JOIN nd USING ({g})
+           WHERE line_df >= {min_df}
+             AND line_df * 100 > {max_ratio_pct} * n_docs),
+kept AS (SELECT ln.* FROM ln ANTI JOIN boiler USING ({g}, line)),
+tot AS (SELECT {i}, CAST(len(string_split({t}, chr(10))) AS BIGINT)
+               AS n_lines FROM corpus),
+reb AS (SELECT {i}, COUNT(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT tot.{i} AS {i}, tot.n_lines,
+       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM tot LEFT JOIN reb USING ({i})
+"""

@@ -352,3 +352,50 @@ def test_inverted_index_validates(spark):
     docs = spark.createDataFrame([(1, 'a')], 'doc_id long, text string')
     with pytest.raises(ValueError):
         corpus.inverted_index(docs, max_postings=0)
+
+
+def test_boilerplate_remove_ratio_and_min_df(spark):
+    """A line in >50% of a host's docs is removed everywhere; a line at
+    exactly the ratio stays (strict >); min_df=2 protects singletons
+    even in tiny groups; groups are independent."""
+    df = spark.createDataFrame([
+        # host a: 4 docs. 'NAV' in 3/4 (75% > 50%) -> boilerplate.
+        # 'half' in 2/4 (exactly 50%, strict >) -> kept.
+        (1, 'a', 'NAV\nbody one\nhalf'),
+        (2, 'a', 'NAV\nbody two'),
+        (3, 'a', 'NAV\nbody three\nhalf'),
+        (4, 'a', 'body four'),
+        # host b: 1 doc. its only line is 1/1 = 100% but df=1 < min_df.
+        (5, 'b', 'NAV'),
+    ], 'doc_id long, host string, text string')
+    out = {r['doc_id']: r for r in
+           corpus.boilerplate_remove(df).collect()}
+    assert out[1]['n_lines'] == 3 and out[1]['n_kept'] == 2
+    assert out[1]['clean_text'] == 'body one\nhalf'
+    assert out[2]['clean_text'] == 'body two'
+    assert out[3]['clean_text'] == 'body three\nhalf'
+    assert out[4]['clean_text'] == 'body four'
+    # host b untouched: df=1 < min_df=2
+    assert out[5]['clean_text'] == 'NAV' and out[5]['n_kept'] == 1
+
+
+def test_boilerplate_remove_all_lines_removed(spark):
+    """A doc made entirely of boilerplate comes back empty (n_kept=0,
+    clean_text='') rather than vanishing from the output."""
+    df = spark.createDataFrame([
+        (1, 'a', 'NAV\nFOOTER'),
+        (2, 'a', 'NAV\nFOOTER'),
+        (3, 'a', 'NAV\nFOOTER'),
+    ], 'doc_id long, host string, text string')
+    out = {r['doc_id']: r for r in
+           corpus.boilerplate_remove(df).collect()}
+    assert all(out[i]['n_kept'] == 0 and out[i]['clean_text'] == ''
+               and out[i]['n_lines'] == 2 for i in (1, 2, 3))
+
+
+def test_boilerplate_remove_validates_ratio(spark):
+    df = spark.createDataFrame([(1, 'a', 'x')],
+                               'doc_id long, host string, text string')
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.boilerplate_remove(df, max_ratio_pct=101)
