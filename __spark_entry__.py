@@ -31,6 +31,7 @@ from buzzard_spark.operators import raster_ops
 from buzzard_spark.operators import similarity as similarity_ops
 from buzzard_spark.operators import sketch as sketch_ops
 from buzzard_spark.operators import spatial_join
+from buzzard_spark.operators import temporal as temporal_ops
 from buzzard_spark.operators import text as text_ops
 from buzzard_spark.operators import vector_source as vector_ops
 from buzzard_spark.operators import zorder as zorder_ops
@@ -909,6 +910,32 @@ def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.boilerplate_remove(_spread(corpus))
 
 
+def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: each event picks up its user's
+    previous-day event count — the daily state row becomes available at
+    the NEXT midnight (no leakage), so the as-of match is the newest
+    state with state_ts <= event_ts. The oracle is DuckDB's native ASOF
+    LEFT JOIN over the identically-derived state table; first-day events
+    (no prior state) surface as -1 in both engines."""
+    # ts is TIMESTAMP_NTZ: pin to UTC epoch seconds up front (the
+    # events_hourly pattern) so the as-of ordering, the day bucketing,
+    # and the oracle compare all run on integers
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet').select(
+        'event_id', 'user_id',
+        F.expr("CAST(to_utc_timestamp(ts, 'UTC') AS BIGINT)").alias('ts'))
+    states = (ev.groupBy('user_id',
+                         F.expr('ts DIV 86400').alias('day'))
+              .agg(F.count('*').alias('day_events'))
+              .select('user_id',
+                      ((F.col('day') + 1) * 86400).alias('ts'),
+                      'day_events'))
+    out = temporal_ops.asof_join(ev, states, on='user_id')
+    return out.select(
+        'event_id', 'user_id', F.col('ts').alias('ts_epoch'),
+        F.coalesce('day_events', F.lit(-1).cast('long'))
+        .alias('prev_day_events'))
+
+
 def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the multimodal seam, value-checked: per
     document a deterministic PCM WAV (rate/length/channels and every
@@ -1046,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'wav_meta': q_wav_meta,
     'robots_allowed': q_robots_allowed,
     'boilerplate_removed': q_boilerplate_removed,
+    'asof_features': q_asof_features,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1655,6 +1683,19 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'asof_features': (
+            'WITH e AS (SELECT event_id, user_id, '
+            # epoch() is DOUBLE and CAST rounds; epoch_ms // 1000 floors
+            # like Spark's CAST(timestamp AS BIGINT) on sub-second ts
+            'epoch_ms(ts) // 1000 AS ts FROM events), '
+            's AS (SELECT user_id, (ts // 86400 + 1) * 86400 AS ts, '
+            'CAST(COUNT(*) AS BIGINT) AS day_events FROM e '
+            'GROUP BY user_id, ts // 86400) '
+            'SELECT e.event_id, e.user_id, e.ts AS ts_epoch, '
+            'CAST(COALESCE(s.day_events, -1) AS BIGINT) '
+            'AS prev_day_events '
+            'FROM e ASOF LEFT JOIN s '
+            'ON e.user_id = s.user_id AND e.ts >= s.ts'),
         'boilerplate_removed': corpus_ops.boilerplate_remove_oracle_sql(
             "SELECT doc_id, concat('h', CAST(doc_id % 25 AS VARCHAR)) "
             "AS host, concat('MENU of h', CAST(doc_id % 25 AS VARCHAR), "
