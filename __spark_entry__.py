@@ -910,6 +910,29 @@ def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.boilerplate_remove(_spread(corpus))
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch-list generation over the synthetic
+    frontier: per-host rates 1-4 from a broadcast rate table,
+    url-derived priorities (with ties, exercising the deterministic
+    url tiebreak) — wave/slot assignment value-checked end to end."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    urls = (docs.select(F.expr(
+        "concat('https://host', CAST(doc_id % 50 AS STRING), "
+        "'.example/p', CAST(doc_id % 20 AS STRING), '/q', "
+        "CAST(doc_id % 7 AS STRING))").alias('url')).distinct()
+        .withColumn('prio', F.expr('(length(url) * 7) % 13')))
+    rates = spark.range(50).select(
+        F.expr("concat('host', CAST(id AS STRING), '.example')")
+        .alias('host'), (F.lit(1) + F.col('id') % 4).alias('rate'))
+    out = text_ops.frontier_schedule(urls, priority_col='prio',
+                                     host_rates=F.broadcast(rates))
+    return out.select(
+        'url', 'host', F.col('prio').cast('long').alias('prio'),
+        F.col('rank_in_host').cast('long').alias('rank_in_host'),
+        F.col('wave').cast('long').alias('wave'),
+        F.col('slot').cast('long').alias('slot'))
+
+
 def q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature join: each event picks up its user's
     previous-day event count — the daily state row becomes available at
@@ -1074,6 +1097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'robots_allowed': q_robots_allowed,
     'boilerplate_removed': q_boilerplate_removed,
     'asof_features': q_asof_features,
+    'frontier_schedule': q_frontier_schedule,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1683,6 +1707,26 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'frontier_schedule': (
+            "WITH u AS (SELECT DISTINCT concat('https://host', "
+            "CAST(doc_id % 50 AS VARCHAR), '.example/p', "
+            "CAST(doc_id % 20 AS VARCHAR), '/q', "
+            "CAST(doc_id % 7 AS VARCHAR)) AS url FROM documents), "
+            'p AS (SELECT url, (length(url) * 7) % 13 AS prio, '
+            "lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host "
+            'FROM u), '
+            "rt AS (SELECT concat('host', CAST(i AS VARCHAR), "
+            "'.example') AS host, 1 + i % 4 AS rate "
+            'FROM range(0, 50) t(i)), '
+            'j AS (SELECT p.*, COALESCE(rt.rate, 1) AS rate '
+            'FROM p LEFT JOIN rt USING (host)), '
+            'r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host '
+            'ORDER BY prio DESC, url ASC) AS rn FROM j) '
+            'SELECT url, host, CAST(prio AS BIGINT) AS prio, '
+            'CAST(rn AS BIGINT) AS rank_in_host, '
+            'CAST((rn - 1) // rate AS BIGINT) AS wave, '
+            'CAST((rn - 1) % rate AS BIGINT) AS slot FROM r'),
         'asof_features': (
             'WITH e AS (SELECT event_id, user_id, '
             # epoch() is DOUBLE and CAST rounds; epoch_ms // 1000 floors

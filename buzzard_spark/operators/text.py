@@ -334,3 +334,54 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                                 | ~F.col('_hit'), F.lit(True))
                           .otherwise(F.col('_allow'))))
     return best.drop('_host', '_path', '_prefix', '_allow', '_hit', '_rn')
+
+
+def frontier_schedule(urls: DataFrame, url_col: str = 'url',
+                      priority_col: str | None = None,
+                      host_rates: DataFrame | None = None,
+                      host_col: str = 'host', rate_col: str = 'rate',
+                      default_rate: int = 1) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (the Nutch/Heritrix
+    fetch-list generator): each URL is assigned a ``wave`` (which fetch
+    round it runs in) and a ``slot`` (its position inside the round)
+    such that no host ever has more than its per-wave ``rate`` URLs in
+    one wave. Ordering inside a host is by ``priority_col`` DESC when
+    given (ties, and the no-priority case, break by url ASC — fully
+    deterministic, rerun-stable).
+
+    ``host_rates``: optional (host, rate) table of per-host budgets
+    (e.g. from crawl-delay directives); hosts absent from it get
+    ``default_rate``. Rate tables are tiny next to a frontier — pass
+    ``F.broadcast(host_rates)`` at the call site and the join costs no
+    shuffle.
+
+    Output: url columns + ``host``, ``rank_in_host`` (1-based),
+    ``wave``, ``slot`` (both 0-based).
+
+    Scale shape (100 TB frontier): ONE hash shuffle on host + a per-host
+    sort (the window). A mega-host sorts its own partition only — skew
+    degrades that host's sort, never a cross-host barrier; there is no
+    global wave re-balancing pass, which keeps the operator one-shuffle
+    (capacity smoothing across hosts is the dispatcher's job downstream).
+    """
+    from pyspark.sql.window import Window
+    if default_rate < 1:
+        raise ValueError(f'default_rate must be >= 1: {default_rate}')
+    u = urls.withColumn('host', F.expr(
+        f"lower(regexp_extract({url_col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))"))
+    if host_rates is not None:
+        r = host_rates.select(F.col(host_col).alias('host'),
+                              F.col(rate_col).alias('_rate'))
+        u = (u.join(r, 'host', 'left')
+             .withColumn('_rate', F.coalesce('_rate',
+                                             F.lit(default_rate))))
+    else:
+        u = u.withColumn('_rate', F.lit(default_rate))
+    order = ([F.col(priority_col).desc()] if priority_col else []) \
+        + [F.col(url_col).asc()]
+    w = Window.partitionBy('host').orderBy(*order)
+    return (u.withColumn('rank_in_host', F.row_number().over(w))
+            .withColumn('wave', F.expr('(rank_in_host - 1) DIV _rate'))
+            .withColumn('slot', F.expr('(rank_in_host - 1) % _rate'))
+            .drop('_rate'))

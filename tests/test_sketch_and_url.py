@@ -271,3 +271,41 @@ def test_robots_filter_precedence(spark):
         'https://a.x/tie': True,
         'https://a.x': False,           # empty path -> '/' -> deny
     }
+
+
+def test_frontier_schedule_waves_and_rates(spark):
+    """Per-host rate caps wave occupancy; priority orders within host;
+    hosts without a rate row fall back to default_rate."""
+    urls = spark.createDataFrame(
+        [(f'https://a.x/{i}', i) for i in range(5)]
+        + [('https://b.x/only', 99)],
+        'url string, prio long')
+    rates = spark.createDataFrame([('a.x', 2)], 'host string, rate long')
+    out = {r['url']: (r['wave'], r['slot'], r['rank_in_host'])
+           for r in text_ops.frontier_schedule(
+               urls, priority_col='prio', host_rates=rates).collect()}
+    # a.x: priority desc -> /4 /3 /2 /1 /0; rate 2 -> waves 0,0,1,1,2
+    assert out['https://a.x/4'] == (0, 0, 1)
+    assert out['https://a.x/3'] == (0, 1, 2)
+    assert out['https://a.x/2'] == (1, 0, 3)
+    assert out['https://a.x/1'] == (1, 1, 4)
+    assert out['https://a.x/0'] == (2, 0, 5)
+    # b.x has no rate row -> default_rate=1, single url -> wave 0
+    assert out['https://b.x/only'] == (0, 0, 1)
+    # no host exceeds its rate in any wave
+    rows = text_ops.frontier_schedule(
+        urls, priority_col='prio', host_rates=rates).collect()
+    from collections import Counter
+    occ = Counter((r['host'], r['wave']) for r in rows)
+    assert all(n <= (2 if h == 'a.x' else 1) for (h, _), n in occ.items())
+
+
+def test_frontier_schedule_deterministic_no_priority(spark):
+    urls = spark.createDataFrame(
+        [('https://a.x/b',), ('https://a.x/a',)], 'url string')
+    out = {r['url']: r['rank_in_host']
+           for r in text_ops.frontier_schedule(urls).collect()}
+    assert out == {'https://a.x/a': 1, 'https://a.x/b': 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text_ops.frontier_schedule(urls, default_rate=0)
