@@ -910,6 +910,17 @@ def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.boilerplate_remove(_spread(corpus))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic priority sampling (top-5 per language, weight =
+    n_chars): membership, bit-exact priorities, and the Horvitz-
+    Thompson w_est estimator all value-checked — the single IEEE
+    division w·2^32/(u32+1) is computed identically by both engines."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'lang', 'n_chars')
+    return corpus_ops.weighted_sample(_spread(docs), 'n_chars', 5,
+                                      strata_col='lang')
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware fetch-list generation over the synthetic
     frontier: per-host rates 1-4 from a broadcast rate table,
@@ -1098,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'boilerplate_removed': q_boilerplate_removed,
     'asof_features': q_asof_features,
     'frontier_schedule': q_frontier_schedule,
+    'weighted_sample': q_weighted_sample,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1707,6 +1719,9 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'weighted_sample': corpus_ops.weighted_sample_oracle_sql(
+            'SELECT doc_id, lang, n_chars FROM documents',
+            'n_chars', 5, strata_col='lang'),
         'frontier_schedule': (
             "WITH u AS (SELECT DISTINCT concat('https://host', "
             "CAST(doc_id % 50 AS VARCHAR), '.example/p', "

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ['chunk_dedup', 'repetition_stats', 'tfidf_top_terms',
-           'collocations', 'chunk_array_sql', 'boilerplate_remove']
+           'collocations', 'chunk_array_sql', 'boilerplate_remove',
+           'weighted_sample']
 
 # chunk index is packed with doc_id into one BIGINT first-occurrence key:
 # doc_id * 2^20 + idx. Contract: doc_id < 2^43 and < 2^20 chunks per
@@ -726,4 +727,99 @@ SELECT tot.{i} AS {i}, tot.n_lines,
        CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
        COALESCE(reb.clean_text, '') AS clean_text
 FROM tot LEFT JOIN reb USING ({i})
+"""
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = 'doc_id', seed: int = 42,
+                    strata_col: str | None = None) -> DataFrame:
+    """Deterministic PRIORITY SAMPLING (Duffield-Lund-Thorup, JACM 2007):
+    keep the k rows with the largest priority ``q = w / u`` where ``u``
+    is a uniform (0,1] derived from md5(id, seed) — weight-proportional
+    inclusion with rerun/partition/retry-invariant membership (same
+    contract as :func:`deterministic_sample`, which is the unweighted
+    fraction gate). With ``strata_col``, top-k per stratum.
+
+    Output: the kept rows plus ``priority`` and ``w_est`` — the
+    priority-sampling Horvitz-Thompson estimate ``max(w, tau)`` with
+    ``tau`` the (k+1)-th priority (0 when the stratum has <= k rows, in
+    which case the sample is exhaustive and ``w_est = w``). Summing
+    ``w_est`` over any subset of the sample unbiasedly estimates that
+    subset's true weight sum — the property that makes a small sample
+    usable for corpus accounting at 100 TB.
+
+    Cross-engine exactness: ``q = CAST(w AS DOUBLE) * 2^32 / (u32 + 1)``
+    is one exact dyadic scale plus ONE correctly-rounded IEEE division
+    of identical operands in both engines — bit-identical priorities,
+    no transcendental, no RNG state (the A-ES ``u^(1/w)`` key needs
+    pow/ln and is ordered identically to ``w/u`` only through a monotone
+    transform that floats do not preserve; priority sampling's published
+    form IS ``w/u``).
+
+    Scale shape: stratified path = one hash shuffle on the stratum + a
+    per-stratum sort (window); global path = Spark's distributed
+    TakeOrdered (map-side partial top-(k+1), no single-partition
+    exchange on the full table — only the k+1 survivors converge).
+    """
+    if k < 1:
+        raise ValueError(f'k must be >= 1: {k}')
+    h = F.md5(F.concat_ws(':', F.col(id_col).cast('string'),
+                          F.lit(str(seed))))
+    u32 = _hash_u32_sql('_h', 'spark')
+    q = (f'CAST({weight_col} AS DOUBLE) * CAST(4294967296 AS DOUBLE) '
+         f'/ CAST(({u32}) + 1 AS DOUBLE)')
+    scored = (df.withColumn('_h', h)
+              .withColumn('priority', F.expr(q)).drop('_h'))
+    if strata_col is not None:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.col('priority').desc(), F.col(id_col).asc())
+        ws = Window.partitionBy(strata_col)
+        ranked = (scored.withColumn('_rn', F.row_number().over(w))
+                  .where(F.col('_rn') <= k + 1)
+                  .withColumn('_tau', F.coalesce(
+                      F.max(F.when(F.col('_rn') == k + 1,
+                                   F.col('priority'))).over(ws),
+                      F.lit(0.0).cast('double'))))
+        kept = ranked.where(F.col('_rn') <= k)
+    else:
+        lim = scored.orderBy(F.col('priority').desc(),
+                             F.col(id_col).asc()).limit(k + 1)
+        w = Window.orderBy(F.col('priority').desc(), F.col(id_col).asc())
+        ws = Window.partitionBy()
+        # <= k+1 rows by construction: the windows run on a bounded set
+        ranked = (lim.withColumn('_rn', F.row_number().over(w))
+                  .withColumn('_tau', F.coalesce(
+                      F.max(F.when(F.col('_rn') == k + 1,
+                                   F.col('priority'))).over(ws),
+                      F.lit(0.0).cast('double'))))
+        kept = ranked.where(F.col('_rn') <= k)
+    return (kept.withColumn(
+        'w_est', F.greatest(F.col(weight_col).cast('double'),
+                            F.col('_tau')))
+        .drop('_rn', '_tau'))
+
+
+def weighted_sample_oracle_sql(corpus_cte: str, weight_col: str, k: int,
+                               id_col: str = 'doc_id', seed: int = 42,
+                               strata_col: str | None = None) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same md5-u32 uniform,
+    same single-division priority). ``corpus_cte``: SQL for a CTE named
+    ``corpus`` providing (id_col, weight_col [, strata_col])."""
+    u32 = _hash_u32_sql('_h', 'duckdb')
+    part = f'PARTITION BY {strata_col} ' if strata_col else ''
+    return f"""
+WITH corpus AS ({corpus_cte}),
+h AS (SELECT *, md5(concat_ws(':', CAST({id_col} AS VARCHAR),
+                              '{seed}')) AS _h FROM corpus),
+s AS (SELECT * EXCLUDE (_h),
+             CAST({weight_col} AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+             / CAST(({u32}) + 1 AS DOUBLE) AS priority FROM h),
+r AS (SELECT *, ROW_NUMBER() OVER ({part}ORDER BY priority DESC,
+                                   {id_col} ASC) AS _rn FROM s),
+t AS (SELECT *, COALESCE(MAX(CASE WHEN _rn = {k + 1} THEN priority END)
+                         OVER ({part.rstrip() or ''}), 0.0E0) AS _tau
+      FROM r WHERE _rn <= {k + 1})
+SELECT * EXCLUDE (_rn, _tau),
+       greatest(CAST({weight_col} AS DOUBLE), _tau) AS w_est
+FROM t WHERE _rn <= {k}
 """

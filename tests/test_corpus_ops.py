@@ -399,3 +399,66 @@ def test_boilerplate_remove_validates_ratio(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.boilerplate_remove(df, max_ratio_pct=101)
+
+
+def _ws_df(spark, n=40, parts=1):
+    rows = [(i, 'en' if i % 2 == 0 else 'fr', 10 + (i * 37) % 90)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, 'doc_id long, lang string, w long').repartition(parts)
+
+
+def test_weighted_sample_membership_matches_python_oracle(spark):
+    """Priority formula recomputed row-for-row in pure python (hashlib
+    md5 + one float division) — membership and priorities must agree."""
+    import hashlib
+    df = _ws_df(spark)
+    rows = df.collect()
+
+    def prio(doc_id, w):
+        u32 = int(hashlib.md5(f'{doc_id}:42'.encode())
+                  .hexdigest()[:8], 16)
+        return float(w) * 4294967296.0 / float(u32 + 1)
+
+    expect = {}
+    for lang in ('en', 'fr'):
+        scored = sorted(((prio(r['doc_id'], r['w']), r['doc_id'])
+                         for r in rows if r['lang'] == lang),
+                        key=lambda t: (-t[0], t[1]))
+        tau = scored[5][0] if len(scored) > 5 else 0.0
+        for p, d in scored[:5]:
+            expect[d] = (p, max(p / p * 0.0 + tau,
+                                0.0))  # tau per stratum
+    got = {r['doc_id']: (r['priority'], r['w_est']) for r in
+           corpus.weighted_sample(df, 'w', 5, strata_col='lang').collect()}
+    assert set(got) == set(expect)
+    for d, (p, tau) in expect.items():
+        assert got[d][0] == p
+        w = next(r['w'] for r in rows if r['doc_id'] == d)
+        assert got[d][1] == max(float(w), tau)
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    df1, df8 = _ws_df(spark, parts=1), _ws_df(spark, parts=8)
+    a = sorted((r['doc_id'], r['priority'], r['w_est']) for r in
+               corpus.weighted_sample(df1, 'w', 3,
+                                      strata_col='lang').collect())
+    b = sorted((r['doc_id'], r['priority'], r['w_est']) for r in
+               corpus.weighted_sample(df8, 'w', 3,
+                                      strata_col='lang').collect())
+    assert a == b
+
+
+def test_weighted_sample_exhaustive_stratum_and_global(spark):
+    df = _ws_df(spark, n=4)          # 2 docs per lang < k=5
+    out = corpus.weighted_sample(df, 'w', 5, strata_col='lang').collect()
+    assert len(out) == 4
+    # exhaustive stratum: tau=0 -> estimator is the exact weight
+    assert all(r['w_est'] == float(r['w']) for r in out)
+    # global (no strata) path: distributed TakeOrdered, k rows total
+    big = _ws_df(spark, n=40, parts=8)
+    got = corpus.weighted_sample(big, 'w', 7).collect()
+    assert len(got) == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.weighted_sample(big, 'w', 0)
