@@ -910,6 +910,36 @@ def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.boilerplate_remove(_spread(corpus))
 
 
+def _anchor_html_sql(dialect: str) -> str:
+    """Deterministic anchor-rich html per page (shared construction):
+    two anchors at messy spellings of the SAME target (must fold after
+    canonicalization) with page-derived anchor words, plus one anchor at
+    a second host with constant words."""
+    cast = 'VARCHAR' if dialect == 'duckdb' else 'STRING'
+    a = f'CAST((page_id * 7) % 1000 AS {cast})'
+    b = f'CAST((page_id * 13) % 1000 AS {cast})'
+    pa = f'CAST(page_id % 50 AS {cast})'
+    pb = f'CAST(page_id % 20 AS {cast})'
+    return (
+        "concat('<p>t</p><a href=\"https://host', {a}, '.example/', {pa}, "
+        "'?z=9&a=1\">review of host', {a}, '</a>"
+        "<a href=\"HTTPS://HOST', {a}, '.EXAMPLE:443/', {pa}, "
+        "'?a=1&z=9#x\">best host', {a}, ' deals</a>"
+        "<a href=\"http://host', {b}, '.example:80/p', {pb}, "
+        "'\">visit now</a>')"
+    ).format(a=a, b=b, pa=pa, pb=pb)
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the synthetic crawl: top-3 terms per
+    link-target host; the two messy spellings of each primary target
+    must fold via canonicalization before counting."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    pages = docs.select(F.col('doc_id').alias('page_id')).select(
+        F.expr(_anchor_html_sql('spark')).alias('html'))
+    return text_ops.anchor_terms(pages, k=3)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic priority sampling (top-5 per language, weight =
     n_chars): membership, bit-exact priorities, and the Horvitz-
@@ -1110,6 +1140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'asof_features': q_asof_features,
     'frontier_schedule': q_frontier_schedule,
     'weighted_sample': q_weighted_sample,
+    'anchor_terms': q_anchor_terms,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1719,6 +1750,27 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'anchor_terms': (
+            'WITH pg AS (SELECT doc_id AS page_id FROM documents), '
+            'pages AS (SELECT ' + _anchor_html_sql('duckdb')
+            + ' AS html FROM pg), '
+            'sn AS (SELECT unnest(regexp_extract_all(html, '
+            '\'(<a href="[^"]+"[^>]*>[^<]*</a>)\', 1)) AS s FROM pages), '
+            'p AS (SELECT regexp_extract(s, \'href="([^"]+)"\', 1) AS u, '
+            "regexp_extract(s, '>([^<]*)</a>', 1) AS t FROM sn), "
+            'c AS (SELECT ' + text_ops.canonical_url_sql('u', 'duckdb')
+            + ' AS canon, t FROM p), '
+            "tm AS (SELECT regexp_extract(canon, '^https?://([^/]+)/', 1)"
+            ' AS dst_host, '
+            "unnest(string_split_regex(trim(t), '\\s+')) AS term "
+            'FROM c), '
+            "f AS (SELECT * FROM tm WHERE term <> ''), "
+            'cnt AS (SELECT dst_host, term, COUNT(*) AS n '
+            'FROM f GROUP BY 1, 2), '
+            'r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_host '
+            'ORDER BY n DESC, term ASC) AS rnk FROM cnt) '
+            'SELECT dst_host, term, CAST(n AS BIGINT) AS n, '
+            'CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3'),
         'weighted_sample': corpus_ops.weighted_sample_oracle_sql(
             'SELECT doc_id, lang, n_chars FROM documents',
             'n_chars', 5, strata_col='lang'),

@@ -385,3 +385,48 @@ def frontier_schedule(urls: DataFrame, url_col: str = 'url',
             .withColumn('wave', F.expr('(rank_in_host - 1) DIV _rate'))
             .withColumn('slot', F.expr('(rank_in_host - 1) % _rate'))
             .drop('_rate'))
+
+
+def anchor_terms(pages: DataFrame, html_col: str = 'html',
+                 k: int = 3) -> DataFrame:
+    """Anchor-text aggregation: the terms other pages use in links TO a
+    host — the classic off-page relevance signal (anchor text indexing,
+    Brin & Page 1998) and the label source for weak supervision over a
+    crawl. For each link target host, tokenize every anchor's inner
+    text across the corpus and keep the top-``k`` terms by count (ties →
+    lexicographically smallest term).
+
+    Output: ``(dst_host, term, n, rnk)`` with ``n`` the corpus-wide
+    occurrence count of ``term`` in anchors pointing at ``dst_host``.
+
+    Extraction is two-stage because ``regexp_extract_all`` captures ONE
+    group per match in Spark and DuckDB alike: first the whole
+    ``<a href="...">text</a>`` snippet, then href and inner text out of
+    the exploded snippet — every pattern is escape-free shared SQL, so
+    the DuckDB oracle runs the identical pipeline.
+
+    Scale shape (100 TB): explode snippets → explode terms → ONE
+    partial-agg groupBy (dst_host, term) → per-host window top-k that
+    reuses the same hash partitioning. A mega-host (every page links to
+    it) costs a sorted scan of ITS terms only; no global sort, nothing
+    driver-side.
+    """
+    from pyspark.sql.window import Window
+    snip = f'regexp_extract_all({html_col}, \'(<a href="[^"]+"[^>]*>[^<]*</a>)\', 1)'
+    href = 'regexp_extract(s, \'href="([^"]+)"\', 1)'
+    atext = "regexp_extract(s, '>([^<]*)</a>', 1)"
+    canon = canonical_url_sql('u', 'spark')
+    terms = (pages
+             .select(F.explode(F.expr(snip)).alias('s'))
+             .select(F.expr(href).alias('u'), F.expr(atext).alias('t'))
+             .select(F.expr(canon).alias('canon'), 't')
+             .select(F.expr("regexp_extract(canon, "
+                            "'^https?://([^/]+)/', 1)").alias('dst_host'),
+                     F.explode(F.split(F.trim('t'), r'\s+')).alias('term'))
+             .where("term <> ''"))
+    counts = terms.groupBy('dst_host', 'term').agg(
+        F.count('*').alias('n'))
+    w = Window.partitionBy('dst_host').orderBy(
+        F.col('n').desc(), F.col('term').asc())
+    return (counts.withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= k))

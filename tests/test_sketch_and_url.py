@@ -309,3 +309,25 @@ def test_frontier_schedule_deterministic_no_priority(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text_ops.frontier_schedule(urls, default_rate=0)
+
+
+def test_anchor_terms_aggregation(spark):
+    """Anchor tokens aggregate per target HOST across pages; messy
+    spellings of the same host fold via canonicalization; top-k orders
+    by count desc then term asc; empty anchors contribute nothing."""
+    pages = spark.createDataFrame([
+        ('<a href="https://a.x/p">great site</a>'
+         '<a href="HTTPS://A.X:443/q#f">great read</a>',),
+        ('<a href="https://a.x/p">great</a>'
+         '<a href="https://b.x/r">other   place</a>'
+         '<a href="https://c.x/s"></a>',),
+    ], 'html string')
+    rows = text_ops.anchor_terms(pages, k=2).collect()
+    got = {(r['dst_host'], r['term']): (r['n'], r['rnk']) for r in rows}
+    # a.x: great=3, read=1/site=1 tie -> 'read' wins rank 2 by term asc
+    assert got[('a.x', 'great')] == (3, 1)
+    assert got[('a.x', 'read')] == (1, 2)
+    assert ('a.x', 'site') not in got          # k=2 cut
+    assert got[('b.x', 'other')] == (1, 1)
+    assert got[('b.x', 'place')] == (1, 2)
+    assert not any(h == 'c.x' for h, _ in got)  # empty anchor text
