@@ -940,6 +940,16 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.anchor_terms(pages, k=3)
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact bigram LM scoring: model trained on the even
+    doc_ids, all docs scored — seen, unseen-bigram, and unknown-prefix
+    branches all hit, every bit count value-checked."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    return corpus_ops.lm_surprisal(
+        _spread(docs), train=docs.where('doc_id % 2 = 0'))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic priority sampling (top-5 per language, weight =
     n_chars): membership, bit-exact priorities, and the Horvitz-
@@ -1141,6 +1151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'frontier_schedule': q_frontier_schedule,
     'weighted_sample': q_weighted_sample,
     'anchor_terms': q_anchor_terms,
+    'lm_surprisal': q_lm_surprisal,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1750,6 +1761,9 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'lm_surprisal': corpus_ops.lm_surprisal_oracle_sql(
+            'SELECT doc_id, text FROM documents',
+            'SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0'),
         'anchor_terms': (
             'WITH pg AS (SELECT doc_id AS page_id FROM documents), '
             'pages AS (SELECT ' + _anchor_html_sql('duckdb')

@@ -823,3 +823,126 @@ SELECT * EXCLUDE (_rn, _tau),
        greatest(CAST({weight_col} AS DOUBLE), _tau) AS w_est
 FROM t WHERE _rn <= {k}
 """
+
+
+def lm_surprisal(df: DataFrame, train: DataFrame | None = None,
+                 text_col: str = 'text', id_col: str = 'doc_id',
+                 oov_bits: int = 32,
+                 broadcast_model: bool = False) -> DataFrame:
+    """Integer-exact bigram language-model surprisal scoring — the
+    perplexity-style fluency signal (CCNet scores documents with a
+    KenLM; this is its transcendental-free relational analogue, exact
+    across engines).
+
+    A bigram model is counted over ``train`` (default: ``df`` itself —
+    held-in scoring): ``n_bi(w1,w2)`` and the prefix total
+    ``n_pre(w1) = Σ_w2 n_bi(w1,w2)``. Each scored document's bigram
+    surprisal is the INTEGER proxy of ``-log2 P(w2|w1)``::
+
+        seen bigram:      bits(n_pre) - bits(n_bi)   (>= 0)
+        unseen, w1 known: bits(n_pre) + 1            (> any seen w1-bigram)
+        w1 unknown:       oov_bits
+
+    with ``bits(n) = length(bin(n)) = floor(log2 n) + 1`` — exact
+    integer arithmetic both engines share (``bin`` exists in Spark and
+    DuckDB), ordered like the float log-probability at 1-bit
+    granularity. Output, one row per scored doc::
+
+        (doc_id, n_bigrams, total_bits, oov_bigrams)
+
+    Low mean ``total_bits / n_bigrams`` = fluent/common phrasing; high =
+    rare or incoherent word sequences; single-word docs score 0 over 0
+    bigrams. Summing integer bits also keeps the 100-TB aggregation
+    overflow-free (max 64 bits/bigram).
+
+    Held-in caveat: with ``train=None`` the model is an unsmoothed MLE
+    of the scored corpus itself, so a document whose bigrams occur
+    nowhere else is "perfectly predicted" (hapax ⇒ P(w2|w1)=1 ⇒ 0
+    bits). For quality FILTERING, train on a trusted reference corpus
+    (CCNet uses Wikipedia) — that is what makes word salad score high;
+    self-training is for relative in-distribution ranking only.
+
+    Scale shape: two explode → partial-agg group-bys build the model,
+    two equi-joins score it (broadcast via ``broadcast_model`` when the
+    model vocabulary fits — bigram tables at web scale usually do NOT,
+    so the default is the shuffle join), one per-doc partial-agg
+    group-by. Nothing driver-side, no Python.
+    """
+    tr = train if train is not None else df
+    tws = tr.select(F.split(F.trim(text_col), r'\s+').alias('ws'))
+    bigrams = ('transform(sequence(0, size(ws) - 2), '
+               "i -> struct(element_at(ws, i + 1) AS w1, "
+               'element_at(ws, i + 2) AS w2))')
+    tb = (tws.where(F.expr('size(ws) >= 2'))
+          .select(F.explode(F.expr(bigrams)).alias('b'))
+          .select('b.w1', 'b.w2'))
+    n_bi = tb.groupBy('w1', 'w2').agg(F.count('*').alias('_nb'))
+    n_pre = tb.groupBy('w1').agg(F.count('*').alias('_np'))
+    if broadcast_model:
+        n_bi, n_pre = F.broadcast(n_bi), F.broadcast(n_pre)
+    sb = (df.select(F.col(id_col),
+                    F.split(F.trim(text_col), r'\s+').alias('ws'))
+          .where(F.expr('size(ws) >= 2'))
+          .select(id_col, F.explode(F.expr(bigrams)).alias('b'))
+          .select(id_col, 'b.w1', 'b.w2'))
+    scored = (sb.join(n_bi, ['w1', 'w2'], 'left')
+              .join(n_pre, 'w1', 'left')
+              .withColumn('_bits', F.expr(
+                  'CAST(CASE WHEN _nb IS NOT NULL THEN '
+                  'length(bin(_np)) - length(bin(_nb)) '
+                  'WHEN _np IS NOT NULL THEN length(bin(_np)) + 1 '
+                  f'ELSE {oov_bits} END AS BIGINT)')))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count('*').alias('n_bigrams'),
+        F.sum('_bits').alias('total_bits'),
+        F.sum(F.when(F.col('_nb').isNull(), 1).otherwise(0))
+        .cast('long').alias('oov_bigrams'))
+    base = df.select(F.col(id_col))
+    return (base.join(per_doc, id_col, 'left')
+            .select(F.col(id_col),
+                    F.coalesce('n_bigrams', F.lit(0)).alias('n_bigrams'),
+                    F.coalesce('total_bits', F.lit(0)).alias('total_bits'),
+                    F.coalesce('oov_bigrams', F.lit(0))
+                    .alias('oov_bigrams')))
+
+
+def lm_surprisal_oracle_sql(score_cte: str, train_cte: str | None = None,
+                            text_col: str = 'text',
+                            id_col: str = 'doc_id',
+                            oov_bits: int = 32) -> str:
+    """DuckDB twin of :func:`lm_surprisal`. ``score_cte``/``train_cte``:
+    SQL providing (id_col, text_col); train defaults to the score CTE."""
+    t, i = text_col, id_col
+    train = train_cte or score_cte
+    return f"""
+WITH sc AS ({score_cte}), tr AS ({train}),
+tws AS (SELECT string_split_regex(trim({t}), '\\s+') AS ws FROM tr),
+tb AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           x -> struct_pack(w1 := ws[x], w2 := ws[x + 1]))) AS b
+       FROM tws WHERE len(ws) >= 2),
+nbi AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS nb
+        FROM tb GROUP BY 1, 2),
+npre AS (SELECT w1, SUM(nb) AS np FROM nbi GROUP BY 1),
+sws AS (SELECT {i}, string_split_regex(trim({t}), '\\s+') AS ws FROM sc),
+sb AS (SELECT {i}, unnest(list_transform(generate_series(1, len(ws) - 1),
+           x -> struct_pack(w1 := ws[x], w2 := ws[x + 1]))) AS b
+       FROM sws WHERE len(ws) >= 2),
+j AS (SELECT sb.{i} AS {i}, nbi.nb, npre.np
+      FROM sb LEFT JOIN nbi ON sb.b.w1 = nbi.w1 AND sb.b.w2 = nbi.w2
+      LEFT JOIN npre ON sb.b.w1 = npre.w1),
+bits AS (SELECT {i}, nb,
+                CAST(CASE WHEN nb IS NOT NULL
+                     THEN length(bin(np)) - length(bin(nb))
+                     WHEN np IS NOT NULL THEN length(bin(np)) + 1
+                     ELSE {oov_bits} END AS BIGINT) AS b FROM j),
+pd AS (SELECT {i}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(b) AS BIGINT) AS total_bits,
+              CAST(SUM(CASE WHEN nb IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS oov_bigrams
+       FROM bits GROUP BY 1)
+SELECT sc.{i} AS {i},
+       CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(pd.total_bits, 0) AS BIGINT) AS total_bits,
+       CAST(COALESCE(pd.oov_bigrams, 0) AS BIGINT) AS oov_bigrams
+FROM sc LEFT JOIN pd USING ({i})
+"""

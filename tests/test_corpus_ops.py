@@ -462,3 +462,49 @@ def test_weighted_sample_exhaustive_stratum_and_global(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.weighted_sample(big, 'w', 0)
+
+
+def test_lm_surprisal_truth_table(spark):
+    """Hand-computed bits: model on docs 1-2, score 1-4. n_bi(a,b)=2,
+    n_bi(b,c)=n_bi(b,d)=1; n_pre(a)=n_pre(b)=2; bits(2)=2, bits(1)=1."""
+    train = _docs(spark, [(1, 'a b c'), (2, 'a b d')])
+    score = _docs(spark, [(1, 'a b c'), (2, 'a b d'),
+                          (3, 'b z q'), (4, 'solo')])
+    out = {r['doc_id']: (r['n_bigrams'], r['total_bits'],
+                         r['oov_bigrams'])
+           for r in corpus.lm_surprisal(score, train=train).collect()}
+    # doc1: (a,b) 2-2=0, (b,c) 2-1=1 -> 1 bit
+    assert out[1] == (2, 1, 0)
+    assert out[2] == (2, 1, 0)
+    # doc3: (b,z) known prefix unseen bigram = bits(2)+1 = 3;
+    #       (z,q) unknown prefix = 32
+    assert out[3] == (2, 35, 2)
+    # doc4: no bigrams
+    assert out[4] == (0, 0, 0)
+
+
+def test_lm_surprisal_reference_model_separates_quality(spark):
+    """Trained on a fluent reference corpus, word salad scores far more
+    bits per bigram than in-distribution text. Also pins the documented
+    held-in caveat: under an unsmoothed self-trained MLE, a document of
+    hapax bigrams is 'perfectly predicted' (0 bits)."""
+    ref = _docs(spark, [
+        (1, 'the cat sat on the mat'),
+        (2, 'the cat sat on the rug'),
+        (3, 'the cat sat on the mat again'),
+    ])
+    score = _docs(spark, [
+        (10, 'the cat sat on the mat'),
+        (11, 'zeb qox vrm plu wda xyk'),
+    ])
+    out = {r['doc_id']: r for r in
+           corpus.lm_surprisal(score, train=ref).collect()}
+    fluent = out[10]['total_bits'] / out[10]['n_bigrams']
+    salad = out[11]['total_bits'] / out[11]['n_bigrams']
+    assert out[10]['oov_bigrams'] == 0
+    assert out[11]['oov_bigrams'] == 5 and salad == 32.0
+    assert fluent < salad
+    # held-in caveat: hapax-only doc self-scores 0 bits (P(w2|w1)=1)
+    solo = _docs(spark, [(1, 'zeb qox vrm')])
+    got = corpus.lm_surprisal(solo).collect()[0]
+    assert got['total_bits'] == 0 and got['oov_bigrams'] == 0
