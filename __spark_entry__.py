@@ -940,6 +940,22 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.anchor_terms(pages, k=3)
 
 
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-alignment exact-substring detection over documents ∪ copies
+    with the FIRST 3 words dropped — a shift that fixed-grid chunk
+    dedup misses by construction; every surviving span is caught here
+    and the per-doc run statistics are value-checked."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    w = "split(trim(text), '\\\\s+')"
+    copies = (docs.where(F.expr(f'size({w}) > 20'))
+              .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                      F.expr(f"array_join(slice({w}, 4, size({w})), ' ')")
+                      .alias('text')))
+    return corpus_ops.repeated_ngram_spans(
+        _spread(docs.unionByName(copies)))
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact bigram LM scoring: model trained on the even
     doc_ids, all docs scored — seen, unseen-bigram, and unknown-prefix
@@ -1152,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'weighted_sample': q_weighted_sample,
     'anchor_terms': q_anchor_terms,
     'lm_surprisal': q_lm_surprisal,
+    'repeated_ngram_spans': q_repeated_ngram_spans,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1761,6 +1778,13 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'repeated_ngram_spans': corpus_ops.repeated_ngram_spans_oracle_sql(
+            'SELECT doc_id, text FROM documents UNION ALL '
+            'SELECT doc_id + 1000000 AS doc_id, array_to_string('
+            "list_slice(string_split_regex(trim(text), '\\s+'), 4, "
+            "len(string_split_regex(trim(text), '\\s+'))), ' ') AS text "
+            'FROM documents '
+            "WHERE len(string_split_regex(trim(text), '\\s+')) > 20"),
         'lm_surprisal': corpus_ops.lm_surprisal_oracle_sql(
             'SELECT doc_id, text FROM documents',
             'SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0'),

@@ -946,3 +946,100 @@ SELECT sc.{i} AS {i},
        CAST(COALESCE(pd.oov_bigrams, 0) AS BIGINT) AS oov_bigrams
 FROM sc LEFT JOIN pd USING ({i})
 """
+
+
+def repeated_ngram_spans(df: DataFrame, text_col: str = 'text',
+                         id_col: str = 'doc_id',
+                         ngram_words: int = 10) -> DataFrame:
+    """Exact repeated-substring detection at ANY alignment (the
+    sliding-window form of Lee et al. 2022's exact-substring dedup,
+    which :func:`chunk_dedup`'s fixed-grid chunks approximate only for
+    aligned copies): a word position is DUPLICATED iff the
+    ``ngram_words``-gram starting there occurs more than once in the
+    corpus (across docs or within one). Per document::
+
+        (doc_id, n_words, n_grams, dup_grams, max_dup_run)
+
+    ``dup_grams`` counts duplicated n-gram start positions and
+    ``max_dup_run`` is the longest consecutive run of them — a run of r
+    duplicated starts means an exactly-repeated span of r+ngram_words-1
+    words, the quantity a span-removal pass needs. Docs shorter than
+    ``ngram_words`` words have 0 grams.
+
+    Scale shape (100 TB): the frequency decision runs on a NARROW
+    (xxhash64(gram), 1) projection — ~L rows per doc of 8-byte hashes,
+    the price of any-alignment sensitivity (the published tool pays the
+    same blowup in a suffix array); the duplicated-hash set comes back
+    as a semi-join, and the run-length statistic is ONE per-doc
+    sort-within-group (max_by over a window difference — no per-row
+    Python). Gram identity is the 64-bit hash, same collision contract
+    as :func:`chunk_dedup`.
+    """
+    w = ngram_words
+    if w < 2:
+        raise ValueError(f'ngram_words must be >= 2: {w}')
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    grams = (f'transform(sequence(0, size({ws}) - {w}), '
+             f"i -> array_join(slice({ws}, i + 1, {w}), ' '))")
+    g = (df.where(F.expr(f'size({ws}) >= {w}'))
+         .select(F.col(id_col),
+                 F.posexplode(F.expr(grams)).alias('idx', 'gram'))
+         .withColumn('_h', F.xxhash64('gram'))
+         .select(id_col, 'idx', '_h'))
+    dup_h = (g.groupBy('_h').agg(F.count('*').alias('_n'))
+             .where('_n > 1').select('_h'))
+    dup = g.join(dup_h, '_h', 'left_semi')
+    # consecutive duplicated starts share (idx - rank) — the classic
+    # gaps-and-islands grouping, computed inside the per-doc window
+    wd = Window.partitionBy(id_col).orderBy('idx')
+    runs = (dup.withColumn('_grp', F.col('idx')
+                           - F.row_number().over(wd))
+            .groupBy(id_col, '_grp').agg(F.count('*').alias('_run')))
+    per_doc = (dup.groupBy(id_col).agg(F.count('*').alias('dup_grams'))
+               .join(runs.groupBy(id_col)
+                     .agg(F.max('_run').alias('max_dup_run')), id_col))
+    totals = df.select(
+        F.col(id_col),
+        F.expr(f'CAST(size({ws}) AS BIGINT)').alias('n_words'),
+        F.expr(f'CAST(greatest(size({ws}) - {w - 1}, 0) AS BIGINT)')
+        .alias('n_grams'))
+    return (totals.join(per_doc, id_col, 'left')
+            .select(F.col(id_col), 'n_words', 'n_grams',
+                    F.coalesce('dup_grams', F.lit(0)).alias('dup_grams'),
+                    F.coalesce('max_dup_run', F.lit(0))
+                    .alias('max_dup_run')))
+
+
+def repeated_ngram_spans_oracle_sql(corpus_cte: str,
+                                    text_col: str = 'text',
+                                    id_col: str = 'doc_id',
+                                    ngram_words: int = 10) -> str:
+    """DuckDB twin of :func:`repeated_ngram_spans` (groups by the gram
+    STRING; same gaps-and-islands run statistic)."""
+    w, t, i = ngram_words, text_col, id_col
+    return f"""
+WITH corpus AS ({corpus_cte}),
+ws AS (SELECT {i}, string_split_regex(trim({t}), '\\s+') AS ws
+       FROM corpus),
+g AS (SELECT {i},
+             unnest(generate_series(0, len(ws) - {w})) AS idx,
+             unnest(list_transform(generate_series(1, len(ws) - {w - 1}),
+                 x -> array_to_string(list_slice(ws, x, x + {w - 1}),
+                                      ' '))) AS gram
+      FROM ws WHERE len(ws) >= {w}),
+duph AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+dup AS (SELECT g.{i} AS {i}, g.idx FROM g SEMI JOIN duph USING (gram)),
+runs AS (SELECT {i}, idx - ROW_NUMBER() OVER (PARTITION BY {i}
+                ORDER BY idx) AS grp FROM dup),
+rl AS (SELECT {i}, grp, COUNT(*) AS run FROM runs GROUP BY 1, 2),
+pd AS (SELECT d.{i} AS {i}, COUNT(*) AS dup_grams FROM dup d
+       GROUP BY 1),
+mx AS (SELECT {i}, MAX(run) AS max_dup_run FROM rl GROUP BY 1),
+tot AS (SELECT {i}, CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(greatest(len(ws) - {w - 1}, 0) AS BIGINT) AS n_grams
+        FROM ws)
+SELECT tot.{i} AS {i}, tot.n_words, tot.n_grams,
+       CAST(COALESCE(pd.dup_grams, 0) AS BIGINT) AS dup_grams,
+       CAST(COALESCE(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM tot LEFT JOIN pd USING ({i}) LEFT JOIN mx USING ({i})
+"""

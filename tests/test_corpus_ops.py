@@ -508,3 +508,38 @@ def test_lm_surprisal_reference_model_separates_quality(spark):
     solo = _docs(spark, [(1, 'zeb qox vrm')])
     got = corpus.lm_surprisal(solo).collect()[0]
     assert got['total_bits'] == 0 and got['oov_bigrams'] == 0
+
+
+def test_repeated_ngram_spans_any_alignment(spark):
+    """A copy at an ODD word offset (invisible to fixed-grid chunking)
+    is caught: every 3-gram of the shared span is duplicated; run
+    length recovers the span length (run + w - 1 words)."""
+    #  doc1: words 0..9; doc2 repeats doc1's words 2..8 shifted by 1
+    d1 = 'w0 w1 w2 w3 w4 w5 w6 w7 w8 w9'
+    d2 = 'x0 w2 w3 w4 w5 w6 w7 w8 y0 y1'
+    df = _docs(spark, [(1, d1), (2, d2)])
+    out = {r['doc_id']: r for r in
+           corpus.repeated_ngram_spans(df, ngram_words=3).collect()}
+    # shared span 'w2..w8' = 7 words -> 5 duplicated 3-gram starts,
+    # consecutive -> max run 5; span length 5+3-1 = 7 words recovered
+    assert out[1]['n_grams'] == 8 and out[1]['dup_grams'] == 5
+    assert out[1]['max_dup_run'] == 5
+    assert out[2]['dup_grams'] == 5 and out[2]['max_dup_run'] == 5
+
+
+def test_repeated_ngram_spans_within_doc_and_short(spark):
+    df = _docs(spark, [
+        (1, 'a b a b a b'),       # within-doc repetition
+        (2, 'too short'),         # < ngram_words
+        (3, 'p q r s t'),         # all grams unique
+    ])
+    out = {r['doc_id']: r for r in
+           corpus.repeated_ngram_spans(df, ngram_words=3).collect()}
+    # doc1 3-grams: 'a b a','b a b','a b a','b a b' -> all 4 duplicated
+    assert out[1] and out[1]['dup_grams'] == 4
+    assert out[1]['max_dup_run'] == 4
+    assert out[2]['n_grams'] == 0 and out[2]['dup_grams'] == 0
+    assert out[3]['dup_grams'] == 0 and out[3]['max_dup_run'] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.repeated_ngram_spans(df, ngram_words=1)
