@@ -605,6 +605,59 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'rs_sum'))
 
 
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame (video-path) decode through the multimodal seam,
+    value-checked: per document a deterministic animated GIF (frame
+    count, size, palette and every pixel index derived from doc_id
+    arithmetic) is LZW-encoded, then ``decode_media_meta(decoder='gif')``
+    recovers n_frames/width/height from the decoded stack and
+    ``sample_frames(every_n=2)`` emits real decoded frames whose byte
+    sum has a closed form the DuckDB oracle recomputes from doc_id
+    alone. A wrong LZW walk, palette lookup, or frame stride breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from buzzard_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id')
+    pal = np.stack([(np.arange(16) * 7 % 256).astype(np.uint8)] * 3,
+                   axis=1)
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf['doc_id']:
+                d = int(d)
+                nf, h, w = 1 + d % 5, 3 + d % 7, 2 + d % 6
+                base = d + np.arange(nf)[:, None, None] * 3 \
+                    + np.arange(h)[None, :, None] * w \
+                    + np.arange(w)[None, None, :]
+                frames = (base % 16).astype(np.uint8)
+                ids.append(d)
+                blobs.append(mm.encode_gif(frames, pal))
+            yield pd.DataFrame({'id': ids, 'payload': blobs})
+
+    media = docs.mapInPandas(_mk, 'id long, payload binary')
+    meta = (mm.decode_media_meta(media, decoder='gif')
+            .select('id', 'n_frames', 'width', 'height'))
+    fr = mm.sample_frames(media, every_n=2, decoder='gif')
+
+    def _sum(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                'id': pdf['id'],
+                's': [int(np.frombuffer(b, np.uint8).sum())
+                      for b in pdf['frame']]})
+
+    sums = (fr.mapInPandas(_sum, 'id long, s long')
+            .groupBy('id').agg(F.sum('s').alias('px_sum')))
+    return (meta.join(sums, 'id')
+            .select(F.col('id').alias('doc_id'), 'n_frames',
+                    'width', 'height', 'px_sum'))
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -1169,6 +1222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'anchor_terms': q_anchor_terms,
     'lm_surprisal': q_lm_surprisal,
     'repeated_ngram_spans': q_repeated_ngram_spans,
+    'gif_meta': q_gif_meta,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1778,6 +1832,19 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'gif_meta': (
+            'WITH p AS (SELECT doc_id, 1 + doc_id % 5 AS nf, '
+            '3 + doc_id % 7 AS h, 2 + doc_id % 6 AS w FROM documents), '
+            's AS (SELECT p.doc_id, CAST(SUM(3 * '
+            '(((p.doc_id + f.i * 3 + r.i * p.w + c.i) % 16) * 7 % 256))'
+            ' AS BIGINT) AS px_sum '
+            'FROM p JOIN range(0, 5) f(i) '
+            'ON f.i < p.nf AND f.i % 2 = 0 '
+            'JOIN range(0, 10) r(i) ON r.i < p.h '
+            'JOIN range(0, 8) c(i) ON c.i < p.w GROUP BY 1) '
+            'SELECT p.doc_id, CAST(p.nf AS INT) AS n_frames, '
+            'CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height, '
+            's.px_sum FROM p JOIN s USING (doc_id)'),
         'repeated_ngram_spans': corpus_ops.repeated_ngram_spans_oracle_sql(
             'SELECT doc_id, text FROM documents UNION ALL '
             'SELECT doc_id + 1000000 AS doc_id, array_to_string('

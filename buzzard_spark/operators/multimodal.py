@@ -22,6 +22,12 @@ are NOT in this container, so the decode step is pluggable:
   int16); publishes a ``media_meta`` hook so metadata reports
   sample_rate/n_frames/duration_ms instead of image dimensions
   (value-checked by the ``wav_meta`` oracle).
+- ``decoder='gif'`` — REAL multi-frame decode (``decode_gif``: GIF87a/
+  89a LZW, global/local palettes, interlace, sub-rect composition with
+  disposal 0/1/2 and transparency → (n_frames, h, w, 3) uint8) — makes
+  the VIDEO path real: ``sample_frames`` strides over actual decoded
+  frames (value-checked by the ``gif_meta`` oracle; ``encode_gif`` is
+  the round-trip twin).
 - ``decoder=<callable bytes → np.ndarray>`` — any other codec plugged in
   by the caller (e.g. ``lambda b: np.asarray(PIL.Image.open(...))``)
   ships to the workers via cloudpickle and runs inside the same
@@ -310,6 +316,247 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             chunk(b'IEND', b''))
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW decompression (public spec, GIF89a appendix F):
+    variable code width starting at min_code_size+1, LSB-first bit
+    packing, clear/EOI codes, dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [(i,) for i in range(clear)] + [(), ()]
+    out: list = []
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + (entry[0],))
+            else:                       # the KwKwK case
+                entry = prev + (prev[0],)
+                if len(table) < 4096:
+                    table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression (inverse of :func:`_gif_lzw_decode`)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    bits = []                                    # (code, width) stream
+
+    def emit(code, w):
+        bits.append((code, w))
+
+    emit(clear, width)
+    w_seq: tuple = ()
+    for k in indices:
+        k = int(k)
+        cand = w_seq + (k,)
+        if cand in table:
+            w_seq = cand
+            continue
+        emit(table[w_seq], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            nxt += 1
+        else:                                    # table full: reset
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        w_seq = (k,)
+    if w_seq:
+        emit(table[w_seq], width)
+    emit(eoi, width)
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL multi-frame image decode, pure stdlib+numpy: GIF87a/89a
+    (public spec) — LZW decompression, global/local color tables,
+    interlacing, frame sub-rectangles composited onto the logical
+    screen with disposal methods 0/1 (leave) and 2 (restore to
+    background), transparency via the GCE transparent index. This is
+    the codec that makes the VIDEO path of the multimodal seam real:
+    an animated GIF decodes to ``(n_frames, h, w, 3) uint8`` and
+    :func:`sample_frames` strides over ACTUAL decoded frames.
+
+    Unsupported (clear error, never a wrong image): disposal method 3
+    (restore-to-previous), sort/reserved header bits are ignored per
+    spec. Single-frame GIFs still return a leading frame axis of 1.
+    """
+    if payload[:6] not in (b'GIF87a', b'GIF89a'):
+        raise ValueError('not a GIF payload (bad signature)')
+    sw = int.from_bytes(payload[6:8], 'little')
+    sh = int.from_bytes(payload[8:10], 'little')
+    flags = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+          else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    frames = []
+    transparent = None
+    disposal = 0
+    pending_restore = None                       # rect to clear AFTER emit
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                            # trailer
+            break
+        if b == 0x21:                            # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:                    # graphic control
+                sz = payload[pos]
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x7
+                transparent = payload[pos + 4] if gflags & 1 else None
+                if disposal == 3:
+                    raise ValueError(
+                        'GIF disposal method 3 (restore-to-previous) '
+                        'not supported')
+                pos += sz + 1
+            while payload[pos] != 0:             # skip (sub)blocks
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f'unexpected GIF block 0x{b:02x}')
+        ix = int.from_bytes(payload[pos + 1:pos + 3], 'little')
+        iy = int.from_bytes(payload[pos + 3:pos + 5], 'little')
+        iw = int.from_bytes(payload[pos + 5:pos + 7], 'little')
+        ih = int.from_bytes(payload[pos + 7:pos + 9], 'little')
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError('GIF image without any color table')
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.array(_gif_lzw_decode(bytes(lzw), min_code),
+                       np.int32)[:ih * iw].reshape(ih, iw)
+        if iflags & 0x40:                        # interlaced row order
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, ih, step)
+                for r in rows:
+                    deinter[r] = idx[src]
+                    src += 1
+            idx = deinter
+        if pending_restore is not None:
+            rx, ry, rw, rh = pending_restore
+            canvas[ry:ry + rh, rx:rx + rw] = bg
+            pending_restore = None
+        region = canvas[iy:iy + ih, ix:ix + iw]
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            region[...] = np.where(mask, rgb, region)
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            pending_restore = (ix, iy, iw, ih)
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError('GIF payload contains no image frames')
+    return np.stack(frames)
+
+
+def encode_gif(frames: np.ndarray, palette: np.ndarray,
+               delay_cs: int = 4) -> bytes:
+    """GIF89a encoder (pure stdlib+numpy), the test/round-trip twin of
+    :func:`decode_gif`: ``frames`` is (n, h, w) palette INDICES uint8,
+    ``palette`` an (p, 3) uint8 color table (padded to a power of two);
+    every frame is written full-size with LZW compression and a GCE
+    carrying ``delay_cs``."""
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    n, h, w = frames.shape
+    p = len(palette)
+    depth = max(1, (int(p) - 1).bit_length())
+    full = 1 << depth
+    pal = np.zeros((full, 3), np.uint8)
+    pal[:p] = palette
+    out = bytearray()
+    out += b'GIF89a'
+    out += w.to_bytes(2, 'little') + h.to_bytes(2, 'little')
+    out += bytes([0x80 | (depth - 1), 0, 0])     # GCT flag+size, bg, par
+    out += pal.tobytes()
+    min_code = max(2, depth)
+    for f in frames:
+        out += bytes([0x21, 0xF9, 4, 0, delay_cs & 0xFF,
+                      (delay_cs >> 8) & 0xFF, 0, 0])
+        out += bytes([0x2C]) + (0).to_bytes(2, 'little') * 2 \
+            + w.to_bytes(2, 'little') + h.to_bytes(2, 'little') \
+            + bytes([0])
+        out += bytes([min_code])
+        comp = _gif_lzw_encode(f.ravel(), min_code)
+        for i in range(0, len(comp), 255):
+            blk = comp[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
 
 
 def decode_wav(payload: bytes) -> np.ndarray:
@@ -389,7 +636,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 REAL_DECODERS = {'ppm': decode_ppm, 'bmp': decode_bmp,
-                 'png': decode_png, 'wav': decode_wav}
+                 'png': decode_png, 'wav': decode_wav,
+                 'gif': decode_gif}
 
 
 def _fake_decode_meta(payload: bytes) -> dict:

@@ -764,3 +764,131 @@ def test_wav_decoder_rejects_malformed():
     oddchunk = b'LIST' + (3).to_bytes(4, 'little') + b'abc\x00'
     padded = wav[:12] + oddchunk + wav[12:]
     assert mm.decode_wav(padded).shape == (8, 1)
+
+
+def test_gif_lzw_and_roundtrip():
+    """Encoder→decoder pixel-exact roundtrip across palette depths and
+    frame counts; LZW table-reset path exercised by a >4096-entry
+    stream of varied pixels."""
+    rng = np.random.RandomState(11)
+    for depth, shape in ((4, (1, 9, 11)), (64, (3, 17, 23)),
+                         (256, (2, 40, 50))):
+        pal = rng.randint(0, 256, (depth, 3)).astype(np.uint8)
+        frames = rng.randint(0, depth, shape).astype(np.uint8)
+        dec = multimodal.decode_gif(multimodal.encode_gif(frames, pal))
+        assert dec.shape == shape + (3,)
+        assert np.array_equal(dec, pal[frames])
+    # large varied frame -> LZW dictionary overflow + reset path
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    big = rng.randint(0, 256, (1, 120, 130)).astype(np.uint8)
+    dec = multimodal.decode_gif(multimodal.encode_gif(big, pal))
+    assert np.array_equal(dec, pal[big])
+
+
+def test_gif_interlace_subrect_transparency_disposal():
+    """Hand-built GIF exercising decoder paths the encoder never emits:
+    an interlaced first frame, then a sub-rect second frame with a
+    transparent index (composites onto frame 1), then a disposal-2
+    frame whose region is restored to background before frame 4."""
+    import numpy as np
+    pal = np.stack([np.arange(8, dtype=np.uint8) * 32] * 3, axis=1)
+    h, w = 8, 4
+    f1 = (np.arange(h * w, dtype=np.uint8) % 8).reshape(h, w)
+
+    def lzw_blocks(indices, mcs):
+        comp = multimodal._gif_lzw_encode(indices.ravel(), mcs)
+        out = b''
+        for i in range(0, len(comp), 255):
+            blk = comp[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        return out + b'\x00'
+
+    buf = bytearray()
+    buf += b'GIF89a' + w.to_bytes(2, 'little') + h.to_bytes(2, 'little')
+    buf += bytes([0x80 | 2, 0, 0]) + pal.tobytes()      # 8-color GCT, bg=0
+    # frame 1: full-size, INTERLACED — rows stored in pass order
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(start, h, step)]
+    buf += bytes([0x2C]) + b'\x00\x00\x00\x00' \
+        + w.to_bytes(2, 'little') + h.to_bytes(2, 'little') + bytes([0x40])
+    buf += bytes([3]) + lzw_blocks(f1[order], 3)
+    # frame 2: 2x2 sub-rect at (1,2), index 5 transparent
+    sub = np.array([[5, 6], [7, 5]], np.uint8)
+    buf += bytes([0x21, 0xF9, 4, 0b001, 0, 0, 5, 0])    # GCE transp=5
+    buf += bytes([0x2C]) + (1).to_bytes(2, 'little') \
+        + (2).to_bytes(2, 'little') + (2).to_bytes(2, 'little') \
+        + (2).to_bytes(2, 'little') + bytes([0])
+    buf += bytes([3]) + lzw_blocks(sub, 3)
+    # frame 3: 1x1 at (0,0) with disposal=2 (restore to background)
+    one = np.array([[7]], np.uint8)
+    buf += bytes([0x21, 0xF9, 4, 0b1000, 0, 0, 0, 0])   # disposal 2
+    buf += bytes([0x2C]) + b'\x00\x00\x00\x00' \
+        + (1).to_bytes(2, 'little') + (1).to_bytes(2, 'little') + bytes([0])
+    buf += bytes([3]) + lzw_blocks(one, 3)
+    # frame 4: 1x1 at (3,7) — checks frame-3 region was restored
+    buf += bytes([0x2C]) + (3).to_bytes(2, 'little') \
+        + (7).to_bytes(2, 'little') + (1).to_bytes(2, 'little') \
+        + (1).to_bytes(2, 'little') + bytes([0])
+    buf += bytes([3]) + lzw_blocks(one, 3)
+    buf += bytes([0x3B])
+
+    dec = multimodal.decode_gif(bytes(buf))
+    assert dec.shape == (4, h, w, 3)
+    # frame 1: interlace undone -> natural row order
+    assert np.array_equal(dec[0], pal[f1])
+    # frame 2: index 6 and 7 painted, 5s transparent (frame-1 shows)
+    exp2 = pal[f1].copy()
+    exp2[2, 2] = pal[6]
+    exp2[3, 1] = pal[7]
+    assert np.array_equal(dec[1], exp2)
+    # frame 3: pixel (0,0) painted 7 on top of frame 2
+    exp3 = exp2.copy()
+    exp3[0, 0] = pal[7]
+    assert np.array_equal(dec[2], exp3)
+    # frame 4: (0,0) RESTORED to background (index 0), (7,3) painted
+    exp4 = exp2.copy()
+    exp4[0, 0] = pal[0]
+    exp4[7, 3] = pal[7]
+    assert np.array_equal(dec[3], exp4)
+
+
+def test_gif_rejects_malformed():
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b'NOTAGIF' + b'\x00' * 20)
+    # disposal 3 -> clear error
+    pal = np.zeros((4, 3), np.uint8)
+    f = np.zeros((1, 2, 2), np.uint8)
+    buf = bytearray(multimodal.encode_gif(f, pal))
+    # encoder GCE flags byte sits right after the first 0x21 0xF9 0x04
+    i = bytes(buf).index(bytes([0x21, 0xF9, 4])) + 3
+    buf[i] = 3 << 2
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(bytes(buf))
+
+
+def test_gif_through_multimodal_seam(spark):
+    """Animated GIFs through decode_media_meta and sample_frames with
+    decoder='gif': n_frames from the REAL decode, sampled frame bytes
+    equal the decoded frames at the stride."""
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    payloads = {}
+    for i in range(4):
+        frames = rng.randint(0, 16, (2 + i * 2, 6, 7)).astype(np.uint8)
+        payloads[i] = (frames, multimodal.encode_gif(frames, pal))
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (_, p) in payloads.items()],
+        'id long, payload binary')
+    meta = {r['id']: r for r in multimodal.decode_media_meta(
+        df, decoder='gif').collect()}
+    for i, (frames, p) in payloads.items():
+        assert meta[i]['n_frames'] == frames.shape[0]
+        assert meta[i]['height'] == 6 and meta[i]['width'] == 7
+        assert meta[i]['byte_len'] == len(p)
+    fr = multimodal.sample_frames(df, every_n=2, decoder='gif').collect()
+    got = {(r['id'], r['frame_idx']): bytes(r['frame']) for r in fr}
+    for i, (frames, _) in payloads.items():
+        exp_idx = list(range(0, frames.shape[0], 2))
+        assert sorted(fi for (d, fi) in got if d == i) == exp_idx
+        for fi in exp_idx:
+            assert got[(i, fi)] == pal[frames[fi]].tobytes()
