@@ -605,6 +605,21 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'rs_sum'))
 
 
+def q_bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom pruning: the filter is built from BUILDING-segment
+    customer keys and applied to the orders probe side before any join
+    — the surviving row set (true members + the filter's deterministic
+    false positives) is value-checked bit-for-bit, so a wrong hash
+    slice, word layout, or bit test changes the rows."""
+    cust = spark.read.parquet(f'{sf_dir}/customer.parquet')
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet') \
+        .select('o_orderkey', 'o_custkey')
+    build = cust.where("c_mktsegment = 'BUILDING'").select('c_custkey')
+    return sketch_ops.bloom_filter(orders, build,
+                                   'o_custkey', 'c_custkey',
+                                   m_bits=4096, k=4)
+
+
 def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-frame (video-path) decode through the multimodal seam,
     value-checked: per document a deterministic animated GIF (frame
@@ -1223,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'lm_surprisal': q_lm_surprisal,
     'repeated_ngram_spans': q_repeated_ngram_spans,
     'gif_meta': q_gif_meta,
+    'bloom_pruned_orders': q_bloom_pruned_orders,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1832,6 +1848,11 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'bloom_pruned_orders': sketch_ops.bloom_filter_oracle_sql(
+            'SELECT o_orderkey, o_custkey FROM orders',
+            "SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'",
+            'o_custkey', 'c_custkey', m_bits=4096, k=4),
         'gif_meta': (
             'WITH p AS (SELECT doc_id, 1 + doc_id % 5 AS nf, '
             '3 + doc_id % 7 AS h, 2 + doc_id % 6 AS w FROM documents), '

@@ -47,7 +47,8 @@ from buzzard_spark.functions.sqlgen import dlit
 from buzzard_spark.operators.text import _nibble_sql
 
 __all__ = ['approx_distinct', 'approx_distinct_oracle_sql',
-           'count_min_estimates', 'count_min_oracle_sql']
+           'count_min_estimates', 'count_min_oracle_sql',
+           'bloom_filter', 'bloom_filter_oracle_sql']
 
 # w takes the first 10 md5 nibbles = 40 uniform bits; rho in 1..41
 _W_NIBBLES = 10
@@ -232,3 +233,98 @@ def count_min_oracle_sql(table: str, value_col: str,
         f'CAST(MIN(s.cell) AS BIGINT) AS cm_est '
         f'FROM tall t JOIN sketch s USING (i, c) '
         f'GROUP BY t.v, t.n_true')
+
+
+def _bloom_pos_sql(j: int, m_bits: int, dialect: str) -> str:
+    """Bit position j of the Bloom filter for pre-hashed hex column
+    ``_h``: 4 md5 nibbles (16 uniform bits) per hash function, modulo
+    the power-of-two ``m_bits``."""
+    return f'({_nibble_int_sql("_h", 1 + 4 * j, 4, dialect)} % {m_bits})'
+
+
+def bloom_filter(probe: DataFrame, build: DataFrame,
+                 probe_col: str, build_col: str,
+                 m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Runtime Bloom-filter pruning of a huge probe side (the engine-
+    level analogue of Spark 3.3's runtime row-group filters, but
+    deterministic and cross-engine-exact): the build side's keys set
+    ``k`` md5-derived bits in an ``m_bits``-bit filter; probe rows whose
+    bits are not all set are dropped BEFORE any join shuffle. Returns
+    the passing probe rows (true members plus the filter's deterministic
+    false positives — membership is a pure function of (key, m_bits, k),
+    so the DuckDB oracle reproduces the exact row set, FPs included).
+
+    Scale shape (100 TB): the build aggregates to ``m_bits/64`` BIGINT
+    words via map-side-combinable ``bit_or`` — executor-local filters
+    merge exactly like production bloom builds — and the finished words
+    (~8 KiB at the default; packed 63 bits per BIGINT word so no shift
+    ever touches the sign bit — DuckDB raises on 1<<63 where Java wraps) are embedded as a literal array in the probe
+    predicate: whole-stage codegen, no join, no shuffle of the probe.
+    The ONE driver action is collecting those words — bounded by
+    ``m_bits``, never by data size (same bounded-collect contract as the
+    IVF centroid sample). FP rate ≈ (1 - e^(-k·n/m))^k; size ``m_bits``
+    ≥ ~10 bits/key for ~1% at k=4, and k·4 md5 nibbles must fit the 32
+    available (k ≤ 8), m_bits ≤ 2^16 (16 bits per position).
+    """
+    if m_bits & (m_bits - 1) or not (64 <= m_bits <= 65536):
+        raise ValueError(f'm_bits must be a power of two in [64, 65536]: '
+                         f'{m_bits}')
+    if not (1 <= k <= 8):
+        raise ValueError(f'k must be in [1, 8]: {k}')
+    # 63 bits per BIGINT word: the max shift is 62, which both Spark
+    # and DuckDB evaluate without sign-bit overflow (DuckDB raises on
+    # 1::BIGINT << 63 where Java silently wraps — the pairing rule)
+    n_words = (m_bits + 62) // 63
+    pos = [_bloom_pos_sql(j, m_bits, 'spark') for j in range(k)]
+    built = (build
+             .select(F.md5(F.col(build_col).cast('string')).alias('_h'))
+             .select(F.explode(F.array(
+                 *[F.expr(p) for p in pos])).alias('_p'))
+             .select(F.expr('_p DIV 63').alias('_wi'),
+                     F.expr('shiftleft(CAST(1 AS BIGINT), '
+                            'CAST(_p % 63 AS INT))').alias('_b'))
+             .groupBy('_wi').agg(F.bit_or('_b').alias('_w'))
+             .collect())
+    words = [0] * n_words
+    for r in built:
+        words[r['_wi']] = r['_w']
+    arr = 'array(' + ', '.join(f'CAST({w} AS BIGINT)'
+                               for w in words) + ')'
+    checks = ' AND '.join(
+        f'(element_at({arr}, CAST({p} DIV 63 AS INT) + 1) & '
+        f'shiftleft(CAST(1 AS BIGINT), CAST({p} % 63 AS INT))) != 0'
+        for p in pos)
+    return (probe
+            .withColumn('_h', F.md5(F.col(probe_col).cast('string')))
+            .where(F.expr(checks))
+            .drop('_h'))
+
+
+def bloom_filter_oracle_sql(probe_cte: str, build_cte: str,
+                            probe_col: str, build_col: str,
+                            m_bits: int = 8192, k: int = 4,
+                            select: str = '*') -> str:
+    """DuckDB twin of :func:`bloom_filter`: identical md5-derived
+    positions and word layout, membership via an explode + word join
+    instead of the literal-array probe (same row set, FPs included).
+    ``probe_cte``/``build_cte``: SQL for CTEs named probe/build."""
+    pos_b = [_bloom_pos_sql(j, m_bits, 'duckdb') for j in range(k)]
+    poslist = '[' + ', '.join(pos_b) + ']'
+    return f"""
+WITH probe AS ({probe_cte}), build AS ({build_cte}),
+bh AS (SELECT md5(CAST({build_col} AS VARCHAR)) AS _h FROM build),
+bp AS (SELECT unnest({poslist}) AS p FROM bh),
+words AS (SELECT p // 63 AS wi,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS w
+          FROM bp GROUP BY 1),
+ph AS (SELECT DISTINCT {probe_col} AS pk,
+               md5(CAST({probe_col} AS VARCHAR)) AS _h FROM probe),
+pp AS (SELECT pk, unnest({poslist}) AS p FROM ph),
+hits AS (SELECT pk, COUNT(*) AS nh FROM pp
+         JOIN words ON pp.p // 63 = words.wi
+                   AND (words.w & (CAST(1 AS BIGINT)
+                        << CAST(pp.p % 63 AS INT))) <> 0
+         GROUP BY pk),
+pass AS (SELECT pk FROM hits WHERE nh = {k})
+SELECT {select} FROM probe SEMI JOIN pass ON {probe_col} = pass.pk
+"""

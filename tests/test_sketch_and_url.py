@@ -331,3 +331,39 @@ def test_anchor_terms_aggregation(spark):
     assert got[('b.x', 'other')] == (1, 1)
     assert got[('b.x', 'place')] == (1, 2)
     assert not any(h == 'c.x' for h, _ in got)  # empty anchor text
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """Every true member passes (no false negatives — the bloom
+    guarantee); most non-members are pruned at 8 bits/key; membership
+    matches a pure-python recompute of the same bloom bit-for-bit."""
+    import hashlib
+    build_keys = list(range(0, 2000, 20))            # 100 keys
+    probe_keys = list(range(1000))                    # 100 members
+    build = spark.createDataFrame([(kk,) for kk in build_keys], 'k long')
+    probe = spark.createDataFrame([(kk,) for kk in probe_keys], 'k long')
+    out = {r['k'] for r in sketch.bloom_filter(
+        probe, build, 'k', 'k', m_bits=1024, k=4).collect()}
+    members = {kk for kk in probe_keys if kk in set(build_keys)}
+    assert members <= out                             # no false negatives
+    assert len(out) < 200                             # real pruning
+
+    def positions(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(h[4 * j:4 * j + 4], 16) % 1024 for j in range(4)]
+
+    bits = set()
+    for kk in build_keys:
+        bits.update(positions(kk))
+    expect = {kk for kk in probe_keys
+              if all(p in bits for p in positions(kk))}
+    assert out == expect                              # exact, FPs included
+
+
+def test_bloom_filter_validates_params(spark):
+    df = spark.createDataFrame([(1,)], 'k long')
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketch.bloom_filter(df, df, 'k', 'k', m_bits=1000)
+    with _pytest.raises(ValueError):
+        sketch.bloom_filter(df, df, 'k', 'k', k=9)
