@@ -730,6 +730,21 @@ FROM tot LEFT JOIN reb USING ({i})
 """
 
 
+def score_priorities(df: DataFrame, weight_col: str,
+                     id_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+    """Stateless scoring stage shared by :func:`weighted_sample` and the
+    streaming sampler: adds the deterministic ``priority`` column
+    ``w · 2^32 / (md5_u32(id, seed) + 1)`` (one exact dyadic scale + one
+    correctly-rounded IEEE division — bit-identical in any engine)."""
+    h = F.md5(F.concat_ws(':', F.col(id_col).cast('string'),
+                          F.lit(str(seed))))
+    u32 = _hash_u32_sql('_h', 'spark')
+    q = (f'CAST({weight_col} AS DOUBLE) * CAST(4294967296 AS DOUBLE) '
+         f'/ CAST(({u32}) + 1 AS DOUBLE)')
+    return (df.withColumn('_h', h)
+            .withColumn('priority', F.expr(q)).drop('_h'))
+
+
 def weighted_sample(df: DataFrame, weight_col: str, k: int,
                     id_col: str = 'doc_id', seed: int = 42,
                     strata_col: str | None = None) -> DataFrame:
@@ -763,13 +778,7 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     """
     if k < 1:
         raise ValueError(f'k must be >= 1: {k}')
-    h = F.md5(F.concat_ws(':', F.col(id_col).cast('string'),
-                          F.lit(str(seed))))
-    u32 = _hash_u32_sql('_h', 'spark')
-    q = (f'CAST({weight_col} AS DOUBLE) * CAST(4294967296 AS DOUBLE) '
-         f'/ CAST(({u32}) + 1 AS DOUBLE)')
-    scored = (df.withColumn('_h', h)
-              .withColumn('priority', F.expr(q)).drop('_h'))
+    scored = score_priorities(df, weight_col, id_col, seed)
     if strata_col is not None:
         w = Window.partitionBy(strata_col).orderBy(
             F.col('priority').desc(), F.col(id_col).asc())

@@ -369,3 +369,79 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
                     (F.unix_timestamp(f'r.{right_ts}')
                      - F.unix_timestamp(f'l.{left_ts}'))
                     .cast('long').alias('lag_sec')))
+
+
+def stream_weighted_sample(rows: DataFrame, weight_col: str, k: int,
+                           id_col: str = 'doc_id', seed: int = 42,
+                           strata_col: str = 'stratum') -> DataFrame:
+    """Streaming deterministic priority sampling — the ingestion-side
+    twin of ``operators.corpus.weighted_sample``. Because priorities are
+    a pure function of (id, seed, weight), top-k-by-priority is order-
+    insensitive: after any prefix of the stream the maintained sample
+    equals the batch sampler over the rows seen so far, and after the
+    whole stream it equals the batch result EXACTLY (the streaming==
+    batch pytest pins priorities, membership, and the Horvitz-Thompson
+    ``w_est``). This is the property that lets a 100-TB ingest keep a
+    live weighted sample without ever re-scanning.
+
+    State per stratum is the top-(k+1) (priority, id, weight) triples —
+    three bounded arrays, no row buffering, no timeout (the sample only
+    improves; nothing expires). Scoring is the batch operator's
+    stateless expression; the merge is a vectorized pandas
+    sort-and-truncate per micro-batch. Emits (update mode) the
+    stratum's refreshed sample each batch it changes::
+
+        (stratum, doc_id, w, priority, w_est, n_seen)
+
+    ``n_seen`` (rows absorbed so far) lets a consumer pick each
+    stratum's latest emission from an append-only sink.
+    """
+    from buzzard_spark.operators.corpus import score_priorities
+    if k < 1:
+        raise ValueError(f'k must be >= 1: {k}')
+    scored = score_priorities(rows, weight_col, id_col, seed).select(
+        F.col(strata_col).cast('string').alias('stratum'),
+        F.col(id_col).cast('long').alias('id'),
+        F.col(weight_col).cast('long').alias('w'),
+        'priority')
+
+    def _update(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        new = pd.concat(list(pdfs))
+        if state.exists:
+            ps, ids, ws, seen = state.get
+            cur = pd.DataFrame({'priority': list(ps), 'id': list(ids),
+                                'w': list(ws)})
+            merged = pd.concat([cur, new[['priority', 'id', 'w']]])
+        else:
+            seen = 0
+            merged = new[['priority', 'id', 'w']]
+        seen += len(new)
+        merged = (merged.sort_values(['priority', 'id'],
+                                     ascending=[False, True])
+                  .head(k + 1))
+        state.update((merged['priority'].tolist(),
+                      merged['id'].tolist(),
+                      merged['w'].tolist(), int(seen)))
+        tau = (float(merged['priority'].iloc[k])
+               if len(merged) > k else 0.0)
+        top = merged.head(k)
+        yield pd.DataFrame({
+            'stratum': key[0],
+            'doc_id': top['id'].astype('int64'),
+            'w': top['w'].astype('int64'),
+            'priority': top['priority'].astype('float64'),
+            'w_est': top['w'].astype('float64').clip(lower=tau),
+            'n_seen': int(seen)})
+
+    return (scored
+            .groupBy('stratum')
+            .applyInPandasWithState(
+                _update,
+                outputStructType='stratum string, doc_id long, w long, '
+                                 'priority double, w_est double, '
+                                 'n_seen long',
+                stateStructType='ps array<double>, ids array<long>, '
+                                'ws array<long>, seen long',
+                outputMode='update',
+                timeoutConf=GroupStateTimeout.NoTimeout))

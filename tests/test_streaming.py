@@ -472,3 +472,45 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
                  - F.unix_timestamp('l.l_ts')).cast('long').alias('lag'))
             .collect()}
     assert got == want and len(got) == 2
+
+
+def test_stream_weighted_sample_matches_batch(spark, tmp_path):
+    """Streaming priority sampling == batch weighted_sample over the
+    same rows: priorities are order-insensitive pure functions, so the
+    final per-stratum sample (rows with max n_seen) must match batch
+    membership, priorities, AND the w_est estimator exactly."""
+    import time
+    rows = [(i, 'en' if i % 2 == 0 else 'fr', 10 + (i * 37) % 90)
+            for i in range(60)]
+    src = tmp_path / 'ws_stream'
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:25], rows[25:])):
+        (spark.createDataFrame(chunk, 'doc_id long, lang string, w long')
+         .coalesce(1).write.parquet(str(src / f'b{bi}')))
+        time.sleep(1.1)
+    stream = (spark.readStream
+              .schema('doc_id long, lang string, w long')
+              .option('maxFilesPerTrigger', 1).parquet(f'{src}/*'))
+    out = stream_ops.stream_weighted_sample(stream, 'w', 5,
+                                            strata_col='lang')
+    sink = _run_stream(out, tmp_path, mode='update')
+    all_rows = spark.sql(f'SELECT * FROM {sink}').collect()
+    latest = {}
+    for r in all_rows:
+        if (r['stratum'] not in latest
+                or r['n_seen'] > latest[r['stratum']][0]['n_seen']):
+            latest.setdefault(r['stratum'], [])
+            latest[r['stratum']] = [x for x in latest[r['stratum']]
+                                    if x['n_seen'] >= r['n_seen']]
+            latest[r['stratum']].append(r)
+        elif r['n_seen'] == latest[r['stratum']][0]['n_seen']:
+            latest[r['stratum']].append(r)
+    got = {(r['stratum'], r['doc_id'], r['priority'], r['w_est'])
+           for rs in latest.values() for r in rs}
+
+    from buzzard_spark.operators import corpus
+    batch = spark.createDataFrame(rows, 'doc_id long, lang string, w long')
+    exp = {(r['lang'], r['doc_id'], r['priority'], r['w_est'])
+           for r in corpus.weighted_sample(batch, 'w', 5,
+                                           strata_col='lang').collect()}
+    assert got == exp
