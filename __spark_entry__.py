@@ -605,6 +605,40 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'rs_sum'))
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-map resolution over a halving-chain fixture (u_d →
+    u_{d div 2}, terminal u0) plus a 3-cycle and a chain feeding it —
+    log-round pointer doubling vs the oracle's recursive-CTE walk;
+    cycle rows must come back NULL/true in both engines."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    chain = (docs.where('doc_id >= 1')
+             .select(F.expr("concat('u', CAST(doc_id AS STRING))")
+                     .alias('src'),
+                     F.expr("concat('u', CAST(doc_id DIV 2 AS STRING))")
+                     .alias('dst')))
+    extra = spark.createDataFrame(
+        [('c0', 'c1'), ('c1', 'c2'), ('c2', 'c0'), ('f', 'c0')],
+        'src string, dst string')
+    return graph_ops.resolve_redirects(chain.unionByName(extra))
+
+
+def q_incremental_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: the truncated copies arrive as the NEW
+    batch and dedup against the fingerprint index of the originals —
+    the oracle is the same exact all-pairs Jaccard truth restricted to
+    pairs with at least one new member (old-old must not appear)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    words = "split(trim(text), '\\\\s+')"
+    new = (docs.where(F.expr(f'size({words}) > 20'))
+           .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                   F.expr(f"array_join(slice({words}, 1, "
+                          f"size({words}) - 10), ' ')").alias('text')))
+    index = dedup_ops.build_dedup_index(_spread(docs))
+    return dedup_ops.incremental_near_pairs(_spread(new), index,
+                                            threshold=0.6)
+
+
 def q_bloom_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom pruning: the filter is built from BUILDING-segment
     customer keys and applied to the orders probe side before any join
@@ -1239,6 +1273,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'repeated_ngram_spans': q_repeated_ngram_spans,
     'gif_meta': q_gif_meta,
     'bloom_pruned_orders': q_bloom_pruned_orders,
+    'incremental_near_pairs': q_incremental_near_pairs,
+    'resolve_redirects': q_resolve_redirects,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1848,6 +1884,28 @@ def oracle_sql() -> dict[str, str]:
             'DESC, allow DESC) AS rn FROM j) '
             'SELECT url, CASE WHEN hit IS NULL OR NOT hit THEN TRUE '
             'ELSE allow END AS allowed FROM rk WHERE rn = 1'),
+        'resolve_redirects': (
+            'WITH RECURSIVE '
+            "e AS (SELECT concat('u', CAST(doc_id AS VARCHAR)) AS src, "
+            "concat('u', CAST(doc_id // 2 AS VARCHAR)) AS dst "
+            'FROM documents WHERE doc_id >= 1 '
+            "UNION ALL SELECT * FROM (VALUES ('c0', 'c1'), "
+            "('c1', 'c2'), ('c2', 'c0'), ('f', 'c0')) v(src, dst)), "
+            'walk(src, cur) AS (SELECT src, dst FROM e UNION '
+            'SELECT w.src, e2.dst FROM walk w '
+            'JOIN e e2 ON e2.src = w.cur), '
+            'term AS (SELECT w.src, w.cur AS final FROM walk w '
+            'ANTI JOIN e ON e.src = w.cur) '
+            'SELECT e.src, t.final, t.final IS NULL AS is_cycle '
+            'FROM e LEFT JOIN term t USING (src)'),
+        # incremental: same exact-Jaccard truth, pairs with >= 1 new
+        # member (id_a < id_b and new ids are originals + 1000000, so
+        # "id_b is new" covers both new-old and new-new)
+        'incremental_near_pairs': (
+            'WITH ' + _near_dup_ctes() +
+            ' SELECT id_a, id_b, CAST(FLOOR(j * 1000E0) AS BIGINT) '
+            'AS jaccard_pm FROM jac '
+            'WHERE j >= 0.6E0 AND id_b >= 1000000'),
         'bloom_pruned_orders': sketch_ops.bloom_filter_oracle_sql(
             'SELECT o_orderkey, o_custkey FROM orders',
             "SELECT c_custkey FROM customer "

@@ -498,3 +498,100 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
     out = cross.unionByName(intra).unionByName(stars)
     from buzzard_spark.session import checkpoint_release
     return checkpoint_release(out, [base])
+
+
+def build_dedup_index(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text', k: int = 3,
+                      n_hashes: int = 64) -> DataFrame:
+    """Fingerprint-index rows for :func:`incremental_near_pairs`:
+    ``(id, shingles, sig)`` per document with ≥ 1 shingle. Persist this
+    table (e.g. through the snapshot store) once per corpus; incremental
+    batches then dedup against it without touching old text."""
+    sh = shingle_ids(df.select(id_col, text_col), text_col, k) \
+        .where(F.size('shingles') > 0)
+    return minhash_signature(sh, n_hashes) \
+        .select(id_col, 'shingles', 'sig')
+
+
+def incremental_near_pairs(new_docs: DataFrame, index: DataFrame,
+                           id_col: str = 'doc_id',
+                           text_col: str = 'text', k: int = 3,
+                           n_hashes: int = 64, bands: int = 32,
+                           threshold: float = 0.6,
+                           bucket_cap: int = 1000) -> DataFrame:
+    """Incremental MinHash-LSH near-dup detection: a NEW batch of
+    documents against an existing fingerprint ``index``
+    (:func:`build_dedup_index` rows) — the production shape of crawl
+    dedup, where each day's pages must be checked against the corpus
+    WITHOUT re-pairing the corpus against itself.
+
+    Candidate generation bands only the new side: new×old and new×new
+    candidates exist, old×old is never formed — the per-batch cost is
+    O(|new| · bands) band rows plus the verified candidates, independent
+    of |index| beyond the band join. Output: ``(id_a, id_b,
+    jaccard_pm)`` with id_a < id_b, exact-Jaccard verified at
+    ``threshold`` (same contract as :func:`near_dup_pairs`; at least
+    one side of every pair is from the new batch). Doc ids must be
+    disjoint between batch and index (the id is the identity).
+
+    Hot buckets (> ``bucket_cap`` members across index ∪ batch) degrade
+    to a star — bucket-min representative ↔ each new member — instead
+    of a quadratic join; every emitted edge still passes exact
+    verification, and a true pair suppressed in one capped band falls
+    back to its other ~J²·bands shared bands (the :func:`near_dup_pairs`
+    recall argument, unchanged).
+
+    Scale note: the index side streams through ONE band-key shuffle per
+    batch. At 100 TB, partition the stored index by band_key once
+    (Z-order/bucketing) and the shuffle disappears into a co-located
+    join; the operator's plan is agnostic to that layout choice.
+    """
+    rows = n_hashes // bands
+    band_expr = (
+        'transform(sequence(0, {b}), bb -> '
+        'xxhash64(bb, slice(sig, bb * {r} + 1, {r})))'
+    ).format(b=bands - 1, r=rows)
+
+    new_idx = build_dedup_index(new_docs, id_col, text_col, k,
+                                n_hashes).persist()
+
+    def banded(idx, tag):
+        return idx.select(
+            F.col(id_col).alias('_id'),
+            F.lit(tag).alias('_new'),
+            F.explode(F.expr(band_expr)).alias('band_key'))
+
+    bn = banded(new_idx, True).persist()
+    both = bn.unionByName(banded(index, False))
+    sizes = both.groupBy('band_key').agg(F.count('*').alias('_bn'),
+                                         F.min('_id').alias('_bmin'))
+    tagged = both.join(sizes, 'band_key')
+    a = bn.join(sizes.where(F.col('_bn') <= bucket_cap)
+                .select('band_key'), 'band_key').alias('a')
+    b = tagged.where(F.col('_bn') <= bucket_cap).alias('b')
+    normal = (a.join(b, (F.col('a.band_key') == F.col('b.band_key'))
+                     & (F.col('a._id') != F.col('b._id')))
+              .select(F.least('a._id', 'b._id').alias('id_a'),
+                      F.greatest('a._id', 'b._id').alias('id_b')))
+    starred = (tagged.where((F.col('_bn') > bucket_cap) & F.col('_new')
+                            & (F.col('_id') != F.col('_bmin')))
+               .select(F.least('_bmin', '_id').alias('id_a'),
+                       F.greatest('_bmin', '_id').alias('id_b')))
+    cand = normal.unionByName(starred).distinct()
+    sh_all = (new_idx.select(F.col(id_col).alias('_jid'), 'shingles')
+              .unionByName(index.select(F.col(id_col).alias('_jid'),
+                                        'shingles')))
+    joined = (cand
+              .join(sh_all.withColumnRenamed('shingles', 'sh_a'),
+                    cand.id_a == F.col('_jid')).drop('_jid')
+              .join(sh_all.withColumnRenamed('shingles', 'sh_b'),
+                    cand.id_b == F.col('_jid')).drop('_jid'))
+    jac = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
+           'CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)')
+    out = (joined
+           .withColumn('jaccard_pm',
+                       F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
+           .where(F.expr(f'{jac} >= {threshold}E0'))
+           .select('id_a', 'id_b', 'jaccard_pm'))
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [new_idx, bn])

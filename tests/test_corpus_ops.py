@@ -543,3 +543,57 @@ def test_repeated_ngram_spans_within_doc_and_short(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.repeated_ngram_spans(df, ngram_words=1)
+
+
+def test_incremental_near_pairs_new_vs_index(spark):
+    """Incremental dedup finds new-vs-old and new-vs-new pairs, never
+    old-vs-old; jaccard values match the batch operator's contract."""
+    from buzzard_spark.operators import dedup as dedup_ops
+    old = _docs(spark, [
+        (1, 'a b c d e f g h i j'),
+        (2, 'p q r s t u v w x y'),     # old near-dup of old 1? no
+        (3, 'a b c d e f g h i q'),     # old-old near pair with 1
+    ])
+    new = _docs(spark, [
+        (101, 'a b c d e f g h i j'),   # exact copy of old 1
+        (102, 'p q r s t u v w x z'),   # near-dup of old 2
+        (103, 'm n o aa bb cc dd ee ff gg'),  # unrelated
+        (104, 'm n o aa bb cc dd ee ff hh'),  # near-dup of new 103
+    ])
+    index = dedup_ops.build_dedup_index(old)
+    got = {(r['id_a'], r['id_b']): r['jaccard_pm'] for r in
+           dedup_ops.incremental_near_pairs(new, index,
+                                            threshold=0.5).collect()}
+    assert (1, 101) in got and got[(1, 101)] == 1000
+    assert (2, 102) in got
+    assert (103, 104) in got
+    # old-old pair (1,3) has J ~ 0.5+ but must NOT be emitted
+    assert all(a > 100 or b > 100 for a, b in got)
+
+
+def test_incremental_near_pairs_capped_bucket_flood(spark):
+    """A flood of identical new docs against one indexed original
+    degrades to verified star edges — pair count stays O(n), every
+    edge J=1000, and the transitive closure covers the flood."""
+    from buzzard_spark.operators import dedup as dedup_ops
+    text = 'z1 z2 z3 z4 z5 z6 z7 z8 z9 z10'
+    old = _docs(spark, [(1, text)])
+    new = _docs(spark, [(100 + i, text) for i in range(30)])
+    index = dedup_ops.build_dedup_index(old)
+    pairs = dedup_ops.incremental_near_pairs(
+        new, index, threshold=0.5, bucket_cap=5).collect()
+    assert all(r['jaccard_pm'] == 1000 for r in pairs)
+    # star shape: bounded pair count (not the 31*30/2 quadratic set)
+    assert len(pairs) <= 60
+    # connectivity: every flood member reachable from the bucket min
+    ids = {1} | {100 + i for i in range(30)}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in pairs:
+        parent[find(r['id_a'])] = find(r['id_b'])
+    assert len({find(i) for i in ids}) == 1

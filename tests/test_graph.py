@@ -175,3 +175,45 @@ def test_triangle_count_matches_duckdb_oracle(spark):
     want = con.execute(graph.triangle_count_oracle_sql(
         'SELECT src, dst FROM edges_t')).fetchone()
     assert (got['n_triangles'], got['n_wedges']) == want
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Chains resolve to terminals in log rounds; odd and even cycles
+    plus chains FEEDING a cycle are flagged (final NULL); duplicate
+    src raises."""
+    from buzzard_spark.operators.graph import resolve_redirects
+    edges = spark.createDataFrame(
+        # chain 1->2->3->4 (4 terminal)
+        [('u1', 'u2'), ('u2', 'u3'), ('u3', 'u4'),
+         # odd 3-cycle
+         ('c0', 'c1'), ('c1', 'c2'), ('c2', 'c0'),
+         # even 2-cycle
+         ('d0', 'd1'), ('d1', 'd0'),
+         # feeder into the 3-cycle
+         ('f', 'c0')],
+        'src string, dst string')
+    got = {r['src']: (r['final'], r['is_cycle'])
+           for r in resolve_redirects(edges).collect()}
+    assert got['u1'] == ('u4', False)
+    assert got['u2'] == ('u4', False)
+    assert got['u3'] == ('u4', False)
+    for c in ('c0', 'c1', 'c2', 'd0', 'd1', 'f'):
+        assert got[c] == (None, True), c
+
+    import pytest as _pytest
+    dup = spark.createDataFrame([('a', 'b'), ('a', 'c')],
+                                'src string, dst string')
+    with _pytest.raises(ValueError):
+        resolve_redirects(dup)
+
+
+def test_resolve_redirects_long_chain_log_rounds(spark):
+    """A 300-hop chain resolves within the 25-round doubling bound
+    (vs 300 sequential rounds) and no row is falsely cycle-flagged."""
+    from buzzard_spark.operators.graph import resolve_redirects
+    edges = spark.createDataFrame(
+        [(f'n{i}', f'n{i + 1}') for i in range(300)],
+        'src string, dst string')
+    got = {r['src']: (r['final'], r['is_cycle'])
+           for r in resolve_redirects(edges).collect()}
+    assert all(v == ('n300', False) for v in got.values())

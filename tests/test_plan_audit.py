@@ -203,3 +203,54 @@ def test_sketch_plans_no_python_no_cartesian(spark):
         assert 'BatchEvalPython' not in p
         assert 'CartesianProduct' not in p
         assert 'BroadcastNestedLoopJoin' not in p
+
+
+def test_bloom_probe_plan_has_no_join_or_exchange(spark):
+    """Bloom pruning must be a pure codegen filter on the probe side:
+    no Join node, no Exchange, no Python eval — the words ride in the
+    predicate as a literal array."""
+    from buzzard_spark.operators import sketch as sketch_ops
+    probe = spark.range(0, 50_000, 1, 8).selectExpr('id AS k')
+    build = spark.range(0, 100).selectExpr('id * 7 AS k')
+    out = sketch_ops.bloom_filter(probe, build, 'k', 'k', m_bits=1024)
+    plan = _plan(out)
+    assert 'Join' not in plan
+    assert 'Exchange' not in plan
+    assert 'BatchEvalPython' not in plan and 'ArrowEvalPython' not in plan
+    # '*(1)' is executedPlan().toString()'s whole-stage-codegen marker
+    assert '*(1)' in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must shuffle ONCE on the key: one
+    hashpartitioning Exchange (plus AQE wrappers), never a range/
+    cartesian join."""
+    from buzzard_spark.operators.temporal import asof_join
+    probes = spark.range(0, 10_000, 1, 8).selectExpr(
+        'id % 50 AS k', 'id AS ts', 'id AS event_id')
+    states = spark.range(0, 500).selectExpr(
+        'id % 50 AS k', 'id * 20 AS ts', "concat('v', id) AS v")
+    out = asof_join(probes, states, on='k', right_cols=['v'])
+    plan = _plan(out)
+    assert plan.count('Exchange hashpartitioning') == 1
+    assert 'CartesianProduct' not in plan
+    assert 'SortMergeJoin' not in plan and 'BroadcastNestedLoop' not in plan
+
+
+def test_frontier_schedule_single_shuffle_broadcast_rates(spark):
+    """Politeness scheduling with broadcast rates: the host-rate join
+    must be broadcast (no shuffle), leaving exactly the one window
+    Exchange on host."""
+    from buzzard_spark.operators import text as text_ops
+    urls = spark.range(0, 20_000, 1, 8).selectExpr(
+        "concat('https://h', CAST(id % 200 AS STRING), '.x/p', "
+        "CAST(id AS STRING)) AS url", 'id % 13 AS prio')
+    rates = spark.range(200).selectExpr(
+        "concat('h', CAST(id AS STRING), '.x') AS host",
+        '1 + id % 4 AS rate')
+    out = text_ops.frontier_schedule(urls, priority_col='prio',
+                                     host_rates=F.broadcast(rates))
+    plan = _plan(out)
+    assert 'BroadcastHashJoin' in plan
+    assert plan.count('Exchange hashpartitioning') == 1
+    assert 'BatchEvalPython' not in plan
