@@ -707,6 +707,70 @@ def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'width', 'height', 'px_sum'))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a synthetic eval set (12-word slices of
+    every 37th document) swept against the whole corpus — broadcast
+    gram-hash semi-join; the oracle joins the gram STRINGS, so the gate
+    also cross-checks the hash-collision contract at test scale."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    words = "split(trim(text), '\\\\s+')"
+    bench = (docs.where(F.expr(f'doc_id % 37 = 0 AND size({words}) >= 20'))
+             .select((F.col('doc_id') + 7000000).alias('bench_id'),
+                     F.expr(f"array_join(slice({words}, 3, 12), ' ')")
+                     .alias('text')))
+    return corpus_ops.contamination_check(docs, bench)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone raster statistics on the 512x256 global grid: burned
+    pixel count + sum/min/max of the deterministic (17x+31y) mod 97 band
+    over WKB rect zones (pixel-center rule; oracle enumerates the
+    closed-form pixel intervals)."""
+    polys = synth.regions_rect_wkb(spark, N_REGIONS)
+    return raster_ops.zonal_stats(spark, TILE_FP, polys, tile_size=64)
+
+
+def q_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial epsilon-join: page pairs within 3 planar degrees via the
+    grid-file blocking join on res-4 cells; oracle is brute-force
+    all-pairs (the documents table is small at the gate sf)."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.distance_pairs(pages, 3.0, 4)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with deterministic synthetic PII
+    (emails/IPs/long digit runs derived from doc_id) so every redaction
+    branch fires; Java-regex engine vs RE2 oracle, exact text equality."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    salted = docs.select(
+        'doc_id',
+        F.expr("concat(text, ' u', CAST(doc_id AS STRING), '@ex',"
+               " CAST(doc_id % 7 AS STRING), '.org ip 10.',"
+               " CAST(doc_id % 256 AS STRING), '.0.1 acct ',"
+               " lpad(CAST(doc_id AS STRING), 10, '9'))").alias('text'))
+    return text_ops.redact_pii(salted)
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl delta: the 'next crawl' drops every 13th page,
+    rewrites every 7th text and adds fresh urls — narrow (url, xxhash64)
+    full-outer join vs the oracle's exact text compare."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    url = ("concat('https://h', CAST(doc_id % 1000 AS STRING), "
+           "'.example/', CAST(doc_id AS STRING))")
+    old = docs.select(F.expr(url).alias('url'), 'text')
+    new = docs.where('doc_id % 13 != 0').select(
+        F.expr(url).alias('url'),
+        F.expr("CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') "
+               "ELSE text END").alias('text')).unionByName(
+        docs.where('doc_id % 11 = 0').select(
+            F.expr("concat('https://new.example/', "
+                   "CAST(doc_id AS STRING))").alias('url'), 'text'))
+    return text_ops.crawl_diff(old, new)
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -1275,6 +1339,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'bloom_pruned_orders': q_bloom_pruned_orders,
     'incremental_near_pairs': q_incremental_near_pairs,
     'resolve_redirects': q_resolve_redirects,
+    'contamination': q_contamination,
+    'zonal_stats': q_zonal_stats,
+    'distance_pairs': q_distance_pairs,
+    'redact_pii': q_redact_pii,
+    'crawl_diff': q_crawl_diff,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -1394,6 +1463,27 @@ def _rasterize_oracle_sql() -> str:
          f'GREATEST({iv["j_hi"]} - {iv["j_lo"]} + 1, 0))')
     return ('SELECT region_id, {n} AS n_pixels FROM range({cnt}) t(region_id) '
             'WHERE {n} > 0').format(n=n, cnt=N_REGIONS)
+
+
+def _zonal_oracle_sql() -> str:
+    """Per-zone stats truth: enumerate each rect's pixel interval (same
+    closed-form inverse-affine arithmetic as the rasterize oracle) and
+    aggregate the (17i + 31j) mod 97 band in exact integer arithmetic."""
+    iv = _region_pixel_intervals()
+    return (
+        'WITH iv AS (SELECT region_id, {i_lo} AS i_lo, {i_hi} AS i_hi, '
+        '{j_lo} AS j_lo, {j_hi} AS j_hi FROM range({cnt}) t(region_id)), '
+        'r2 AS (SELECT * FROM iv WHERE i_hi >= i_lo AND j_hi >= j_lo), '
+        'px AS (SELECT region_id, ti.i AS i, tj.j AS j FROM r2 '
+        'CROSS JOIN unnest(generate_series(i_lo, i_hi)) ti(i) '
+        'CROSS JOIN unnest(generate_series(j_lo, j_hi)) tj(j)) '
+        'SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_pixels, '
+        'CAST(SUM((17 * i + 31 * j) % 97) AS BIGINT) AS v_sum, '
+        'CAST(MIN((17 * i + 31 * j) % 97) AS BIGINT) AS v_min, '
+        'CAST(MAX((17 * i + 31 * j) % 97) AS BIGINT) AS v_max '
+        'FROM px GROUP BY 1'
+    ).format(cnt=N_REGIONS, i_lo=iv['i_lo'], i_hi=iv['i_hi'],
+             j_lo=iv['j_lo'], j_hi=iv['j_hi'])
 
 
 def _polygonize_oracle_sql() -> str:
@@ -1906,6 +1996,36 @@ def oracle_sql() -> dict[str, str]:
             ' SELECT id_a, id_b, CAST(FLOOR(j * 1000E0) AS BIGINT) '
             'AS jaccard_pm FROM jac '
             'WHERE j >= 0.6E0 AND id_b >= 1000000'),
+        'contamination': corpus_ops.contamination_check_oracle_sql(
+            'SELECT doc_id, text FROM documents',
+            "SELECT doc_id + 7000000 AS bench_id, "
+            "array_to_string(list_slice(ws, 3, 14), ' ') AS text "
+            "FROM (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS ws FROM documents) "
+            "WHERE doc_id % 37 = 0 AND len(ws) >= 20"),
+        'zonal_stats': _zonal_oracle_sql(),
+        'distance_pairs': spatial_join.distance_pairs_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(
+                lat=sqlgen.lat_sql('doc_id'),
+                lng=sqlgen.lng_sql('doc_id')), 3.0),
+        'redact_pii': text_ops.redact_pii_oracle_sql(
+            "SELECT doc_id, concat(text, ' u', CAST(doc_id AS VARCHAR), "
+            "'@ex', CAST(doc_id % 7 AS VARCHAR), '.org ip 10.', "
+            "CAST(doc_id % 256 AS VARCHAR), '.0.1 acct ', "
+            "lpad(CAST(doc_id AS VARCHAR), 10, '9')) AS text "
+            "FROM documents"),
+        'crawl_diff': text_ops.crawl_diff_oracle_sql(
+            "SELECT concat('https://h', CAST(doc_id % 1000 AS VARCHAR), "
+            "'.example/', CAST(doc_id AS VARCHAR)) AS url, text "
+            "FROM documents",
+            "SELECT concat('https://h', CAST(doc_id % 1000 AS VARCHAR), "
+            "'.example/', CAST(doc_id AS VARCHAR)) AS url, "
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') "
+            "ELSE text END AS text FROM documents WHERE doc_id % 13 != 0 "
+            "UNION ALL SELECT concat('https://new.example/', "
+            "CAST(doc_id AS VARCHAR)) AS url, text FROM documents "
+            "WHERE doc_id % 11 = 0"),
         'bloom_pruned_orders': sketch_ops.bloom_filter_oracle_sql(
             'SELECT o_orderkey, o_custkey FROM orders',
             "SELECT c_custkey FROM customer "

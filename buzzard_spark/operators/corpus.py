@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 __all__ = ['chunk_dedup', 'repetition_stats', 'tfidf_top_terms',
            'collocations', 'chunk_array_sql', 'boilerplate_remove',
-           'weighted_sample']
+           'weighted_sample', 'contamination_check']
 
 # chunk index is packed with doc_id into one BIGINT first-occurrence key:
 # doc_id * 2^20 + idx. Contract: doc_id < 2^43 and < 2^20 chunks per
@@ -1052,3 +1052,78 @@ SELECT tot.{i} AS {i}, tot.n_words, tot.n_grams,
        CAST(COALESCE(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run
 FROM tot LEFT JOIN pd USING ({i}) LEFT JOIN mx USING ({i})
 """
+
+
+def contamination_check(df: DataFrame, bench: DataFrame,
+                        text_col: str = 'text', id_col: str = 'doc_id',
+                        bench_text_col: str = 'text',
+                        bench_id_col: str = 'bench_id',
+                        ngram_words: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    ``ngram_words``-gram with a benchmark/eval set (the GPT-3 appendix-C
+    / PaLM 13-gram overlap rule, re-expressed relationally). Output, one
+    row per contaminated (document, benchmark item) pair::
+
+        (doc_id, bench_id, n_shared_grams)
+
+    where ``n_shared_grams`` counts DISTINCT shared n-grams — the
+    quantity thresholded when deciding to drop the document from
+    training data (any hit usually suffices; the count supports
+    graduated policies). Clean documents simply don't appear.
+
+    Scale shape (100 TB corpus, ~10^4-10^6 benchmark items): the
+    benchmark's distinct (gram-hash, bench_id) table is SMALL and is
+    broadcast, so the corpus side is scanned ONCE, map-side — grams are
+    exploded, hashed, semi-matched against the broadcast table with NO
+    shuffle of corpus data; the only exchange is the final groupBy over
+    the (tiny) matched pairs. Gram identity is xxhash64, the same
+    collision contract as :func:`chunk_dedup`; the DuckDB oracle joins
+    on the gram STRING, so the driver gate also cross-checks that no
+    collision fired at test scale. Documents (or benchmark items)
+    shorter than ``ngram_words`` words contribute no grams.
+    """
+    w = ngram_words
+    if w < 2:
+        raise ValueError(f'ngram_words must be >= 2: {w}')
+
+    def grams(frame, icol, tcol, out_id):
+        ws = f"split(trim({tcol}), '\\\\s+')"
+        g = (f'transform(sequence(0, size({ws}) - {w}), '
+             f"i -> array_join(slice({ws}, i + 1, {w}), ' '))")
+        return (frame.where(F.expr(f'size({ws}) >= {w}'))
+                .select(F.col(icol).alias(out_id),
+                        F.explode(F.expr(g)).alias('gram'))
+                .withColumn('_h', F.xxhash64('gram'))
+                .select(out_id, '_h').distinct())
+
+    bg = grams(bench, bench_id_col, bench_text_col, bench_id_col)
+    cg = grams(df, id_col, text_col, id_col)
+    return (cg.join(F.broadcast(bg), '_h')
+            .groupBy(id_col, bench_id_col)
+            .agg(F.count('*').alias('n_shared_grams')))
+
+
+def contamination_check_oracle_sql(corpus_cte: str, bench_cte: str,
+                                   text_col: str = 'text',
+                                   id_col: str = 'doc_id',
+                                   bench_text_col: str = 'text',
+                                   bench_id_col: str = 'bench_id',
+                                   ngram_words: int = 8) -> str:
+    """DuckDB twin of :func:`contamination_check` (joins on the gram
+    STRING — exact, collision-free truth)."""
+    w = ngram_words
+
+    def grams(cte, icol, tcol, out_id):
+        return (f"SELECT DISTINCT {icol} AS {out_id}, "
+                f"array_to_string(list_slice(ws, x, x + {w - 1}), ' ') "
+                f'AS gram FROM (SELECT {icol}, '
+                f"string_split_regex(trim({tcol}), '\\s+') AS ws "
+                f'FROM ({cte})) '
+                f'CROSS JOIN unnest(generate_series(1, len(ws) - {w - 1})) '
+                f't(x) WHERE len(ws) >= {w}')
+
+    return (f'WITH cg AS ({grams(corpus_cte, id_col, text_col, id_col)}), '
+            f'bg AS ({grams(bench_cte, bench_id_col, bench_text_col, bench_id_col)}) '
+            f'SELECT cg.{id_col} AS {id_col}, bg.{bench_id_col} AS {bench_id_col}, '
+            f'COUNT(*) AS n_shared_grams '
+            f'FROM cg JOIN bg USING (gram) GROUP BY 1, 2')

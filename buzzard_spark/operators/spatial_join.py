@@ -22,6 +22,8 @@ session config; for pathological dimension-side fanout use
 from __future__ import annotations
 
 import numpy as np
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -188,3 +190,91 @@ def rect_overlap_pairs(regions: DataFrame, res: int,
             .select(F.col('a._id').alias('id_a'),
                     F.col('b._id').alias('id_b'))
             .distinct())
+
+
+def distance_pairs(pages: DataFrame, eps: float, res: int,
+                   id_col: str = 'page_id',
+                   lat: str = 'lat', lng: str = 'lng') -> DataFrame:
+    """Spatial ε-join (within-distance self-join): all unordered pairs of
+    pages at planar distance ≤ ``eps`` degrees, as::
+
+        (id_a, id_b, dist2)     -- id_a < id_b, dist2 = squared distance
+
+    the third of the classic spatial-join triad (PIP join, kNN,
+    distance join — the reference answers it array-side via
+    ``Footprint.dilate`` + mask intersection; here it is the grid-file
+    blocking join of the published spatial-join literature).
+
+    Plan shape: one cell assignment at resolution ``res``, the LEFT side
+    exploded to the ``(2kx+1)·(2ky+1)`` neighbor cells that can hold a
+    point within ``eps`` (kx/ky from the cell dims — exactness is
+    guaranteed, not probabilistic), ONE equi-join on the cell id, exact
+    distance filter, ``id_a < id_b`` to collapse the two orientations
+    each pair appears in. No distinct needed: a pair is emitted exactly
+    once because the right side sits on its OWN cell (each (a, b) join
+    hit is unique per orientation).
+
+    Distance is planar squared-degrees (the engine's kNN metric —
+    :data:`buzzard_spark.operators.knn.DIST2`), exact in IEEE doubles so
+    the DuckDB oracle matches bit-for-bit. NULL coordinates drop out via
+    the −1 sentinel (:func:`assign_cell` contract — the exploded ring
+    of a sentinel row stays negative and matches nothing).
+
+    Scale shape (10^12 pages): output size is inherently quadratic in
+    local density — pick ``res`` so the typical cell holds O(1/eps²)
+    points (cells ≈ eps wide ⇒ the ring is 3×3 and each point meets only
+    its true neighborhood). Hot cells (urban skew) inflate one join key;
+    AQE skew-join splits them, and the ring explosion is on the SMALLER
+    exploded side (factor ≤ 9 at the recommended res), never the raw
+    corpus twice.
+    """
+    if eps <= 0:
+        raise ValueError(f'eps must be > 0: {eps}')
+    cw, ch = cells.cell_size_deg(res)
+    kx = int(math.ceil(eps / cw))
+    ky = int(math.ceil(eps / ch))
+    nx, ny = cells.dims(res)
+    a = assign_cell(pages, res, lat=lat, lng=lng, out='_c') \
+        .select(F.col(id_col).alias('id_a'), F.col(lat).alias('_alat'),
+                F.col(lng).alias('_alng'), '_c') \
+        .withColumn('_ax', F.expr(f'_c % {nx}')) \
+        .withColumn('_ay', F.expr(f'_c DIV {nx}'))
+    # neighbor cells WITHOUT longitude wrap (planar metric: the distance
+    # filter is planar, so a wrapped cell could never pass it anyway);
+    # sentinel rows (_c = -1 -> _ay = -1) produce no in-range cells
+    ring = (f'CASE WHEN _c < 0 THEN array(CAST(-1 AS BIGINT)) ELSE '
+            f'flatten(transform('
+            f'sequence(GREATEST(_ay - {ky}, 0L), LEAST(_ay + {ky}, {ny - 1}L)), '
+            f'yy -> transform('
+            f'sequence(GREATEST(_ax - {kx}, 0L), LEAST(_ax + {kx}, {nx - 1}L)), '
+            f'xx -> yy * {nx} + xx))) END')
+    a = (a.withColumn('cell', F.explode(F.expr(ring)))
+         .where(F.col('cell') >= 0)
+         .drop('_c', '_ax', '_ay'))
+    b = assign_cell(pages, res, lat=lat, lng=lng, out='cell') \
+        .select(F.col(id_col).alias('id_b'), F.col(lat).alias('_blat'),
+                F.col(lng).alias('_blng'), 'cell') \
+        .where(F.col('cell') >= 0)
+    d2 = ('(_alat - _blat) * (_alat - _blat) + '
+          '(_alng - _blng) * (_alng - _blng)')
+    el = sqlgen.dlit(eps)
+    return (a.join(b, 'cell')
+            .where(F.col('id_a') < F.col('id_b'))
+            .where(F.expr(f'{d2} <= {el} * {el}'))
+            .select('id_a', 'id_b', F.expr(d2).alias('dist2')))
+
+
+def distance_pairs_oracle_sql(pages_cte: str, eps: float,
+                              id_col: str = 'page_id',
+                              lat: str = 'lat', lng: str = 'lng') -> str:
+    """DuckDB twin of :func:`distance_pairs`: brute-force all-pairs with
+    the identical planar dist2 expression (exact IEEE arithmetic both
+    sides; NULL coordinates drop via the inequality)."""
+    d2 = (f'(a.{lat} - b.{lat}) * (a.{lat} - b.{lat}) + '
+          f'(a.{lng} - b.{lng}) * (a.{lng} - b.{lng})')
+    el = sqlgen.dlit(eps)
+    return (f'WITH p AS ({pages_cte}) '
+            f'SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, '
+            f'{d2} AS dist2 FROM p a JOIN p b '
+            f'ON a.{id_col} < b.{id_col} '
+            f'WHERE {d2} <= {el} * {el}')

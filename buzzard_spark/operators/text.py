@@ -430,3 +430,116 @@ def anchor_terms(pages: DataFrame, html_col: str = 'html',
         F.col('n').desc(), F.col('term').asc())
     return (counts.withColumn('rnk', F.row_number().over(w))
             .where(F.col('rnk') <= k))
+
+
+def redact_pii_sql(text_col: str, dialect: str = 'spark') -> dict:
+    """PII scrub expressions (the Dolma/CCNet pre-training redaction
+    pass): emails → ``<EMAIL>``, IPv4 literals → ``<IP>``, long digit
+    runs (≥ 9 — phone/account shaped) → ``<NUM>``. Returns a dict of SQL
+    expressions over ``text_col``::
+
+        {'clean': <redacted text>, 'n_emails': ..., 'n_ips': ..., 'n_longnums': ...}
+
+    Stages apply in a FIXED order (emails, then IPs, then digit runs),
+    and each count is taken on that stage's input — so an IP inside an
+    already-redacted email is neither counted nor double-redacted, and
+    Spark (Java regex) and DuckDB (RE2) agree exactly: the patterns use
+    only the class/quantifier/word-boundary subset with identical
+    semantics in both engines. Pure JVM/codegen — no Python in the path.
+    """
+    if dialect == 'duckdb':
+        def rr(col, pat, rep):
+            return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+
+        def rc(col, pat):
+            return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+        bs = '\\'
+    else:
+        def rr(col, pat, rep):
+            return f"regexp_replace({col}, '{pat}', '{rep}')"
+
+        def rc(col, pat):
+            return f"CAST(regexp_count({col}, '{pat}') AS BIGINT)"
+        bs = '\\\\'
+    email = f'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+{bs}.[A-Za-z][A-Za-z]+'
+    ip = (f'{bs}b{bs}d{{1,3}}{bs}.{bs}d{{1,3}}{bs}.{bs}d{{1,3}}'
+          f'{bs}.{bs}d{{1,3}}{bs}b')
+    num = f'{bs}b{bs}d{{9,}}{bs}b'
+    s1 = rr(text_col, email, '<EMAIL>')
+    s2 = rr(s1, ip, '<IP>')
+    s3 = rr(s2, num, '<NUM>')
+    return {
+        'clean': s3,
+        'n_emails': rc(text_col, email),
+        'n_ips': rc(s1, ip),
+        'n_longnums': rc(s2, num),
+    }
+
+
+def redact_pii(df: DataFrame, text_col: str = 'text',
+               id_col: str = 'doc_id') -> DataFrame:
+    """Apply :func:`redact_pii_sql` → (id, clean_text, n_emails, n_ips,
+    n_longnums). One projection, whole-stage codegen, zero shuffles —
+    at 100 TB this is a pure map over the corpus scan."""
+    e = redact_pii_sql(text_col, 'spark')
+    return df.select(
+        F.col(id_col),
+        F.expr(e['clean']).alias('clean_text'),
+        F.expr(e['n_emails']).alias('n_emails'),
+        F.expr(e['n_ips']).alias('n_ips'),
+        F.expr(e['n_longnums']).alias('n_longnums'))
+
+
+def redact_pii_oracle_sql(corpus_cte: str, text_col: str = 'text',
+                          id_col: str = 'doc_id') -> str:
+    """DuckDB twin of :func:`redact_pii` (RE2 'g'-flag replaces)."""
+    e = redact_pii_sql(text_col, 'duckdb')
+    return (f'WITH corpus AS ({corpus_cte}) '
+            f"SELECT {id_col}, {e['clean']} AS clean_text, "
+            f"{e['n_emails']} AS n_emails, {e['n_ips']} AS n_ips, "
+            f"{e['n_longnums']} AS n_longnums FROM corpus")
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = 'url',
+               text_col: str = 'text') -> DataFrame:
+    """Crawl-over-crawl change feed: FULL OUTER join of two crawl
+    snapshots on ``url_col`` with content comparison by xxhash64 of the
+    extracted text::
+
+        (url, status)   -- status ∈ 'added' | 'removed' | 'changed' | 'same'
+
+    the per-URL delta a recrawl scheduler and an incremental indexer
+    both consume (added/changed → refetch queue; removed → tombstone).
+
+    Scale shape: each side reduces to a NARROW (url, hash) projection
+    before the join — the text never shuffles; the join is ONE exchange
+    per side on url (bucket both crawls by url at write time and it
+    becomes co-located). Duplicate urls within one crawl must be
+    resolved upstream (latest-wins read, :meth:`SnapshotTable.read`
+    with ``dedupe_keys``); the join is 1:1 by contract.
+    """
+    def h(df, tag):
+        return df.select(F.col(url_col).alias('url'),
+                         F.xxhash64(F.col(text_col)).alias(f'h_{tag}'))
+    j = h(old, 'old').join(h(new, 'new'), 'url', 'full_outer')
+    return j.select(
+        'url',
+        F.when(F.col('h_old').isNull(), F.lit('added'))
+         .when(F.col('h_new').isNull(), F.lit('removed'))
+         .when(F.col('h_old') == F.col('h_new'), F.lit('same'))
+         .otherwise(F.lit('changed')).alias('status'))
+
+
+def crawl_diff_oracle_sql(old_cte: str, new_cte: str,
+                          url_col: str = 'url',
+                          text_col: str = 'text') -> str:
+    """DuckDB twin of :func:`crawl_diff` — compares the TEXT directly
+    (exact truth; the engine's xxhash64 equality is its collision-free
+    proxy, cross-checked by the driver gate at test scale)."""
+    return (f'WITH o AS ({old_cte}), n AS ({new_cte}) '
+            f'SELECT COALESCE(o.{url_col}, n.{url_col}) AS url, '
+            f'CASE WHEN o.{url_col} IS NULL THEN \'added\' '
+            f'WHEN n.{url_col} IS NULL THEN \'removed\' '
+            f'WHEN o.{text_col} = n.{text_col} THEN \'same\' '
+            f'ELSE \'changed\' END AS status '
+            f'FROM o FULL OUTER JOIN n ON o.{url_col} = n.{url_col}')

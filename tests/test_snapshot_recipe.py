@@ -595,3 +595,50 @@ def test_snapshot_sink_end_to_end_stream(spark, tmp_path):
     got = sorted(r['k'] for r in
                  SnapshotTable(root).read(spark).collect())
     assert got == list(range(50))
+
+
+def test_read_incremental_append_only_delta(spark, tmp_path):
+    """Incremental scan returns exactly the rows appended after the
+    checkpointed snapshot; None means from-the-beginning; the tip yields
+    a schema-preserving empty delta."""
+    table = SnapshotTable(str(tmp_path / 'inc'))
+    ids = []
+    for lo in (0, 10, 20):
+        r = table.append(spark.range(lo, lo + 10).selectExpr(
+            'id AS k', 'id * 2 AS v'))
+        ids.append(r['snapshot_id'])
+
+    assert sorted(r['k'] for r in
+                  table.read_incremental(spark, None).collect()) \
+        == list(range(30))
+    assert sorted(r['k'] for r in
+                  table.read_incremental(spark, ids[0]).collect()) \
+        == list(range(10, 30))
+    assert sorted(r['k'] for r in
+                  table.read_incremental(spark, ids[1]).collect()) \
+        == list(range(20, 30))
+    empty = table.read_incremental(spark, ids[2])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ['k', 'v']
+    # bounded range: (ids[0], ids[1]]
+    assert sorted(r['k'] for r in table.read_incremental(
+        spark, ids[0], end=ids[1]).collect()) == list(range(10, 20))
+
+
+def test_read_incremental_rejects_non_append_ranges(spark, tmp_path):
+    """Compaction or delete_where inside the range, or a checkpoint
+    orphaned by compaction, raise instead of double-emitting rows."""
+    table = SnapshotTable(str(tmp_path / 'incbad'))
+    s1 = table.append(spark.range(0, 10).selectExpr('id AS k'))['snapshot_id']
+    table.append(spark.range(10, 20).selectExpr('id AS k'))
+    table.delete_where(spark, 'k = 3')
+    with pytest.raises(ValueError, match='not pure appends'):
+        table.read_incremental(spark, s1)
+
+    t2 = SnapshotTable(str(tmp_path / 'incbad2'))
+    s1 = t2.append(spark.range(0, 10).selectExpr('id AS k'))['snapshot_id']
+    t2.append(spark.range(10, 20).selectExpr('id AS k'))
+    t2.compact(spark)
+    # s1 was compacted off the current chain -> orphaned checkpoint
+    with pytest.raises(ValueError, match='not on the current chain'):
+        t2.read_incremental(spark, s1)

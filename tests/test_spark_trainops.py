@@ -892,3 +892,51 @@ def test_gif_through_multimodal_seam(spark):
         assert sorted(fi for (d, fi) in got if d == i) == exp_idx
         for fi in exp_idx:
             assert got[(i, fi)] == pal[frames[fi]].tobytes()
+
+
+def test_redact_pii_matches_duckdb_oracle(spark):
+    """Spark (Java regex) == DuckDB (RE2) on the redaction subset:
+    emails, IPv4s, long digit runs, including digits-inside-email and
+    dotted-quad-shaped tokens."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.operators.text import (redact_pii,
+                                              redact_pii_oracle_sql)
+    rows = [
+        (1, 'contact bob.smith+x@mail.example.co or 10.0.0.1 ring 123456789'),
+        (2, 'ip 999.1.2.3 matches shape; 12345678 short; 1234567890 long'),
+        (3, 'a@b.cc and digits inside a123456789@x.org stay one email'),
+        (4, 'clean text nothing here'),
+        (5, 'v1.2.3.4 release tag is an ip-shaped token'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = sorted(tuple(r) for r in redact_pii(df).collect())
+    cte = ' UNION ALL '.join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        redact_pii_oracle_sql(cte)).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == 'contact <EMAIL> or <IP> ring <NUM>'
+    assert by_id[4] == (4, 'clean text nothing here', 0, 0, 0)
+
+
+def test_crawl_diff_statuses(spark):
+    """added/removed/changed/same classification on a 2-crawl fixture;
+    matches the DuckDB full-outer text-equality oracle."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.operators.text import (crawl_diff,
+                                              crawl_diff_oracle_sql)
+    old = [('u1', 'alpha'), ('u2', 'beta'), ('u3', 'gamma')]
+    new = [('u2', 'beta'), ('u3', 'gamma v2'), ('u4', 'delta')]
+    df_o = spark.createDataFrame(old, 'url string, text string')
+    df_n = spark.createDataFrame(new, 'url string, text string')
+    got = sorted(tuple(r) for r in crawl_diff(df_o, df_n).collect())
+    assert got == [('u1', 'removed'), ('u2', 'same'),
+                   ('u3', 'changed'), ('u4', 'added')]
+    cte = lambda rows: ' UNION ALL '.join(
+        f"SELECT '{u}' AS url, '{t}' AS text" for u, t in rows)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        crawl_diff_oracle_sql(cte(old), cte(new))).fetchall())
+    assert got == want
