@@ -252,7 +252,12 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
       "scaled at least as well as the host itself could right then") and
       is likewise reported as the across-sweep median.
     - ``single_pass`` is the first ACCEPTED sweep verbatim — one worker
-      per master.
+      per master. An UNTIMED warmup sweep runs before the counted
+      sweeps (recorded under ``warmup_sweep``, dropped by design): it
+      seeds the per-master best walls so the adaptive-extra-rep rule
+      protects sweep 0 like every later sweep (run M showed sweep 0 was
+      structurally the most noise-exposed block — no baseline existed
+      yet to trigger extra reps).
 
     Saturation defense (VERDICT r4 #1 — the protocol was honest but had
     no defense against committing a run taken while a neighbor saturates
@@ -300,6 +305,21 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
         'SPARK_GRAFT_BENCH_MAX_EXTRA_SWEEPS', '3'))
     attempts = []
     best = {m: None for m in masters}  # fastest wall seen per master
+    # One UNTIMED warmup sweep before the counted sweeps (run M root
+    # cause: the adaptive-extra-rep rule triggers off the best wall the
+    # session has seen for a master, so the FIRST counted sweep had no
+    # baseline and could not know its leg was 1.4x the steady wall —
+    # `single_pass`, defined as sweep 0, was structurally the most
+    # noise-exposed block in the artifact). The warmup sweep seeds the
+    # per-master best walls and warms session-level host state; it is
+    # recorded verbatim under ``warmup_sweep`` (disclosure, not
+    # selection: it is dropped by DESIGN, before any result exists).
+    warmup_sweep = None
+    if os.environ.get('SPARK_GRAFT_BENCH_WARMUP_SWEEP', '1') != '0':
+        warmup_sweep = {}
+        for m in masters:
+            warmup_sweep[m] = _worker(m, n_pages, layout, best_wall=None)
+            best[m] = warmup_sweep[m]['wall_sec']
     while True:
         sweep = {}
         for m in masters:
@@ -364,7 +384,9 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
     return {
         'n_pages': n_pages,
         'layout': layout,
-        'method': ('interleaved A-B-A-B sweeps; per-leg wall = min of 2 '
+        'method': ('one untimed warmup sweep (recorded, dropped by '
+                   'design) seeds per-master best walls; then '
+                   'interleaved A-B-A-B sweeps; per-leg wall = min of 2 '
                    'timed runs after warmup, plus up to 2 adaptive extra '
                    'reps when the min exceeds 1.3x the fastest session '
                    'wall for that master (all reps recorded); pair-wise '
@@ -376,6 +398,8 @@ def run_scaling(n_pages: int, layout: str = 'clustered',
                    f'{max_attempts} attempts'),
         'n_sweeps': len(sweeps),
         'n_attempts': len(attempts),
+        'warmup_sweep': (sweep_stats(warmup_sweep)
+                         if warmup_sweep else None),
         'passes': [sweep_stats(sw) for sw in sweeps],
         'discarded_saturated': [sweep_stats(sw) for sw in discarded],
         'saturation_persistent': saturation_persistent,
