@@ -771,6 +771,29 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.crawl_diff(old, new)
 
 
+def q_nearest_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: every page classified to the closest
+    of the 200 region centroids by ONE literal-fold codegen expression —
+    no join, no shuffle; oracle is the cross-join window argmin with the
+    identical IEEE dist2 and (dist2, region_id) tie order."""
+    pages = _pages(spark, sf_dir)
+    cols = sqlgen.region_cols_sql('id')
+    cents = spark.range(N_REGIONS).selectExpr(
+        'id AS region_id',
+        f"{cols['clat']} AS clat",
+        f"{cols['clng']} AS clng")
+    return spatial_join.nearest_region(pages, cents)
+
+
+def q_quadtree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree over the page distribution (cap 8, res 0..6):
+    dense cells split deep, sparse stay coarse, same-cell floods become
+    forced max-res leaves; Spark hierarchical rollup vs the oracle's
+    per-level CTE chain."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.quadtree_leaves(pages, cap=8, max_res=6)
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -1344,6 +1367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'distance_pairs': q_distance_pairs,
     'redact_pii': q_redact_pii,
     'crawl_diff': q_crawl_diff,
+    'nearest_region': q_nearest_region,
+    'quadtree_leaves': q_quadtree_leaves,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2004,6 +2029,21 @@ def oracle_sql() -> dict[str, str]:
             "'\\s+') AS ws FROM documents) "
             "WHERE doc_id % 37 = 0 AND len(ws) >= 20"),
         'zonal_stats': _zonal_oracle_sql(),
+        'quadtree_leaves': spatial_join.quadtree_leaves_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            cap=8, max_res=6),
+        'nearest_region': spatial_join.nearest_region_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            'SELECT region_id, {clat} AS clat, {clng} AS clng '
+            'FROM range({n}) t(region_id)'.format(
+                n=N_REGIONS, **{k: v for k, v in
+                                sqlgen.region_cols_sql(
+                                    'region_id').items()
+                                if k in ('clat', 'clng')})),
         'distance_pairs': spatial_join.distance_pairs_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(
