@@ -290,14 +290,27 @@ def bloom_filter(probe: DataFrame, build: DataFrame,
         words[r['_wi']] = r['_w']
     arr = 'array(' + ', '.join(f'CAST({w} AS BIGINT)'
                                for w in words) + ')'
+    # The probe predicate is ONE higher-order-function expression:
+    # exists() binds the md5 hex to a lambda variable, so the hash is
+    # computed ONCE per row — a plain _h projection gets collapsed into
+    # the filter by Catalyst's CollapseProject and the md5 re-evaluates
+    # inside every nibble use (measured 49 µs/row = 8.5 s on a 150 k-row
+    # probe; this form runs it in ~0.4 s). Position extraction uses
+    # conv() on the Spark side — one native call per position instead
+    # of 4 ascii-arithmetic nibble chains; the DuckDB oracle keeps the
+    # branch-free nibble arithmetic (VALUE parity, not text parity).
+    def spark_pos(j):
+        return (f'(CAST(conv(substring(bh, {1 + 4 * j}, 4), 16, 10) '
+                f'AS BIGINT) % {m_bits})')
+
     checks = ' AND '.join(
-        f'(element_at({arr}, CAST({p} DIV 63 AS INT) + 1) & '
-        f'shiftleft(CAST(1 AS BIGINT), CAST({p} % 63 AS INT))) != 0'
-        for p in pos)
-    return (probe
-            .withColumn('_h', F.md5(F.col(probe_col).cast('string')))
-            .where(F.expr(checks))
-            .drop('_h'))
+        f'(element_at({arr}, CAST({spark_pos(j)} DIV 63 AS INT) + 1) & '
+        f'shiftleft(CAST(1 AS BIGINT), '
+        f'CAST({spark_pos(j)} % 63 AS INT))) != 0'
+        for j in range(k))
+    pred = (f'exists(array(md5(CAST({probe_col} AS STRING))), '
+            f'bh -> {checks})')
+    return probe.where(F.expr(pred))
 
 
 def bloom_filter_oracle_sql(probe_cte: str, build_cte: str,
