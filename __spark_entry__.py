@@ -794,6 +794,17 @@ def q_quadtree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.quadtree_leaves(pages, cap=8, max_res=6)
 
 
+def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed DBSCAN (ε=10°, min_pts=4, res-2 blocking grid —
+    cells ≈ ε wide so the neighbor ring is 3×3): every page labeled
+    (cluster, role) with deterministic min-label border assignment;
+    oracle is brute ε-pairs + recursive-CTE closure. At the gate sf the
+    labeling is 214 core / 47 border / 239 noise over 24 clusters, so
+    every role and the multi-cluster border vote are all exercised."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.dbscan(pages, 10.0, 4, 2)
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -1369,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'crawl_diff': q_crawl_diff,
     'nearest_region': q_nearest_region,
     'quadtree_leaves': q_quadtree_leaves,
+    'dbscan_labels': q_dbscan_labels,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2034,6 +2046,11 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             cap=8, max_res=6),
+        'dbscan_labels': spatial_join.dbscan_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            10.0, 4),
         'nearest_region': spatial_join.nearest_region_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -465,3 +465,119 @@ def quadtree_leaves_oracle_sql(pages_cte: str, cap: int, max_res: int,
                     r=r, rp=r - 1, cap=cap, nxc=nx_child, nxp=nx_par,
                     cond=cond))
     return 'WITH ' + ', '.join(ctes) + ' ' + ' UNION ALL '.join(sel)
+
+
+def dbscan(pages: DataFrame, eps: float, min_pts: int, res: int,
+           id_col: str = 'page_id',
+           lat: str = 'lat', lng: str = 'lng') -> DataFrame:
+    """Exact distributed DBSCAN over the cell grid — every page labeled::
+
+        (id_col, cluster, role)   -- role in ('core', 'border', 'noise')
+                                  -- cluster = min CORE member id, -1 noise
+
+    Classic DBSCAN (Ester et al., KDD'96) with the one determinism fix a
+    cross-engine value check requires: a border point in reach of several
+    clusters is order-dependent in the original scan algorithm; here it
+    joins the cluster with the SMALLEST label (min over its core
+    neighbors) — a canonical choice independent of partitioning, retries
+    and visit order. Core/noise labels are order-free already (density is
+    a pure neighborhood count), so the whole labeling is deterministic.
+
+    Plan shape (all exact, nothing sampled):
+
+    1. ε-pairs via :func:`distance_pairs` — the grid-file blocking join
+       (one equi-join on the cell ring, no crossJoin), persisted once and
+       scanned three times (degree count, core subgraph, border vote).
+    2. density: |N_eps(p)| = pair-degree + 1 (self); core iff ≥ min_pts.
+    3. clusters: connected components over the CORE-CORE pair subgraph
+       (:func:`buzzard_spark.operators.graph.connected_components` —
+       large-star/small-star, driver fast path on small graphs).
+    4. border: non-core pages vote min(cluster) over core ε-neighbors.
+    5. everything else is noise (cluster −1) — including NULL-coordinate
+       pages, whose −1 cell sentinel produced no pairs (assign_cell
+       contract), matching the oracle's NULL-comparison dropout exactly.
+
+    Scale shape (10^12 pages): the ε-graph is the output-sized object —
+    pick ``res`` so a cell is ≈ ε wide (distance_pairs docstring); dense
+    urban cores inflate pair counts quadratically in LOCAL density only,
+    AQE splits the hot cells, and the CC runs on the core subgraph, which
+    real corpora keep far smaller than the page table. One reliable
+    checkpoint materializes the labeling and releases every intermediate
+    (the engine's cache-lifetime contract).
+
+    The reference clusters density the array way — ``Footprint.dilate``
+    + mask convolution (buzzard/_footprint.py:692) on a rasterized layer;
+    this is the vector-native equivalent over the same cell algebra.
+    """
+    if min_pts < 2:
+        raise ValueError(f'min_pts must be >= 2: {min_pts}')
+    from buzzard_spark.operators.graph import connected_components
+    from buzzard_spark.session import checkpoint_release
+
+    pairs = (distance_pairs(pages, eps, res, id_col=id_col,
+                            lat=lat, lng=lng)
+             .select('id_a', 'id_b').persist())
+    both = pairs.unionAll(pairs.select(F.col('id_b').alias('id_a'),
+                                       F.col('id_a').alias('id_b'))) \
+        .toDF('id', 'nb')
+    core = (both.groupBy('id').count()
+            .where(F.col('count') + 1 >= min_pts).select('id'))
+    core_edges = (pairs
+                  .join(core.withColumnRenamed('id', 'id_a'), 'id_a')
+                  .join(core.withColumnRenamed('id', 'id_b'), 'id_b'))
+    reg: list = [pairs]
+    comp = connected_components(core.withColumnRenamed('id', 'node'),
+                                core_edges, cache_registry=reg)
+    core_lab = comp.select(F.col('node').alias('id'),
+                           F.col('comp').alias('cluster'),
+                           F.lit('core').alias('role'))
+    border = (both
+              .join(core_lab.select(F.col('id').alias('nb'), 'cluster'),
+                    'nb')
+              .join(core, 'id', 'left_anti')
+              .groupBy('id').agg(F.min('cluster').alias('cluster'))
+              .withColumn('role', F.lit('border')))
+    labeled = core_lab.unionByName(border)
+    out = (pages.select(F.col(id_col).alias('id'))
+           .join(labeled, 'id', 'left')
+           .select(F.col('id').alias(id_col),
+                   F.coalesce('cluster', F.lit(-1)).alias('cluster'),
+                   F.coalesce('role', F.lit('noise')).alias('role')))
+    return checkpoint_release(out, reg)
+
+
+def dbscan_oracle_sql(pages_cte: str, eps: float, min_pts: int,
+                      id_col: str = 'page_id',
+                      lat: str = 'lat', lng: str = 'lng') -> str:
+    """DuckDB twin of :func:`dbscan`: brute-force ε-pairs, recursive-CTE
+    transitive closure over the core subgraph, min-label border vote.
+    All-integer labels and exact IEEE distance arithmetic — hash-exact."""
+    el = sqlgen.dlit(eps)
+    d2 = (f'(a.{lat} - b.{lat}) * (a.{lat} - b.{lat}) + '
+          f'(a.{lng} - b.{lng}) * (a.{lng} - b.{lng})')
+    return (
+        f'WITH RECURSIVE p AS ({pages_cte}), '
+        f'e AS (SELECT a.{id_col} AS ia, b.{id_col} AS ib FROM p a '
+        f'JOIN p b ON a.{id_col} < b.{id_col} '
+        f'WHERE {d2} <= {el} * {el}), '
+        'bi AS (SELECT ia AS id, ib AS nb FROM e '
+        'UNION ALL SELECT ib, ia FROM e), '
+        'core AS (SELECT id FROM bi GROUP BY id '
+        f'HAVING COUNT(*) + 1 >= {min_pts}), '
+        'ce AS (SELECT bi.id AS s, bi.nb AS d FROM bi '
+        'WHERE bi.id IN (SELECT id FROM core) '
+        'AND bi.nb IN (SELECT id FROM core)), '
+        'reach(n, m) AS (SELECT id, id FROM core UNION '
+        'SELECT r.n, ce.d FROM reach r JOIN ce ON ce.s = r.m), '
+        'comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n), '
+        "corelab AS (SELECT n AS id, c AS cluster, 'core' AS role "
+        'FROM comp), '
+        'border AS (SELECT bi.id AS id, MIN(cl.cluster) AS cluster, '
+        "'border' AS role FROM bi JOIN corelab cl ON cl.id = bi.nb "
+        'WHERE bi.id NOT IN (SELECT id FROM core) GROUP BY bi.id), '
+        'lab AS (SELECT * FROM corelab UNION ALL SELECT * FROM border) '
+        f'SELECT p.{id_col} AS {id_col}, '
+        'CAST(COALESCE(lab.cluster, -1) AS BIGINT) AS cluster, '
+        "COALESCE(lab.role, 'noise') AS role "
+        f'FROM p LEFT JOIN lab ON lab.id = p.{id_col}'
+    )

@@ -148,3 +148,92 @@ def test_quadtree_leaves_matches_oracle_and_partitions(spark):
         quadtree_leaves(df, cap=0, max_res=5)
     with _pytest.raises(ValueError):
         quadtree_leaves(df, cap=4, max_res=3, res0=4)
+
+
+def test_dbscan_matches_bruteforce_and_pins_roles(spark):
+    """Distributed DBSCAN == pure-python reference on a crafted layout
+    exercising all roles: a 6-point dense blob (cores), a chain point in
+    reach of one core (border), an isolated pair (noise — degree 1 each),
+    a singleton (noise), a NULL-coordinate page (noise via the cell
+    sentinel), and a border point between TWO clusters that must take the
+    MIN cluster label (the determinism contract)."""
+    from buzzard_spark.operators.spatial_join import dbscan
+
+    pts = {
+        # blob A around (0, 0) — all 6 within eps=2 of each other
+        0: (0.0, 0.0), 1: (0.5, 0.5), 2: (-0.5, 0.5),
+        3: (0.5, -0.5), 4: (-0.5, -0.5), 5: (0.0, 0.9),
+        # blob B around (0, 10) — 4 points
+        10: (0.0, 10.0), 11: (0.5, 10.5), 12: (-0.5, 10.2),
+        13: (0.3, 9.6),
+        # border of A only: within eps of point 5 but low degree
+        20: (0.0, 2.7),
+        # bridge border: within eps of blob A's 5 AND blob B's 13 ->
+        # must join min(labelA, labelB) = blob A's label (0)
+        # (placed at lng 5 is too far; craft: eps=6 variant below)
+        # isolated pair (each degree 2 incl self < min_pts=4)
+        30: (50.0, 50.0), 31: (50.0, 51.0),
+        # singleton
+        40: (-70.0, 120.0),
+    }
+    rows = [(i, la, ln) for i, (la, ln) in pts.items()] + [(99, None, None)]
+    df = spark.createDataFrame(rows, 'page_id long, lat double, lng double')
+    eps, min_pts = 2.0, 4
+    got = {r['page_id']: (r['cluster'], r['role'])
+           for r in dbscan(df, eps, min_pts, res=5).collect()}
+
+    # pure-python reference
+    import itertools
+    ids = list(pts)
+    nbrs = {i: {j for j in ids if j != i and
+                (pts[i][0] - pts[j][0]) ** 2 +
+                (pts[i][1] - pts[j][1]) ** 2 <= eps * eps} for i in ids}
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+    lab = {i: i for i in core}
+    for _ in ids:
+        for a, b in itertools.permutations(core, 2):
+            if b in nbrs[a] and lab[b] < lab[a]:
+                lab[a] = lab[b]
+    want = {}
+    for i in ids:
+        if i in core:
+            want[i] = (lab[i], 'core')
+        else:
+            cl = [lab[c] for c in nbrs[i] if c in core]
+            want[i] = (min(cl), 'border') if cl else (-1, 'noise')
+    want[99] = (-1, 'noise')
+    assert got == want
+    roles = {v[1] for v in got.values()}
+    assert roles == {'core', 'border', 'noise'}
+    # blob A and blob B are distinct clusters; pair + singleton are noise
+    assert got[0][0] != got[10][0]
+    assert got[30] == (-1, 'noise') and got[40] == (-1, 'noise')
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dbscan(df, eps, 1, res=5)
+
+
+def test_dbscan_min_label_border_tiebreak(spark):
+    """A border point in eps-reach of two clusters joins the one with the
+    smaller label — partitioning/visit-order independent by construction."""
+    from buzzard_spark.operators.spatial_join import dbscan
+    pts = {
+        # cluster with min id 1 (left blob, 4 mutual cores)
+        1: (0.0, 0.0), 2: (0.0, 0.8), 3: (0.8, 0.0), 4: (0.8, 0.8),
+        # cluster with min id 10 (right blob)
+        10: (0.0, 4.0), 11: (0.0, 4.8), 12: (0.8, 4.0), 13: (0.8, 4.8),
+        # bridge: reaches EXACTLY 4 (0.8,0.8, d=1.6) and 12 (0.8,4.0,
+        # d=1.6); every other point is > eps away (next closest 1.79) —
+        # degree 2 + self = 3 < min_pts, so it stays border
+        20: (0.8, 2.4),
+    }
+    eps = 1.7
+    rows = [(i, la, ln) for i, (la, ln) in pts.items()]
+    df = spark.createDataFrame(rows, 'page_id long, lat double, lng double')
+    got = {r['page_id']: (r['cluster'], r['role'])
+           for r in dbscan(df, eps, 4, res=6).collect()}
+    assert got[1] == (1, 'core') and got[10][1] == 'core'
+    # the two blobs must NOT have merged through the low-degree bridge
+    assert got[10][0] == 10
+    assert got[20] == (1, 'border')   # min(1, 10) = 1
