@@ -805,6 +805,16 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style compact(): the union of the 200 region covers at res 6
+    reduced to the minimal mixed-resolution cover (merges through FIVE
+    levels at the gate sf — res 6 down to res 1); oracle is the same
+    cascade unrolled as per-level CTEs over a generate_series cover."""
+    regions = synth.regions(spark, N_REGIONS)
+    cov = spatial_join.cover_cells_rect(regions, 6).select('cell')
+    return spatial_join.compact_cells(cov, 6)
+
+
 def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tile-grid enumeration (Footprint.tile(shrink) as rows —
     the §2.1 tiling algebra at the driver surface)."""
@@ -1381,6 +1391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'nearest_region': q_nearest_region,
     'quadtree_leaves': q_quadtree_leaves,
     'dbscan_labels': q_dbscan_labels,
+    'compact_cover': q_compact_cover,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2051,6 +2062,13 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'compact_cover': spatial_join.compact_cells_oracle_sql(
+            spatial_join.cover_cells_rect_oracle_sql(
+                'SELECT region_id, {minlat} AS minlat, '
+                '{maxlat} AS maxlat, {minlng} AS minlng, '
+                '{maxlng} AS maxlng FROM range({n}) t(region_id)'.format(
+                    n=N_REGIONS, **sqlgen.region_cols_sql('region_id')),
+                6), 6),
         'nearest_region': spatial_join.nearest_region_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -581,3 +581,106 @@ def dbscan_oracle_sql(pages_cte: str, eps: float, min_pts: int,
         "COALESCE(lab.role, 'noise') AS role "
         f'FROM p LEFT JOIN lab ON lab.id = p.{id_col}'
     )
+
+
+def compact_cells(cell_set: DataFrame, res: int, min_res: int = 0) -> DataFrame:
+    """Hierarchical cell compaction — the H3/S2 ``compact()`` analogue
+    over the engine's quadtree grid: a set of cells at resolution ``res``
+    (duplicates allowed; one ``distinct`` is applied) reduced to the
+    minimal mixed-resolution cover::
+
+        (res, cell)   -- every input cell lies under exactly one output
+                      -- cell; a parent replaces its children iff ALL
+                      -- FOUR are (recursively) fully present
+
+    The exact dual of :func:`quadtree_leaves` (top-down split on a count
+    cap): compaction is bottom-up on OCCUPANCY — the operation an index
+    layer runs before storing a region's cover set or pruning a scan,
+    where a fully-covered subtree costs one row instead of 4^depth.
+    Compose with :func:`cover_cells_rect` (region covers — contiguous
+    rectangles, the high-merge case) or :func:`assign_cell` (page sets).
+
+    Plan shape: one distinct on the cell id, then ``res − min_res``
+    cascaded ``groupBy(parent).count() = 4`` reductions (each level ≤ ¼
+    the previous — a geometrically shrinking aggregation chain), then one
+    anti-join per level against the level above to keep exactly the
+    maximal full cells. All pure integer Catalyst arithmetic; each level
+    is persisted for its two scans (parent rollup + anti-join) and a
+    single reliable checkpoint releases the chain.
+
+    Scale shape (10^12 pages): the expensive op is the FIRST distinct
+    (shuffle keyed by cell — bounded by the grid size 32·4^res, not the
+    corpus); every later level is ≤ ¼ of it, and the anti-joins join
+    level r against the strictly smaller level r−1.
+
+    Reference analogue: buzzard's minimal-tile covers from
+    ``Footprint.tile_occurrence`` (buzzard/_footprint_tile.py) — the same
+    contract, array-side on one machine.
+    """
+    if not 0 <= min_res <= res:
+        raise ValueError(f'need 0 <= min_res <= res: {min_res}, {res}')
+    from buzzard_spark.session import checkpoint_release
+
+    def _parent_sql(r: int) -> str:
+        nxc, nxp = 8 << r, 8 << (r - 1)
+        return (f'((cell DIV {nxc}) DIV 2) * {nxp} + '
+                f'(cell % {nxc}) DIV 2')
+
+    occ = cell_set.select('cell').distinct()
+    levels: dict[int, DataFrame] = {res: occ.persist()}
+    for r in range(res, min_res, -1):
+        levels[r - 1] = (levels[r]
+                         .groupBy(F.expr(_parent_sql(r)).alias('cell'))
+                         .count()
+                         .where(F.col('count') == 4).select('cell')
+                         .persist())
+    parts = []
+    for r in range(res, min_res, -1):
+        keep = (levels[r]
+                .withColumn('_p', F.expr(_parent_sql(r)))
+                .join(levels[r - 1].withColumnRenamed('cell', '_p'),
+                      '_p', 'left_anti'))
+        parts.append(keep.select(F.lit(r).alias('res'), 'cell'))
+    parts.append(levels[min_res].select(
+        F.lit(min_res).alias('res'), 'cell'))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return checkpoint_release(out, list(levels.values()))
+
+
+def compact_cells_oracle_sql(cells_cte: str, res: int,
+                             min_res: int = 0) -> str:
+    """DuckDB twin of :func:`compact_cells`: the same level cascade
+    unrolled as one CTE per resolution (bounded — ``res − min_res``
+    levels, each a GROUP BY HAVING COUNT(*) = 4 over the one below).
+    ``cells_cte`` must yield a ``cell`` column at resolution ``res``."""
+    def _parent_sql(r: int) -> str:
+        nxc, nxp = 8 << r, 8 << (r - 1)
+        return f'((cell // {nxc}) // 2) * {nxp} + (cell % {nxc}) // 2'
+
+    ctes = [f'c{res} AS (SELECT DISTINCT cell FROM ({cells_cte}))']
+    for r in range(res, min_res, -1):
+        ctes.append(f'c{r - 1} AS (SELECT {_parent_sql(r)} AS cell '
+                    f'FROM c{r} GROUP BY 1 HAVING COUNT(*) = 4)')
+    sel = []
+    for r in range(res, min_res, -1):
+        sel.append(f'SELECT {r} AS res, cell FROM c{r} '
+                   f'WHERE {_parent_sql(r)} NOT IN '
+                   f'(SELECT cell FROM c{r - 1})')
+    sel.append(f'SELECT {min_res} AS res, cell FROM c{min_res}')
+    return 'WITH ' + ', '.join(ctes) + ' ' + ' UNION ALL '.join(sel)
+
+
+def cover_cells_rect_oracle_sql(regions_cte: str, res: int) -> str:
+    """DuckDB twin of :func:`cover_cells_rect` (salt = 1): enumerate each
+    rectangle's cover cells with the identical clamped row/col arithmetic
+    (sqlgen helpers are dialect-neutral), one row per (region, cell)."""
+    nx, _ = cells.dims(res)
+    iy0 = sqlgen.lat_cell_row_sql('maxlat', res)
+    iy1 = sqlgen.lat_cell_row_sql('minlat', res)
+    ix0 = sqlgen.lng_cell_col_sql('minlng', res)
+    ix1 = sqlgen.lng_cell_col_sql('maxlng', res)
+    return (f'SELECT ty.iy * {nx} + tx.ix AS cell FROM ({regions_cte}) rg '
+            f'CROSS JOIN unnest(generate_series({iy0}, {iy1})) ty(iy) '
+            f'CROSS JOIN unnest(generate_series({ix0}, {ix1})) tx(ix)')

@@ -237,3 +237,46 @@ def test_dbscan_min_label_border_tiebreak(spark):
     # the two blobs must NOT have merged through the low-degree bridge
     assert got[10][0] == 10
     assert got[20] == (1, 'border')   # min(1, 10) = 1
+
+
+def test_compact_cells_roundtrip_and_merge(spark):
+    """compact_cells: a full 2x2 quad merges, a 3/4 quad does not, merges
+    cascade upward, and UNCOMPACTING the output (expanding every output
+    cell back to res-level children) reproduces the input set exactly —
+    the H3 compact/uncompact round-trip contract."""
+    from buzzard_spark.kernels import cells as kc
+    from buzzard_spark.operators.spatial_join import (
+        compact_cells, compact_cells_oracle_sql)
+
+    res = 3
+    # a fully covered res-1 cell (16 res-3 descendants) -> cascades to res 1
+    deep = list(kc.children(5, 1, res))
+    # one full res-2 quad elsewhere (4 cells) -> merges one level
+    quad = list(kc.children(200, 2, res))
+    # a 3/4 quad -> must NOT merge
+    partial = list(kc.children(210, 2, res))[:3]
+    inp = sorted(set(int(c) for c in deep + quad + partial))
+    df = spark.createDataFrame([(c,) for c in inp], 'cell long')
+    got = sorted((r['res'], r['cell'])
+                 for r in compact_cells(df, res, min_res=0).collect())
+    assert (1, 5) in got
+    assert (2, 200) in got
+    assert all((3, c) in got for c in partial)
+    assert len(got) == 1 + 1 + 3
+
+    # uncompact round-trip
+    back = []
+    for r, c in got:
+        back += [int(x) for x in kc.children(c, r, res)]
+    assert sorted(back) == inp
+
+    # oracle agreement on the same set
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    cte = ' UNION ALL '.join(f'SELECT {c} AS cell' for c in inp)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        compact_cells_oracle_sql(cte, res, 0)).fetchall())
+    assert got == want
+
+    with _pytest.raises(ValueError):
+        compact_cells(df, res, min_res=res + 1)
