@@ -805,6 +805,25 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier BFS depth from a 2-seed set over a doubling-tree
+    link graph (u_{d div 2} → u_d, so hop(u_d) = floor(log2 d)) plus a
+    3-cycle and a leaf hanging off it — min-hop labels, cycle termination
+    and multi-seed union all exercised; oracle is a bounded recursive-CTE
+    walk with MIN(hop) per node."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    chain = (docs.where('doc_id >= 1')
+             .select(F.expr("concat('u', CAST(doc_id DIV 2 AS STRING))")
+                     .alias('src'),
+                     F.expr("concat('u', CAST(doc_id AS STRING))")
+                     .alias('dst')))
+    extra = spark.createDataFrame(
+        [('c0', 'c1'), ('c1', 'c2'), ('c2', 'c0'), ('c0', 'f')],
+        'src string, dst string')
+    seeds = spark.createDataFrame([('u1',), ('c1',)], 'node string')
+    return graph_ops.bfs_hops(chain.unionByName(extra), seeds, 12)
+
+
 def q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3/S2-style compact(): the union of the 200 region covers at res 6
     reduced to the minimal mixed-resolution cover (merges through FIVE
@@ -1392,6 +1411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'quadtree_leaves': q_quadtree_leaves,
     'dbscan_labels': q_dbscan_labels,
     'compact_cover': q_compact_cover,
+    'crawl_depth': q_crawl_depth,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2062,6 +2082,13 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'crawl_depth': graph_ops.bfs_hops_oracle_sql(
+            "SELECT concat('u', CAST(doc_id // 2 AS VARCHAR)) AS src, "
+            "concat('u', CAST(doc_id AS VARCHAR)) AS dst FROM documents "
+            'WHERE doc_id >= 1 '
+            "UNION ALL SELECT 'c0', 'c1' UNION ALL SELECT 'c1', 'c2' "
+            "UNION ALL SELECT 'c2', 'c0' UNION ALL SELECT 'c0', 'f'",
+            "SELECT 'u1' AS node UNION ALL SELECT 'c1'", 12),
         'compact_cover': spatial_join.compact_cells_oracle_sql(
             spatial_join.cover_cells_rect_oracle_sql(
                 'SELECT region_id, {minlat} AS minlat, '

@@ -217,3 +217,36 @@ def test_resolve_redirects_long_chain_log_rounds(spark):
     got = {r['src']: (r['final'], r['is_cycle'])
            for r in resolve_redirects(edges).collect()}
     assert all(v == ('n300', False) for v in got.values())
+
+
+def test_bfs_hops_min_hop_cycles_and_cutoff(spark):
+    """bfs_hops: shorter of two paths wins (diamond), seeds stay hop 0
+    even when re-reachable, cycles terminate, unreachable nodes and
+    nodes past max_hops are excluded; DuckDB recursive oracle agrees."""
+    from buzzard_spark.operators.graph import bfs_hops, bfs_hops_oracle_sql
+    edges = [
+        ('a', 'b'), ('b', 'c'), ('c', 'd'),      # long path a->d (3)
+        ('a', 'd'),                               # short path a->d (1)
+        ('d', 'a'),                               # cycle back to the seed
+        ('d', 'e'), ('e', 'f'), ('f', 'g'),       # tail past the cutoff
+        ('x', 'y'),                               # unreachable island
+    ]
+    e = spark.createDataFrame(edges, 'src string, dst string')
+    s = spark.createDataFrame([('a',)], 'node string')
+    got = {r['node']: r['hop'] for r in bfs_hops(e, s, 3).collect()}
+    assert got == {'a': 0, 'b': 1, 'd': 1, 'c': 2, 'e': 2, 'f': 3}
+    # g is hop 4 -> cut; x, y unreachable -> absent
+
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    e_sql = ' UNION ALL '.join(f"SELECT '{a}' AS src, '{b}' AS dst"
+                               for a, b in edges)
+    want = {n: h for n, h in duckdb.connect().execute(
+        bfs_hops_oracle_sql(e_sql, "SELECT 'a' AS node", 3)).fetchall()}
+    assert got == want
+
+    with _pytest.raises(ValueError):
+        bfs_hops(e, s, -1)
+    # max_hops = 0: seeds only
+    assert {r['node']: r['hop'] for r in bfs_hops(e, s, 0).collect()} \
+        == {'a': 0}
