@@ -805,6 +805,21 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality skyline: the documents no other dominates on (token count,
+    distinct-token count) — 2-D skyline via bucketed suffix-max (bucket
+    width 64 so the multi-bucket path runs at the gate sf); oracle is
+    brute NOT EXISTS dominance."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    ws = "split(trim(text), '\\\\s+')"
+    feats = docs.select(
+        F.expr(f'size({ws})').cast('long').alias('n_tokens'),
+        F.expr(f'size(array_distinct({ws}))').cast('long')
+        .alias('n_distinct'))
+    return corpus_ops.pareto_front(feats, 'n_tokens', 'n_distinct',
+                                   bucket_width=64)
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier BFS depth from a 2-seed set over a doubling-tree
     link graph (u_{d div 2} → u_d, so hop(u_d) = floor(log2 d)) plus a
@@ -1412,6 +1427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'dbscan_labels': q_dbscan_labels,
     'compact_cover': q_compact_cover,
     'crawl_depth': q_crawl_depth,
+    'pareto_front': q_pareto_front,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2082,6 +2098,12 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'pareto_front': corpus_ops.pareto_front_oracle_sql(
+            "SELECT len(string_split_regex(trim(text), '\\s+')) "
+            'AS n_tokens, '
+            "len(list_distinct(string_split_regex(trim(text), '\\s+'))) "
+            'AS n_distinct FROM documents',
+            'n_tokens', 'n_distinct'),
         'crawl_depth': graph_ops.bfs_hops_oracle_sql(
             "SELECT concat('u', CAST(doc_id // 2 AS VARCHAR)) AS src, "
             "concat('u', CAST(doc_id AS VARCHAR)) AS dst FROM documents "

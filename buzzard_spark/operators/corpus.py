@@ -1127,3 +1127,76 @@ def contamination_check_oracle_sql(corpus_cte: str, bench_cte: str,
             f'SELECT cg.{id_col} AS {id_col}, bg.{bench_id_col} AS {bench_id_col}, '
             f'COUNT(*) AS n_shared_grams '
             f'FROM cg JOIN bg USING (gram) GROUP BY 1, 2')
+
+
+def pareto_front(df: DataFrame, x_col: str, y_col: str,
+                 bucket_width: int = 1024) -> DataFrame:
+    """2-D skyline (Pareto front) under maximize-both strict dominance::
+
+        (x_col, y_col, n_rows)   -- the distinct points no other point
+                                 -- dominates; n_rows = multiplicity
+
+    Point b dominates a iff ``b.x >= a.x AND b.y >= a.y`` with at least
+    one strict — the standard skyline operator (Börzsönyi et al.,
+    ICDE'01: "The Skyline Operator"). Ties ARE skyline points (equal
+    points don't dominate each other), which is why the output carries
+    the multiplicity instead of exploding duplicates. The corpus use:
+    the quality frontier "no other document has both more tokens AND
+    more distinct tokens" — the non-dominated set a data-selection pass
+    keeps when trading off two quality signals.
+
+    Plan shape (2-D makes the sort-based algorithm distributable with
+    NO single-partition window over row-scale data):
+
+    1. ``groupBy(x, y).count()`` — map-side combinable; everything after
+       runs on DISTINCT POINTS (domain-bounded, not corpus-bounded).
+    2. per-x max y (only the top point of each x-column can survive).
+    3. suffix-max of y over strictly greater x, computed bucketed:
+       a window PARTITIONED by ``x DIV bucket_width`` (parallel), plus a
+       bucket-level suffix-max over the bucket aggregate table — whose
+       row count is |x-domain| / bucket_width, the only single-partition
+       step and bounded by design, analogous to the driver-side quantile
+       table other engines broadcast.
+    4. keep (x, maxy) where the strict-suffix max is NULL or < y, join
+       multiplicities back.
+
+    Scale shape (10^12 pages): the corpus appears ONLY in step 1's
+    partial-aggregated groupBy; steps 2-4 operate on ≤ |X|·|Y|-bounded
+    distinct points. Integer inputs, no floating aggregation — the
+    DuckDB oracle (brute NOT EXISTS dominance) matches hash-exact.
+    """
+    if bucket_width < 1:
+        raise ValueError(f'bucket_width must be >= 1: {bucket_width}')
+    pts = (df.groupBy(F.col(x_col).alias('x'), F.col(y_col).alias('y'))
+           .agg(F.count('*').alias('n_rows')))
+    colmax = pts.groupBy('x').agg(F.max('y').alias('my'))
+    b = colmax.withColumn('_b', F.expr(f'x DIV {bucket_width}'))
+    w_in = (Window.partitionBy('_b').orderBy(F.desc('x'))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    b = b.withColumn('_sfx_in', F.max('my').over(w_in))
+    bmax = b.groupBy('_b').agg(F.max('my').alias('_bm'))
+    w_b = (Window.orderBy(F.desc('_b'))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    bmax = bmax.withColumn('_sfx_b', F.max('_bm').over(w_b))
+    sky = (b.join(bmax.select('_b', '_sfx_b'), '_b')
+           .withColumn('_sfx', F.greatest('_sfx_in', '_sfx_b'))
+           .where(F.col('_sfx').isNull() | (F.col('_sfx') < F.col('my')))
+           .select('x', F.col('my').alias('y')))
+    return (sky.join(pts, ['x', 'y'])
+            .select(F.col('x').alias(x_col), F.col('y').alias(y_col),
+                    'n_rows'))
+
+
+def pareto_front_oracle_sql(rows_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`pareto_front`: brute NOT EXISTS dominance
+    over the distinct-point table. ``rows_sql`` yields one row per input
+    row with columns ``x_col``, ``y_col``."""
+    return (
+        f'WITH d AS ({rows_sql}), '
+        f'pts AS (SELECT {x_col} AS x, {y_col} AS y, COUNT(*) AS c '
+        'FROM d GROUP BY 1, 2) '
+        f'SELECT a.x AS {x_col}, a.y AS {y_col}, '
+        'CAST(a.c AS BIGINT) AS n_rows FROM pts a '
+        'WHERE NOT EXISTS (SELECT 1 FROM pts b '
+        'WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))'
+    )

@@ -597,3 +597,47 @@ def test_incremental_near_pairs_capped_bucket_flood(spark):
     for r in pairs:
         parent[find(r['id_a'])] = find(r['id_b'])
     assert len({find(i) for i in ids}) == 1
+
+
+def test_pareto_front_dominance_ties_and_buckets(spark):
+    """Skyline semantics pinned against brute force: anti-correlated
+    staircase (all on front), dominated interior points, equal-point
+    multiplicity (ties are skyline, counted not exploded), equal-x /
+    equal-y strict dominance, and bucket_width=4 so the cross-bucket
+    suffix-max path is exercised."""
+    from buzzard_spark.operators.corpus import (
+        pareto_front, pareto_front_oracle_sql)
+
+    pts = [(100, 1), (80, 5), (60, 9), (40, 13), (20, 17)]  # staircase
+    pts += [(79, 5),    # dominated by (80, 5): equal y, smaller x
+            (80, 4),    # dominated by (80, 5): equal x, smaller y
+            (50, 8), (10, 2)]                       # interior
+    rows = pts + [(100, 1), (100, 1)]               # multiplicity 3
+    df = spark.createDataFrame(rows, 'x long, y long')
+    got = sorted(tuple(r) for r in
+                 pareto_front(df, 'x', 'y', bucket_width=4).collect())
+    brute = {}
+    for p in rows:
+        brute[p] = brute.get(p, 0) + 1
+    sky = sorted((x, y, n) for (x, y), n in brute.items()
+                 if not any(bx >= x and by >= y and (bx > x or by > y)
+                            for (bx, by) in brute if (bx, by) != (x, y)))
+    assert got == sky
+    assert (100, 1, 3) in got            # multiplicity carried
+    assert len(got) == 5                 # exactly the staircase
+
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    rows_sql = ' UNION ALL '.join(f'SELECT {x} AS x, {y} AS y'
+                                  for x, y in rows)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        pareto_front_oracle_sql(rows_sql, 'x', 'y')).fetchall())
+    assert got == want
+
+    # bucket width must not change the answer
+    for bw in (1, 3, 1000):
+        assert sorted(tuple(r) for r in
+                      pareto_front(df, 'x', 'y', bucket_width=bw)
+                      .collect()) == sky
+    with _pytest.raises(ValueError):
+        pareto_front(df, 'x', 'y', bucket_width=0)
