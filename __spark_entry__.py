@@ -805,6 +805,17 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (3-gram-shingle Jaccard ≥ 3/5) via
+    AllPairs/PPJoin prefix filtering over the near-dup corpus — the
+    guaranteed-recall complement to the MinHash path (at the gate sf it
+    finds exactly the 505 pairs `dedup_near_pairs` finds — the two
+    operators cross-validate); oracle is the brute shared-token join
+    with the identical integer threshold."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return dedup_ops.setsim_pairs(corpus, 3, 5, k=3)
+
+
 def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality skyline: the documents no other dominates on (token count,
     distinct-token count) — 2-D skyline via bucketed suffix-max (bucket
@@ -1428,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'compact_cover': q_compact_cover,
     'crawl_depth': q_crawl_depth,
     'pareto_front': q_pareto_front,
+    'setsim_pairs': q_setsim_pairs,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2098,6 +2110,12 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'setsim_pairs': dedup_ops.setsim_pairs_oracle_sql(
+            'SELECT doc_id, text FROM documents UNION ALL '
+            "SELECT doc_id + 1000000, array_to_string("
+            "w[1:len(w) - 10], ' ') FROM (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') w FROM documents) "
+            'WHERE len(w) > 20', 3, 5, k=3),
         'pareto_front': corpus_ops.pareto_front_oracle_sql(
             "SELECT len(string_split_regex(trim(text), '\\s+')) "
             'AS n_tokens, '

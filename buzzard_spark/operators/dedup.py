@@ -16,7 +16,7 @@ because band buckets are bounded by construction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -595,3 +595,127 @@ def incremental_near_pairs(new_docs: DataFrame, index: DataFrame,
            .select('id_a', 'id_b', 'jaccard_pm'))
     from buzzard_spark.session import checkpoint_release
     return checkpoint_release(out, [new_idx, bn])
+
+
+def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
+                 id_col: str = 'doc_id', text_col: str = 'text',
+                 k: int = 1) -> DataFrame:
+    """EXACT set-similarity self-join: all unordered pairs whose
+    distinct-token Jaccard ≥ num/den, via prefix filtering (tokens are
+    words at ``k=1``, word k-gram shingles at ``k≥2`` — shingles make
+    Jaccard sequence-sensitive, the dedup pipeline's granularity)::
+
+        (id_a, id_b, inter, uni)   -- id_a < id_b, |A∩B|, |A∪B|
+                                   -- guaranteed inter·den >= num·uni
+
+    The exact complement of :func:`near_dup_pairs` (MinHash-LSH is
+    probabilistic — banding can miss a qualifying pair; this operator
+    cannot). Algorithm: AllPairs/PPJoin prefix filtering (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al. WWW'08):
+    order every document's tokens by ascending global document frequency
+    (rarest first, ties by token string — a deterministic total order
+    shared by all docs WITHOUT a global rank table: the (df, token) pair
+    itself is the sort key), keep only the first
+
+        p = s − ceil(τ·s) + 1          (s = |tokens|)
+
+    tokens as the doc's PREFIX. Theorem: two sets with Jaccard ≥ τ must
+    share at least one prefix token — so the candidate join runs on the
+    short prefixes (dominated by rare tokens with short postings) instead
+    of full postings, and hot stop-words never generate candidates
+    (they sort last, out of every prefix). Candidates are then verified
+    EXACTLY: |∩| by joining full postings on the pair, the threshold as
+    pure integer cross-multiplication ``inter·den ≥ num·(sa+sb−inter)``
+    — no float anywhere, hash-exact vs the brute DuckDB oracle.
+
+    Pruning stack: size filter first (τ·sa ≤ sb both ways — integer), so
+    a prefix hit between wildly different sizes never reaches the verify
+    join.
+
+    Scale shape (10^12 pages): three shuffles (df join keyed by token,
+    prefix self-join keyed by token, verify join keyed by pair) — every
+    per-doc step is a doc-partitioned window, never a global one. Prefix
+    postings are the scaling lever: at τ=0.8 a 100-token doc posts 21
+    tokens, each rare. Degenerate identical-template floods share ALL
+    tokens; their candidate lists are the true output size (they really
+    are near-dups), the same inherent-output bound as the LSH path.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f'need 0 < num <= den: {threshold_num}/{threshold_den}')
+    if k < 1:
+        raise ValueError(f'k must be >= 1: {k}')
+    num, den = threshold_num, threshold_den
+    if k == 1:
+        toks = (df.select(F.col(id_col).alias('id'),
+                          F.explode(F.expr(
+                              f"array_distinct(split(trim({text_col}), "
+                              f"'\\\\s+'))")).alias('tok')))
+    else:
+        toks = (shingles(df, text_col=text_col, k=k, out='_sh')
+                .select(F.col(id_col).alias('id'),
+                        F.explode('_sh').alias('tok')))
+    tok_df = toks.groupBy('tok').agg(F.count('*').alias('df_'))
+    t = toks.join(tok_df, 'tok')
+    w = Window.partitionBy('id').orderBy('df_', 'tok')
+    ranked = (t.withColumn('rn', F.row_number().over(w))
+              .withColumn('s', F.count('*').over(
+                  Window.partitionBy('id'))))
+    # p = s - ceil(num*s/den) + 1; ceil(a/b) = (a + b - 1) div b
+    prefix = ranked.where(F.expr(
+        f'rn <= s - (({num} * s + {den} - 1) DIV {den}) + 1'))
+    a = prefix.select(F.col('id').alias('id_a'), 'tok',
+                      F.col('s').alias('sa'))
+    b = prefix.select(F.col('id').alias('id_b'), 'tok',
+                      F.col('s').alias('sb'))
+    cand = (a.join(b, 'tok')
+            .where(F.col('id_a') < F.col('id_b'))
+            .where(F.expr(f'{num} * sa <= {den} * sb AND '
+                          f'{num} * sb <= {den} * sa'))
+            .select('id_a', 'id_b', 'sa', 'sb').distinct())
+    ta = toks.select(F.col('id').alias('id_a'), 'tok')
+    tb = toks.select(F.col('id').alias('id_b'), 'tok')
+    inter = (cand.join(ta, 'id_a').join(tb, ['id_b', 'tok'])
+             .groupBy('id_a', 'id_b', 'sa', 'sb')
+             .agg(F.count('*').alias('inter')))
+    return (inter
+            .withColumn('uni', F.col('sa') + F.col('sb') - F.col('inter'))
+            .where(F.expr(f'inter * {den} >= {num} * uni'))
+            .select('id_a', 'id_b',
+                    F.col('inter').cast('long').alias('inter'),
+                    F.col('uni').cast('long').alias('uni')))
+
+
+def setsim_pairs_oracle_sql(docs_sql: str, threshold_num: int,
+                            threshold_den: int,
+                            id_col: str = 'doc_id',
+                            text_col: str = 'text',
+                            k: int = 1) -> str:
+    """DuckDB twin of :func:`setsim_pairs`: brute shared-token join over
+    full distinct-token postings + the identical integer threshold (a
+    pair with Jaccard > 0 shares ≥ 1 token, so the shared-token join IS
+    exhaustive)."""
+    num, den = threshold_num, threshold_den
+    if k == 1:
+        t_cte = (f't AS (SELECT {id_col} AS id, unnest(list_distinct('
+                 f"string_split_regex(trim({text_col}), '\\s+'))) "
+                 'AS tok FROM d)')
+    else:
+        joined = " || ' ' || ".join(f'w[i + {j}]' for j in range(k))
+        t_cte = (
+            f'_w AS (SELECT {id_col} AS id, string_split_regex('
+            f"trim({text_col}), '\\s+') AS w FROM d), "
+            f't AS (SELECT id, unnest(list_distinct(list_transform('
+            f'generate_series(1, len(w) - {k - 1}), i -> {joined}))) '
+            'AS tok FROM _w)')
+    return (
+        f'WITH d AS ({docs_sql}), '
+        f'{t_cte}, '
+        'sz AS (SELECT id, COUNT(*) AS s FROM t GROUP BY 1), '
+        'i AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS inter FROM t a '
+        'JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) '
+        'SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter, '
+        'CAST(sa.s + sb.s - inter AS BIGINT) AS uni '
+        'FROM i JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib '
+        f'WHERE inter * {den} >= {num} * (sa.s + sb.s - inter)'
+    )

@@ -940,3 +940,80 @@ def test_crawl_diff_statuses(spark):
     want = sorted(tuple(r) for r in duckdb.connect().execute(
         crawl_diff_oracle_sql(cte(old), cte(new))).fetchall())
     assert got == want
+
+
+def test_setsim_pairs_exact_recall_vs_bruteforce(spark):
+    """Prefix-filtered exact set-similarity join == brute-force Jaccard
+    on a corpus crafted against the filter: shared hot tokens (sort last,
+    never in a prefix), a pair exactly AT the threshold (integer
+    cross-multiplication must keep it), one just below (must drop), and
+    size-filter kills (tiny vs huge doc sharing a rare token)."""
+    from buzzard_spark.operators.dedup import setsim_pairs
+
+    docs = [
+        (0, 'a b c d e'),            # {a..e}
+        (1, 'a b c d f'),            # jac 4/6 = 2/3 with doc 0
+        (2, 'a b c x y'),            # jac 3/7 with 0 -> below 1/2
+        (3, 'common common2 common3 q1 q2 q3 q4 q5'),
+        (4, 'common common2 common3 q1 q2 q3 q4 q6'),  # 7/9 with 3
+        (5, 'z'),                    # tiny: shares z with 6
+        (6, 'z ' + ' '.join(f'w{i}' for i in range(40))),  # huge
+        (7, 'a b c d e'),            # exact dup of 0 -> jac 1
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    def brute(num, den):
+        sets = {i: set(t.split()) for i, t in docs}
+        out = set()
+        for i in sets:
+            for j in sets:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    uni = len(sets[i] | sets[j])
+                    if inter * den >= num * uni:
+                        out.add((i, j, inter, uni))
+        return out
+
+    for num, den in [(1, 2), (2, 3), (4, 5), (1, 1)]:
+        got = {(r['id_a'], r['id_b'], r['inter'], r['uni'])
+               for r in setsim_pairs(df, num, den).collect()}
+        assert got == brute(num, den), (num, den)
+    # threshold edge: (0, 1) has jac exactly 2/3 — present at 2/3
+    got23 = {(r['id_a'], r['id_b'])
+             for r in setsim_pairs(df, 2, 3).collect()}
+    assert (0, 1) in got23
+    # but absent at 7/10 (0.7 > 2/3)
+    got710 = {(r['id_a'], r['id_b'])
+              for r in setsim_pairs(df, 7, 10).collect()}
+    assert (0, 1) not in got710 and (3, 4) in got710
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        setsim_pairs(df, 0, 5)
+    with _pytest.raises(ValueError):
+        setsim_pairs(df, 3, 5, k=0)
+
+
+def test_setsim_pairs_shingles_sequence_sensitive(spark):
+    """k=3 shingle mode: same bag of words in different order is NOT a
+    match (shingles are sequence-sensitive), a 10-token truncation of a
+    long doc IS; engine == DuckDB oracle on the same corpus."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.operators.dedup import (
+        setsim_pairs, setsim_pairs_oracle_sql)
+
+    base = ' '.join(f't{i}' for i in range(60))
+    trunc = ' '.join(f't{i}' for i in range(50))
+    shuffled = ' '.join(f't{i}' for i in reversed(range(60)))
+    docs = [(0, base), (1, trunc), (2, shuffled)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = sorted(tuple(r) for r in
+                 setsim_pairs(df, 3, 5, k=3).collect())
+    assert [(a, b) for a, b, *_ in got] == [(0, 1)]
+
+    docs_sql = ' UNION ALL '.join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in docs)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        setsim_pairs_oracle_sql(docs_sql, 3, 5, k=3)).fetchall())
+    assert got == want
