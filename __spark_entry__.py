@@ -805,6 +805,32 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_crawl_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest path (crawl-cost budgeting) over the
+    doubling tree with per-edge cost (child mod 7 + 1), PLUS shortcut
+    edges u1 → u_{50k} at cost 3 that undercut the tree path — min-cost
+    labels must take the shortcut where cheaper; cycle fixture included;
+    oracle is the bounded recursive-CTE walk."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    chain = (docs.where('doc_id >= 1')
+             .select(F.expr("concat('u', CAST(doc_id DIV 2 AS STRING))")
+                     .alias('src'),
+                     F.expr("concat('u', CAST(doc_id AS STRING))")
+                     .alias('dst'),
+                     F.expr('CAST(doc_id % 7 + 1 AS BIGINT)').alias('w')))
+    shortcuts = (docs.where('doc_id >= 50 AND doc_id % 50 = 0')
+                 .select(F.lit('u1').alias('src'),
+                         F.expr("concat('u', CAST(doc_id AS STRING))")
+                         .alias('dst'),
+                         F.lit(3).cast('long').alias('w')))
+    extra = spark.createDataFrame(
+        [('c0', 'c1', 1), ('c1', 'c2', 1), ('c2', 'c0', 1)],
+        'src string, dst string, w long')
+    seeds = spark.createDataFrame([('u1',), ('c1',)], 'node string')
+    edges = chain.unionByName(shortcuts).unionByName(extra)
+    return graph_ops.sssp_hops(edges, seeds, 12)
+
+
 def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (3-gram-shingle Jaccard ≥ 3/5) via
     AllPairs/PPJoin prefix filtering over the near-dup corpus — the
@@ -1440,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'crawl_depth': q_crawl_depth,
     'pareto_front': q_pareto_front,
     'setsim_pairs': q_setsim_pairs,
+    'crawl_cost': q_crawl_cost,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2110,6 +2137,18 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'crawl_cost': graph_ops.sssp_hops_oracle_sql(
+            "SELECT concat('u', CAST(doc_id // 2 AS VARCHAR)) AS src, "
+            "concat('u', CAST(doc_id AS VARCHAR)) AS dst, "
+            'CAST(doc_id % 7 + 1 AS BIGINT) AS w FROM documents '
+            'WHERE doc_id >= 1 '
+            "UNION ALL SELECT 'u1', concat('u', CAST(doc_id AS VARCHAR)), "
+            'CAST(3 AS BIGINT) FROM documents '
+            'WHERE doc_id >= 50 AND doc_id % 50 = 0 '
+            "UNION ALL SELECT 'c0', 'c1', CAST(1 AS BIGINT) "
+            "UNION ALL SELECT 'c1', 'c2', CAST(1 AS BIGINT) "
+            "UNION ALL SELECT 'c2', 'c0', CAST(1 AS BIGINT)",
+            "SELECT 'u1' AS node UNION ALL SELECT 'c1'", 12),
         'setsim_pairs': dedup_ops.setsim_pairs_oracle_sql(
             'SELECT doc_id, text FROM documents UNION ALL '
             "SELECT doc_id + 1000000, array_to_string("

@@ -499,3 +499,86 @@ def bfs_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
         'SELECT n AS node, CAST(MIN(h) AS BIGINT) AS hop '
         'FROM walk GROUP BY n'
     )
+
+
+def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
+              src: str = 'src', dst: str = 'dst',
+              weight: str = 'w') -> DataFrame:
+    """Single-source(-set) shortest path over non-negative INTEGER edge
+    weights, restricted to paths of at most ``max_hops`` edges::
+
+        (node, dist)   -- min total weight over any directed path of
+                       -- <= max_hops edges from ANY seed; unreachable
+                       -- nodes are not emitted; seeds are dist 0
+
+    The weighted twin of :func:`bfs_hops` — crawl-cost budgeting (edge
+    weight = politeness delay / fetch cost) and cell-grid routing. The
+    hop bound makes the answer well-defined and the work bounded on any
+    graph (including cycles — non-negative weights mean a cycle never
+    improves a distance, and the round count caps the exploration).
+
+    Plan shape: Bellman-Ford as DataFrame rounds — each round relaxes
+    every edge out of the CURRENT distance table (dist ⋈ edges →
+    candidate dist+w), then folds candidates into the table with a
+    groupBy-min. A round that improves nothing stops the loop early
+    (one count() per round, the same action cadence as bfs_hops /
+    connected_components); every round is lazily localCheckpoint-ed.
+    Integer arithmetic only — the DuckDB recursive-CTE oracle matches
+    hash-exact.
+
+    Scale shape (10^12 pages): per round ONE shuffle keyed by node for
+    the relax join and one for the min-fold; rounds ≤ max_hops. Unlike
+    textbook BF the relax join runs on the full frontier... but only
+    IMPROVED nodes re-enter (the `moved` filter), so settled subgraphs
+    drop out exactly as in delta-stepping's light bucket.
+    """
+    if max_hops < 0:
+        raise ValueError(f'max_hops must be >= 0: {max_hops}')
+    e = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'),
+                     F.col(weight).cast('long').alias('_w')) \
+        .localCheckpoint(eager=True)
+    if e.where(F.col('_w') < 0).count() > 0:
+        raise ValueError('negative edge weights are not supported')
+    dist = (seeds.select(F.col(seeds.columns[0]).alias('node'))
+            .distinct()
+            .withColumn('dist', F.lit(0).cast('long'))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (frontier.join(e, frontier.node == e._s)
+                .select(F.col('_d').alias('node'),
+                        (F.col('dist') + F.col('_w')).alias('dist'))
+                .groupBy('node').agg(F.min('dist').alias('dist')))
+        merged = (dist.select('node', 'dist')
+                  .unionByName(cand)
+                  .groupBy('node').agg(F.min('dist').alias('dist'))
+                  .localCheckpoint(eager=False))
+        improved = (merged.join(dist.withColumnRenamed('dist', '_old'),
+                                'node', 'left')
+                    .where(F.col('_old').isNull() |
+                           (F.col('dist') < F.col('_old')))
+                    .select('node', 'dist')
+                    .localCheckpoint(eager=False))
+        if improved.count() == 0:
+            break
+        dist, frontier = merged, improved
+    return dist.select('node', 'dist')
+
+
+def sssp_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
+                         src: str = 'src', dst: str = 'dst',
+                         weight: str = 'w') -> str:
+    """DuckDB twin of :func:`sssp_hops`: bounded recursive-CTE walk
+    carrying (node, dist, hops), then MIN(dist) per reached node.
+    UNION-distinct keeps cycle expansion finite within the hop bound."""
+    return (
+        f'WITH RECURSIVE e AS ({edges_sql}), '
+        f's AS ({seeds_sql}), '
+        'walk(n, d, h) AS ('
+        'SELECT DISTINCT s.node, CAST(0 AS BIGINT), 0 FROM s UNION '
+        f'SELECT e.{dst}, walk.d + e.{weight}, walk.h + 1 '
+        f'FROM walk JOIN e ON e.{src} = walk.n '
+        f'WHERE walk.h < {max_hops}) '
+        'SELECT n AS node, CAST(MIN(d) AS BIGINT) AS dist '
+        'FROM walk GROUP BY n'
+    )

@@ -250,3 +250,43 @@ def test_bfs_hops_min_hop_cycles_and_cutoff(spark):
     # max_hops = 0: seeds only
     assert {r['node']: r['hop'] for r in bfs_hops(e, s, 0).collect()} \
         == {'a': 0}
+
+
+def test_sssp_hops_weighted_paths_and_bound(spark):
+    """sssp_hops: a cheaper 3-hop path beats an expensive direct edge,
+    the hop bound excludes it when too tight, cycles terminate, and the
+    DuckDB recursive oracle agrees; negative weights rejected."""
+    from buzzard_spark.operators.graph import sssp_hops, sssp_hops_oracle_sql
+    edges = [
+        ('a', 'z', 100),                       # direct but pricey
+        ('a', 'b', 1), ('b', 'c', 1), ('c', 'z', 1),   # 3 hops, cost 3
+        ('z', 'a', 1),                          # cycle back
+        ('x', 'y', 1),                          # unreachable
+    ]
+    e = spark.createDataFrame(edges, 'src string, dst string, w long')
+    s = spark.createDataFrame([('a',)], 'node string')
+
+    got = {r['node']: r['dist'] for r in sssp_hops(e, s, 10).collect()}
+    assert got == {'a': 0, 'b': 1, 'c': 2, 'z': 3}
+    # with only 1 hop allowed, the pricey direct edge is the best z
+    got1 = {r['node']: r['dist'] for r in sssp_hops(e, s, 1).collect()}
+    assert got1 == {'a': 0, 'b': 1, 'z': 100}
+
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    e_sql = ' UNION ALL '.join(
+        f"SELECT '{a}' AS src, '{b}' AS dst, CAST({w} AS BIGINT) AS w"
+        for a, b, w in edges)
+    for mh in (1, 10):
+        want = {n: d for n, d in duckdb.connect().execute(
+            sssp_hops_oracle_sql(e_sql, "SELECT 'a' AS node", mh))
+            .fetchall()}
+        assert {r['node']: r['dist']
+                for r in sssp_hops(e, s, mh).collect()} == want
+
+    neg = spark.createDataFrame([('a', 'b', -1)],
+                                'src string, dst string, w long')
+    with _pytest.raises(ValueError):
+        sssp_hops(neg, s, 3)
+    with _pytest.raises(ValueError):
+        sssp_hops(e, s, -1)
