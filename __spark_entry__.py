@@ -805,6 +805,24 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3×3 moving-window) page-density smoothing over the res-5
+    cell grid — the cell twin of a raster box filter; explosion runs on
+    the aggregate table, never corpus rows; clamped edges value-checked
+    by the oracle's |Δrow|,|Δcol| ≤ 1 self-join."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.focal_sum(pages, res=5, radius=1)
+
+
+def q_pip_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial anti-join: pages contained by NO region — cover-join
+    positives anti-joined back; oracle is NOT EXISTS over the bbox
+    predicate."""
+    pages = _pages(spark, sf_dir)
+    regions = synth.regions(spark, N_REGIONS)
+    return spatial_join.pip_anti_join(pages, regions, JOIN_RES)
+
+
 def q_crawl_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded weighted shortest path (crawl-cost budgeting) over the
     doubling tree with per-edge cost (child mod 7 + 1), PLUS shortcut
@@ -1467,6 +1485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pareto_front': q_pareto_front,
     'setsim_pairs': q_setsim_pairs,
     'crawl_cost': q_crawl_cost,
+    'focal_density': q_focal_density,
+    'pip_outside': q_pip_outside,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2137,6 +2157,19 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'focal_density': spatial_join.focal_sum_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            res=5, radius=1),
+        'pip_outside': spatial_join.pip_anti_join_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            'SELECT region_id, {minlat} AS minlat, {maxlat} AS maxlat, '
+            '{minlng} AS minlng, {maxlng} AS maxlng '
+            'FROM range({n}) t(region_id)'.format(
+                n=N_REGIONS, **sqlgen.region_cols_sql('region_id'))),
         'crawl_cost': graph_ops.sssp_hops_oracle_sql(
             "SELECT concat('u', CAST(doc_id // 2 AS VARCHAR)) AS src, "
             "concat('u', CAST(doc_id AS VARCHAR)) AS dst, "

@@ -684,3 +684,105 @@ def cover_cells_rect_oracle_sql(regions_cte: str, res: int) -> str:
     return (f'SELECT ty.iy * {nx} + tx.ix AS cell FROM ({regions_cte}) rg '
             f'CROSS JOIN unnest(generate_series({iy0}, {iy1})) ty(iy) '
             f'CROSS JOIN unnest(generate_series({ix0}, {ix1})) tx(ix)')
+
+
+def focal_sum(pages: DataFrame, res: int, radius: int = 1,
+              lat: str = 'lat', lng: str = 'lng') -> DataFrame:
+    """Focal (moving-window) aggregation over the cell grid — per-cell
+    page count smoothed over the ``(2r+1)²`` neighborhood::
+
+        (cell, n_pages, focal_n)   -- focal_n = Σ counts of all in-range
+                                   -- neighbor cells (clamped at grid
+                                   -- edges, no longitude wrap)
+
+    The cell-grid twin of a raster box filter (the reference smooths the
+    array way — ``Footprint.dilate`` + convolution over a burned grid;
+    kernels/footprint.py ports that arithmetic): density smoothing,
+    hotspot detection, KDE-lite over geoparsed page locations.
+
+    Plan shape: ONE corpus-keyed aggregation (groupBy cell — map-side
+    combinable), then the (2r+1)²-fold neighbor explosion runs on the
+    AGGREGATE table (bounded by the grid, not the corpus) followed by a
+    second small groupBy. Never explodes corpus rows: at 10^12 pages and
+    res 9 the aggregate is ≤ 32·4^9 ≈ 8.4M rows — the explosion factor
+    hits that, not the 10^12.
+
+    Exactness: pure integer counts; the oracle enumerates the same
+    clamped neighbor ranges — hash-exact.
+    """
+    if radius < 0:
+        raise ValueError(f'radius must be >= 0: {radius}')
+    nx, ny = cells.dims(res)
+    counts = (assign_cell(pages, res, lat=lat, lng=lng, out='cell')
+              .where(F.col('cell') >= 0)
+              .groupBy('cell').agg(F.count('*').alias('n_pages'))
+              .persist())
+    r = radius
+    ring = (f'flatten(transform('
+            f'sequence(GREATEST(cell DIV {nx} - {r}, 0L), '
+            f'LEAST(cell DIV {nx} + {r}, {ny - 1}L)), '
+            f'yy -> transform('
+            f'sequence(GREATEST(cell % {nx} - {r}, 0L), '
+            f'LEAST(cell % {nx} + {r}, {nx - 1}L)), '
+            f'xx -> yy * {nx} + xx)))')
+    contrib = (counts
+               .withColumn('_t', F.explode(F.expr(ring)))
+               .groupBy(F.col('_t').alias('cell'))
+               .agg(F.sum('n_pages').alias('focal_n')))
+    out = (counts.join(contrib, 'cell')
+           .select('cell', 'n_pages',
+                   F.col('focal_n').cast('long').alias('focal_n')))
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [counts])
+
+
+def focal_sum_oracle_sql(pages_cte: str, res: int, radius: int = 1,
+                         lat: str = 'lat', lng: str = 'lng') -> str:
+    """DuckDB twin of :func:`focal_sum`: per-cell counts + a self-join on
+    clamped row/col distance ≤ radius (identical edge semantics, no
+    wrap). Output rows restricted to OCCUPIED cells, as in the engine."""
+    nx, _ = cells.dims(res)
+    cell = sqlgen.cell_sql(lat, lng, res)
+    return (
+        f'WITH p AS ({pages_cte}), '
+        f'c AS (SELECT {cell} AS cell, COUNT(*) AS n_pages FROM p '
+        f'WHERE {lat} IS NOT NULL AND {lng} IS NOT NULL GROUP BY 1), '
+        'f AS (SELECT a.cell, SUM(b.n_pages) AS focal_n FROM c a JOIN c b '
+        f'ON abs(a.cell // {nx} - b.cell // {nx}) <= {radius} '
+        f'AND abs(a.cell % {nx} - b.cell % {nx}) <= {radius} '
+        'GROUP BY 1) '
+        'SELECT c.cell, CAST(c.n_pages AS BIGINT) AS n_pages, '
+        'CAST(f.focal_n AS BIGINT) AS focal_n '
+        'FROM c JOIN f ON f.cell = c.cell'
+    )
+
+
+def pip_anti_join(pages: DataFrame, regions: DataFrame, res: int,
+                  id_col: str = 'page_id') -> DataFrame:
+    """Pages contained by NO region (the complement of the PIP join) —
+    the 'outside every boundary' filter (unlocatable pages, ocean
+    points, jurisdiction gaps)::
+
+        (id_col,)   -- pages whose point lies in no region rectangle;
+                    -- NULL-coordinate pages count as outside
+
+    Plan shape: the positive PIP join's matched id set (cover-cell
+    equi-join + exact bbox verify — same broadcast/skew properties as
+    :func:`pip_join_rect`), then ONE left-anti join of the page table
+    against it. The anti join keys on the page id — no geometry
+    re-evaluation on the anti side.
+    """
+    matched = pip_join_rect(pages, regions, res).select(id_col)
+    return pages.select(id_col).join(matched, id_col, 'left_anti')
+
+
+def pip_anti_join_oracle_sql(pages_cte: str, regions_cte: str,
+                             id_col: str = 'page_id') -> str:
+    """DuckDB twin of :func:`pip_anti_join`: NOT EXISTS over the bbox
+    predicate (NULL coords fail every comparison — outside)."""
+    return (
+        f'WITH p AS ({pages_cte}), rg AS ({regions_cte}) '
+        f'SELECT p.{id_col} FROM p WHERE NOT EXISTS ('
+        'SELECT 1 FROM rg WHERE p.lat >= rg.minlat AND p.lat <= rg.maxlat '
+        'AND p.lng >= rg.minlng AND p.lng <= rg.maxlng)'
+    )

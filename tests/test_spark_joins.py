@@ -280,3 +280,74 @@ def test_compact_cells_roundtrip_and_merge(spark):
 
     with _pytest.raises(ValueError):
         compact_cells(df, res, min_res=res + 1)
+
+
+def test_focal_sum_box_filter_edges_and_values(spark):
+    """focal_sum: interior cell sums its full 3x3 neighborhood, corner
+    cells clamp (no wrap), radius 0 degenerates to the plain count, and
+    the DuckDB self-join oracle agrees."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.functions.sqlgen import dlit
+    from buzzard_spark.kernels import cells as kc
+    from buzzard_spark.operators.spatial_join import (
+        focal_sum, focal_sum_oracle_sql)
+
+    res = 2   # 32 x 16 grid
+    # pages at specific cells: a 3x3 block of cells around (iy=5, ix=10)
+    # with varying counts, plus the north-west corner cell (0, 0)
+    def center(iy, ix):
+        la, ln = kc.cell_center(iy * 32 + ix, res)
+        return float(la), float(ln)
+
+    rows, pid = [], 0
+    for (iy, ix, n) in [(4, 9, 1), (4, 10, 2), (4, 11, 3),
+                        (5, 9, 4), (5, 10, 5), (5, 11, 6),
+                        (6, 9, 7), (6, 10, 8), (6, 11, 9),
+                        (0, 0, 2)]:
+        la, ln = center(iy, ix)
+        for _ in range(n):
+            rows.append((pid, la, ln)); pid += 1
+    rows.append((pid, None, None))   # NULL coords drop
+    df = spark.createDataFrame(rows, 'page_id long, lat double, lng double')
+    got = {r['cell']: (r['n_pages'], r['focal_n'])
+           for r in focal_sum(df, res, radius=1).collect()}
+    assert got[5 * 32 + 10] == (5, 45)          # full 3x3 = 1+..+9
+    assert got[0] == (2, 2)                     # corner, no neighbors
+    assert got[4 * 32 + 9] == (1, 1 + 2 + 4 + 5)  # corner of the block
+    # radius 0 == plain counts
+    got0 = {r['cell']: r['focal_n']
+            for r in focal_sum(df, res, radius=0).collect()}
+    assert all(got0[c] == got[c][0] for c in got0)
+
+    cte = ' UNION ALL '.join(
+        f'SELECT {i} AS page_id, {dlit(la)} AS lat, {dlit(ln)} AS lng'
+        for i, la, ln in rows if la is not None)
+    want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(
+        focal_sum_oracle_sql(cte, res, 1)).fetchall()}
+    assert got == want
+
+    import pytest as _pytest2
+    with _pytest2.raises(ValueError):
+        focal_sum(df, res, radius=-1)
+
+
+def test_pip_anti_join_complement(spark):
+    """pip_anti_join is the exact complement of pip_join_rect's matched
+    id set, and NULL-coordinate pages land outside."""
+    from buzzard_spark import synth
+    from buzzard_spark.operators.spatial_join import (
+        pip_anti_join, pip_join_rect)
+    pages = synth.synthetic_pages(spark, 2000).select('page_id', 'lat', 'lng')
+    pages = pages.unionByName(spark.createDataFrame(
+        [(999999, None, None)], 'page_id long, lat double, lng double'))
+    regions = synth.regions(spark, 50)
+    inside = {r['page_id']
+              for r in pip_join_rect(pages, regions, 4)
+              .select('page_id').distinct().collect()}
+    outside = {r['page_id']
+               for r in pip_anti_join(pages, regions, 4).collect()}
+    allids = {r['page_id'] for r in pages.collect()}
+    assert inside | outside == allids
+    assert inside & outside == set()
+    assert 999999 in outside
