@@ -655,6 +655,10 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
         toks = (shingles(df, text_col=text_col, k=k, out='_sh')
                 .select(F.col(id_col).alias('id'),
                         F.explode('_sh').alias('tok')))
+    # three scans below (df-count join, prefix postings, verify join) —
+    # persist once so the split/shingle pass runs one corpus scan, and
+    # release through the result checkpoint (cache-lifetime contract)
+    toks = toks.persist()
     tok_df = toks.groupBy('tok').agg(F.count('*').alias('df_'))
     t = toks.join(tok_df, 'tok')
     w = Window.partitionBy('id').orderBy('df_', 'tok')
@@ -678,12 +682,14 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
     inter = (cand.join(ta, 'id_a').join(tb, ['id_b', 'tok'])
              .groupBy('id_a', 'id_b', 'sa', 'sb')
              .agg(F.count('*').alias('inter')))
-    return (inter
-            .withColumn('uni', F.col('sa') + F.col('sb') - F.col('inter'))
-            .where(F.expr(f'inter * {den} >= {num} * uni'))
-            .select('id_a', 'id_b',
-                    F.col('inter').cast('long').alias('inter'),
-                    F.col('uni').cast('long').alias('uni')))
+    out = (inter
+           .withColumn('uni', F.col('sa') + F.col('sb') - F.col('inter'))
+           .where(F.expr(f'inter * {den} >= {num} * uni'))
+           .select('id_a', 'id_b',
+                   F.col('inter').cast('long').alias('inter'),
+                   F.col('uni').cast('long').alias('uni')))
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [toks])
 
 
 def setsim_pairs_oracle_sql(docs_sql: str, threshold_num: int,

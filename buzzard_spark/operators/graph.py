@@ -464,12 +464,15 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
     """
     if max_hops < 0:
         raise ValueError(f'max_hops must be >= 0: {max_hops}')
+    from buzzard_spark.session import checkpoint_release
+
     e = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d')) \
         .distinct().localCheckpoint(eager=True)
     visited = (seeds.select(F.col(seeds.columns[0]).alias('node'))
                .distinct()
                .withColumn('hop', F.lit(0))
                .localCheckpoint(eager=True))
+    rounds = [e, visited]
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier.node == e._s)
@@ -477,11 +480,16 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
                .join(visited, 'node', 'left_anti')
                .withColumn('hop', F.lit(h))
                .localCheckpoint(eager=False))
+        rounds.append(nxt)
         if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        rounds.append(visited)
         frontier = nxt
-    return visited.select('node', F.col('hop').cast('long').alias('hop'))
+    out = visited.select('node', F.col('hop').cast('long').alias('hop'))
+    # one reliable checkpoint releases every round's localCheckpoint
+    # blocks (cache-lifetime contract, test_cache_hygiene)
+    return checkpoint_release(out, rounds)
 
 
 def bfs_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
@@ -534,15 +542,19 @@ def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
     """
     if max_hops < 0:
         raise ValueError(f'max_hops must be >= 0: {max_hops}')
-    e = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'),
-                     F.col(weight).cast('long').alias('_w')) \
-        .localCheckpoint(eager=True)
-    if e.where(F.col('_w') < 0).count() > 0:
+    from buzzard_spark.session import checkpoint_release
+
+    e0 = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'),
+                      F.col(weight).cast('long').alias('_w'))
+    # validate BEFORE checkpointing — the error path must not leave blocks
+    if e0.where(F.col('_w') < 0).count() > 0:
         raise ValueError('negative edge weights are not supported')
+    e = e0.localCheckpoint(eager=True)
     dist = (seeds.select(F.col(seeds.columns[0]).alias('node'))
             .distinct()
             .withColumn('dist', F.lit(0).cast('long'))
             .localCheckpoint(eager=True))
+    rounds = [e, dist]
     frontier = dist
     for _ in range(max_hops):
         cand = (frontier.join(e, frontier.node == e._s)
@@ -559,10 +571,14 @@ def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
                            (F.col('dist') < F.col('_old')))
                     .select('node', 'dist')
                     .localCheckpoint(eager=False))
+        rounds += [merged, improved]
         if improved.count() == 0:
             break
         dist, frontier = merged, improved
-    return dist.select('node', 'dist')
+    out = dist.select('node', 'dist')
+    # one reliable checkpoint releases every round's localCheckpoint
+    # blocks (cache-lifetime contract, test_cache_hygiene)
+    return checkpoint_release(out, rounds)
 
 
 def sssp_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
