@@ -805,6 +805,14 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-map tile pyramid: per-cell page counts at every resolution
+    6 → 0 from ONE corpus aggregation + a ¼-shrinking parent cascade;
+    oracle unrolls the identical cascade as per-level CTEs."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.cell_pyramid(pages, res=6)
+
+
 def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (3×3 moving-window) page-density smoothing over the res-5
     cell grid — the cell twin of a raster box filter; explosion runs on
@@ -1487,6 +1495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'crawl_cost': q_crawl_cost,
     'focal_density': q_focal_density,
     'pip_outside': q_pip_outside,
+    'cell_pyramid': q_cell_pyramid,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2157,6 +2166,11 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'cell_pyramid': spatial_join.cell_pyramid_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            res=6),
         'focal_density': spatial_join.focal_sum_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -786,3 +786,69 @@ def pip_anti_join_oracle_sql(pages_cte: str, regions_cte: str,
         'SELECT 1 FROM rg WHERE p.lat >= rg.minlat AND p.lat <= rg.maxlat '
         'AND p.lng >= rg.minlng AND p.lng <= rg.maxlng)'
     )
+
+
+def cell_pyramid(pages: DataFrame, res: int, min_res: int = 0,
+                 lat: str = 'lat', lng: str = 'lng') -> DataFrame:
+    """Multi-resolution aggregation pyramid — per-cell page counts at
+    EVERY resolution from ``res`` down to ``min_res``::
+
+        (res, cell, n_pages)   -- one row per occupied cell per level
+
+    The web-map tile pyramid / hypertable rollup: a dashboard zooms
+    across levels, so the build emits all of them — but NOT as K corpus
+    scans. The corpus is aggregated ONCE at the finest level; every
+    coarser level is a parent-keyed re-aggregation of the level below
+    (¼ the rows each step), so total work is |corpus| + Σ 4^-k · |grid|
+    — the cascade costs barely more than the finest level alone. Exact
+    nesting is the grid's power-of-two construction (the same contract
+    :func:`compact_cells` and ``kernels.cells.parent`` rely on).
+
+    Scale shape (10^12 pages): level-0 aggregation is the only
+    corpus-keyed shuffle (map-side combinable groupBy); the cascade
+    shuffles grid-bounded aggregate tables. NULL coordinates drop via
+    the −1 sentinel.
+    """
+    if not 0 <= min_res <= res:
+        raise ValueError(f'need 0 <= min_res <= res: {min_res}, {res}')
+    from buzzard_spark.session import checkpoint_release
+
+    base = (assign_cell(pages, res, lat=lat, lng=lng, out='cell')
+            .where(F.col('cell') >= 0)
+            .groupBy('cell').agg(F.count('*').alias('n_pages')))
+    levels: dict[int, DataFrame] = {res: base.persist()}
+    for r in range(res, min_res, -1):
+        nxc, nxp = 8 << r, 8 << (r - 1)
+        par = (f'((cell DIV {nxc}) DIV 2) * {nxp} + '
+               f'(cell % {nxc}) DIV 2')
+        levels[r - 1] = (levels[r]
+                         .groupBy(F.expr(par).alias('cell'))
+                         .agg(F.sum('n_pages').alias('n_pages'))
+                         .persist())
+    out = None
+    for r in range(res, min_res - 1, -1):
+        part = levels[r].select(F.lit(r).alias('res'), 'cell',
+                                F.col('n_pages').cast('long')
+                                .alias('n_pages'))
+        out = part if out is None else out.unionByName(part)
+    return checkpoint_release(out, list(levels.values()))
+
+
+def cell_pyramid_oracle_sql(pages_cte: str, res: int, min_res: int = 0,
+                            lat: str = 'lat', lng: str = 'lng') -> str:
+    """DuckDB twin of :func:`cell_pyramid`: the identical cascade
+    unrolled as per-level CTEs (parent arithmetic from the finest level,
+    exactly as the engine computes it)."""
+    cell = sqlgen.cell_sql(lat, lng, res)
+    ctes = [f'p AS ({pages_cte})',
+            f'c{res} AS (SELECT {cell} AS cell, COUNT(*) AS n_pages '
+            f'FROM p WHERE {lat} IS NOT NULL AND {lng} IS NOT NULL '
+            'GROUP BY 1)']
+    for r in range(res, min_res, -1):
+        nxc, nxp = 8 << r, 8 << (r - 1)
+        par = f'((cell // {nxc}) // 2) * {nxp} + (cell % {nxc}) // 2'
+        ctes.append(f'c{r - 1} AS (SELECT {par} AS cell, '
+                    f'SUM(n_pages) AS n_pages FROM c{r} GROUP BY 1)')
+    sel = [f'SELECT {r} AS res, cell, CAST(n_pages AS BIGINT) AS n_pages '
+           f'FROM c{r}' for r in range(res, min_res - 1, -1)]
+    return 'WITH ' + ', '.join(ctes) + ' ' + ' UNION ALL '.join(sel)

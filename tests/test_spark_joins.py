@@ -351,3 +351,59 @@ def test_pip_anti_join_complement(spark):
     assert inside | outside == allids
     assert inside & outside == set()
     assert 999999 in outside
+
+
+def test_cell_pyramid_conservation_and_nesting(spark):
+    """cell_pyramid: every level's counts sum to the valid-coord corpus
+    (mass conservation through the cascade), each parent equals the sum
+    of its children, the coarsest level matches a DIRECT aggregation at
+    that resolution (grid nesting is exact), and the oracle agrees."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark import synth
+    from buzzard_spark.functions.sqlgen import dlit
+    from buzzard_spark.operators.spatial_join import (
+        assign_cell, cell_pyramid, cell_pyramid_oracle_sql)
+
+    pages = synth.synthetic_pages(spark, 3000).select('page_id', 'lat', 'lng')
+    pages = pages.unionByName(spark.createDataFrame(
+        [(99999, None, None)], 'page_id long, lat double, lng double'))
+    res = 4
+    got = [(r['res'], r['cell'], r['n_pages'])
+           for r in cell_pyramid(pages, res, min_res=0).collect()]
+    by_level = {}
+    for rr, c, n in got:
+        by_level.setdefault(rr, {})[c] = n
+    assert set(by_level) == set(range(0, res + 1))
+    for rr in by_level:
+        assert sum(by_level[rr].values()) == 3000, rr   # NULL row dropped
+    # parent = sum of children
+    for rr in range(res, 0, -1):
+        nxc, nxp = 8 << rr, 8 << (rr - 1)
+        agg = {}
+        for c, n in by_level[rr].items():
+            p = ((c // nxc) // 2) * nxp + (c % nxc) // 2
+            agg[p] = agg.get(p, 0) + n
+        assert agg == by_level[rr - 1], rr
+    # coarsest level == direct aggregation at that res (exact nesting)
+    direct = {r['cell']: r['n']
+              for r in assign_cell(pages, 0).where('cell >= 0')
+              .groupBy('cell').count().withColumnRenamed('count', 'n')
+              .collect()}
+    assert direct == by_level[0]
+
+    rows = [(r['page_id'], r['lat'], r['lng'])
+            for r in pages.collect() if r['lat'] is not None][:200]
+    cte = ' UNION ALL '.join(
+        f'SELECT {i} AS page_id, {dlit(la)} AS lat, {dlit(ln)} AS lng'
+        for i, la, ln in rows)
+    small = spark.createDataFrame(
+        rows, 'page_id long, lat double, lng double')
+    got_small = sorted(tuple(r) for r in
+                       cell_pyramid(small, 3).collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        cell_pyramid_oracle_sql(cte, 3)).fetchall())
+    assert got_small == want
+
+    with _pytest.raises(ValueError):
+        cell_pyramid(pages, 3, min_res=5)
