@@ -445,3 +445,24 @@ def stream_weighted_sample(rows: DataFrame, weight_col: str, k: int,
                                 'ws array<long>, seen long',
                 outputMode='update',
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_pip_join(pages: DataFrame, regions: DataFrame, res: int,
+                    salt: int = 1) -> DataFrame:
+    """Geofence join on a stream: streaming pages × STATIC region table —
+    literally the batch cover-cell PIP join (stream-static equi-joins are
+    stateless in Structured Streaming; the small static side broadcasts
+    exactly as in batch), one definition, two execution modes::
+
+        (page columns…, region_id)  -- one row per (page, containing
+                                    -- region); pages outside every
+                                    -- region emit nothing
+
+    The alerting shape: "page geoparsed inside a watched boundary" as a
+    continuous query. Stateless — no watermark needed (each page row
+    joins the static dimension and leaves; nothing is buffered), so late
+    data is simply processed when it arrives. streaming == batch is
+    pinned by test_streaming.
+    """
+    from buzzard_spark.operators.spatial_join import pip_join_rect
+    return pip_join_rect(pages, regions, res, salt=salt)

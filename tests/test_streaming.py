@@ -514,3 +514,26 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path):
            for r in corpus.weighted_sample(batch, 'w', 5,
                                            strata_col='lang').collect()}
     assert got == exp
+
+
+def test_stream_pip_join_matches_batch(spark, tmp_path):
+    """Streaming geofence (stream pages × static regions) emits exactly
+    the batch PIP join's pairs — stateless stream-static join, NULL
+    coords emit nothing."""
+    pages_dir = str(tmp_path / 'pip_pages')
+    from buzzard_spark import synth
+    from buzzard_spark.operators.spatial_join import pip_join_rect
+    synth.synthetic_pages(spark, 800).write.parquet(pages_dir)
+    regions = synth.regions(spark, 40)
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    joined = stream_ops.stream_pip_join(stream, regions, res=4) \
+        .select('page_id', 'region_id')
+    sink = _run_stream(joined, tmp_path, mode='append')
+    got = {(r['page_id'], r['region_id'])
+           for r in spark.sql(f'SELECT * FROM {sink}').collect()}
+    truth = {(r['page_id'], r['region_id'])
+             for r in pip_join_rect(spark.read.parquet(pages_dir),
+                                    regions, 4)
+             .select('page_id', 'region_id').collect()}
+    assert got == truth and truth
