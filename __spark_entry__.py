@@ -805,6 +805,15 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means (k=8, 3 rounds) over the
+    page coordinates — lowest-id seeds, integer micro-degree sums, one
+    IEEE division per centroid, lowest-cluster tie-break; the oracle
+    unrolls the identical rounds as CTE pairs."""
+    pages = _pages(spark, sf_dir)
+    return spatial_join.kmeans_assign(pages, k=8, iters=3)
+
+
 def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-map tile pyramid: per-cell page counts at every resolution
     6 → 0 from ONE corpus aggregation + a ¼-shrinking parent cascade;
@@ -1496,6 +1505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'focal_density': q_focal_density,
     'pip_outside': q_pip_outside,
     'cell_pyramid': q_cell_pyramid,
+    'kmeans_clusters': q_kmeans_clusters,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2166,6 +2176,11 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'kmeans_clusters': spatial_join.kmeans_assign_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            k=8, iters=3),
         'cell_pyramid': spatial_join.cell_pyramid_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -852,3 +852,135 @@ def cell_pyramid_oracle_sql(pages_cte: str, res: int, min_res: int = 0,
     sel = [f'SELECT {r} AS res, cell, CAST(n_pages AS BIGINT) AS n_pages '
            f'FROM c{r}' for r in range(res, min_res - 1, -1)]
     return 'WITH ' + ', '.join(ctes) + ' ' + ' UNION ALL '.join(sel)
+
+
+def kmeans_assign(points: DataFrame, k: int, iters: int,
+                  id_col: str = 'page_id',
+                  lat: str = 'lat', lng: str = 'lng',
+                  scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd k-means over point coordinates — the training
+    loop the IVF index family consumes (similarity.py's IVF cells use a
+    one-shot nearest-centroid fold; this iterates it)::
+
+        (id_col, cluster)   -- assignment after ``iters`` Lloyd rounds;
+                            -- NULL-coordinate points get cluster −1
+
+    Determinism (the whole design, since k-means is famously run-order
+    sensitive): seeds are the ``k`` lowest-id points; coordinates are
+    floored to integer micro-degrees (``scale``) so per-cluster sums are
+    EXACT BIGINTs in any aggregation order; each new centroid is ONE
+    IEEE division of those exact integers (bit-identical in Spark, the
+    DuckDB oracle and Python); assignment ties break to the lowest
+    cluster id. Empty clusters keep their previous centroid.
+
+    Plan shape per round: assignment is the :func:`nearest_region`
+    literal-fold — a pure codegen map, NO join and NO ×k blowup — then
+    one map-side-combinable groupBy(cluster) over k groups. The k
+    centroid rows come to the driver each round (a dimension-sized
+    collect, the same bounded trip similarity.py's IVF documents);
+    nothing corpus-sized ever does.
+
+    Scale shape (10^12 pages): ``iters`` corpus scans, each one map +
+    one k-group aggregate — the textbook MapReduce k-means; no state
+    between rounds but k rows. BIGINT sums bound the corpus at ~2^53 /
+    (scale·180) rows per cluster before the final double conversion
+    loses exactness — 10^13 points at micro-degree scale, documented.
+    """
+    if not 1 <= k <= 4096:
+        raise ValueError(f'need 1 <= k <= 4096: {k}')
+    if iters < 1:
+        raise ValueError(f'iters must be >= 1: {iters}')
+    from buzzard_spark.functions.sqlgen import dlit
+    sl = dlit(float(scale))
+    pts = (points
+           .where(F.col(lat).isNotNull() & F.col(lng).isNotNull())
+           .select(F.col(id_col).alias('id'),
+                   F.expr(f'CAST(FLOOR({lat} * {sl}) AS BIGINT)')
+                   .alias('ix'),
+                   F.expr(f'CAST(FLOOR({lng} * {sl}) AS BIGINT)')
+                   .alias('iy'))
+           .persist())
+    seeds = pts.orderBy('id').limit(k).collect()
+    cents = [(j, float(r['ix']), float(r['iy']))
+             for j, r in enumerate(seeds)]
+
+    def _fold(cent_list):
+        lits = ', '.join(
+            "named_struct('cl', CAST({c} AS BIGINT), 'cx', {x}, "
+            "'cy', {y})".format(c=c, x=dlit(x), y=dlit(y))
+            for c, x, y in cent_list)
+        d2 = ('(CAST(ix AS DOUBLE) - c.cx) * (CAST(ix AS DOUBLE) - c.cx)'
+              ' + (CAST(iy AS DOUBLE) - c.cy) * '
+              '(CAST(iy AS DOUBLE) - c.cy)')
+        return (f"aggregate(array({lits}), "
+                f"named_struct('cl', CAST(-1 AS BIGINT), "
+                f"'d2', CAST('Infinity' AS DOUBLE)), "
+                f'(acc, c) -> CASE WHEN {d2} < acc.d2 THEN '
+                f"named_struct('cl', c.cl, 'd2', {d2}) ELSE acc END).cl")
+
+    assign = None
+    for it in range(iters):
+        assign = pts.withColumn('cl', F.expr(_fold(cents)))
+        if it == iters - 1:
+            break
+        agg = {int(r['cl']): (int(r['sx']), int(r['sy']), int(r['n']))
+               for r in assign.groupBy('cl')
+               .agg(F.sum('ix').alias('sx'), F.sum('iy').alias('sy'),
+                    F.count('*').alias('n')).collect()}
+        cents = [
+            (c, float(agg[c][0]) / float(agg[c][2]),
+             float(agg[c][1]) / float(agg[c][2])) if c in agg else
+            (c, x, y)
+            for c, x, y in cents]
+    out = (points.select(F.col(id_col).alias('id'))
+           .join(assign.select('id', 'cl'), 'id', 'left')
+           .select(F.col('id').alias(id_col),
+                   F.coalesce('cl', F.lit(-1)).alias('cluster')))
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [pts])
+
+
+def kmeans_assign_oracle_sql(pages_cte: str, k: int, iters: int,
+                             id_col: str = 'page_id',
+                             lat: str = 'lat', lng: str = 'lng',
+                             scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: the Lloyd rounds unrolled
+    as CTE pairs (cross-join + window argmin assignment; LEFT JOIN
+    centroid update keeping empty clusters) — identical integer floor,
+    exact BIGINT sums and single-division centroids."""
+    from buzzard_spark.functions.sqlgen import dlit
+    sl = dlit(float(scale))
+    d2 = ('(CAST(p.ix AS DOUBLE) - c.cx) * (CAST(p.ix AS DOUBLE) - c.cx)'
+          ' + (CAST(p.iy AS DOUBLE) - c.cy) * '
+          '(CAST(p.iy AS DOUBLE) - c.cy)')
+    ctes = [
+        f'src AS ({pages_cte})',
+        f'pts AS (SELECT {id_col} AS id, '
+        f'CAST(FLOOR({lat} * {sl}) AS BIGINT) AS ix, '
+        f'CAST(FLOOR({lng} * {sl}) AS BIGINT) AS iy FROM src '
+        f'WHERE {lat} IS NOT NULL AND {lng} IS NOT NULL)',
+        f'c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 '
+        f'AS BIGINT) AS cl, CAST(ix AS DOUBLE) AS cx, '
+        f'CAST(iy AS DOUBLE) AS cy FROM '
+        f'(SELECT * FROM pts ORDER BY id LIMIT {k}))',
+    ]
+    for it in range(iters):
+        ctes.append(
+            f'a{it + 1} AS (SELECT id, ix, iy, cl FROM ('
+            f'SELECT p.id, p.ix, p.iy, c.cl, ROW_NUMBER() OVER ('
+            f'PARTITION BY p.id ORDER BY {d2}, c.cl) AS rn '
+            f'FROM pts p CROSS JOIN c{it} c) WHERE rn = 1)')
+        if it < iters - 1:
+            ctes.append(
+                f'c{it + 1} AS (SELECT c.cl, '
+                f'COALESCE(CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE), '
+                f'c.cx) AS cx, '
+                f'COALESCE(CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE), '
+                f'c.cy) AS cy FROM c{it} c LEFT JOIN '
+                f'(SELECT cl, SUM(ix) AS sx, SUM(iy) AS sy, '
+                f'COUNT(*) AS n FROM a{it + 1} GROUP BY 1) s '
+                f'ON s.cl = c.cl)')
+    return ('WITH ' + ', '.join(ctes) + ' '
+            f'SELECT src.{id_col} AS {id_col}, '
+            f'CAST(COALESCE(a.cl, -1) AS BIGINT) AS cluster '
+            f'FROM src LEFT JOIN a{iters} a ON a.id = src.{id_col}')

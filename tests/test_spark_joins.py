@@ -407,3 +407,78 @@ def test_cell_pyramid_conservation_and_nesting(spark):
 
     with _pytest.raises(ValueError):
         cell_pyramid(pages, 3, min_res=5)
+
+
+def test_kmeans_assign_matches_python_lloyd(spark):
+    """kmeans_assign == a pure-python Lloyd with the identical contract
+    (lowest-id seeds, floored integer coords, exact-sum centroids, min-
+    cluster tie-break, empty clusters frozen); NULL coords -> -1; the
+    DuckDB unrolled oracle agrees; convergence: one more round leaves a
+    converged assignment unchanged."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.functions.sqlgen import dlit
+    from buzzard_spark.operators.spatial_join import (
+        kmeans_assign, kmeans_assign_oracle_sql)
+
+    pts = [(i, -40.0 + (i * 37 % 83), -170.0 + (i * 53 % 331) * 1.0)
+           for i in range(60)]
+    rows = pts + [(999, None, None)]
+    df = spark.createDataFrame(rows, 'page_id long, lat double, lng double')
+    k, iters, scale = 5, 3, 1_000_000
+
+    def lloyd(n_iters):
+        import math
+        ipts = [(i, math.floor(la * scale), math.floor(ln * scale))
+                for i, la, ln in pts]
+        cents = [(j, float(ix), float(iy))
+                 for j, (_, ix, iy) in enumerate(sorted(ipts)[:k])]
+        assign = {}
+        for it in range(n_iters):
+            assign = {}
+            for i, ix, iy in ipts:
+                best = min(cents, key=lambda c: ((ix - c[1]) ** 2 +
+                                                 (iy - c[2]) ** 2, c[0]))
+                assign[i] = best[0]
+            if it == n_iters - 1:
+                break
+            sums = {}
+            for i, ix, iy in ipts:
+                c = assign[i]
+                sx, sy, n = sums.get(c, (0, 0, 0))
+                sums[c] = (sx + ix, sy + iy, n + 1)
+            cents = [(c, float(sums[c][0]) / float(sums[c][2]),
+                      float(sums[c][1]) / float(sums[c][2]))
+                     if c in sums else (c, x, y) for c, x, y in cents]
+        return assign
+
+    got = {r['page_id']: r['cluster']
+           for r in kmeans_assign(df, k, iters).collect()}
+    want = lloyd(iters)
+    want[999] = -1
+    assert got == want
+    assert len({v for v in got.values() if v >= 0}) > 1
+
+    cte = ' UNION ALL '.join(
+        f'SELECT {i} AS page_id, {dlit(la)} AS lat, {dlit(ln)} AS lng'
+        for i, la, ln in pts)
+    oracle = {r[0]: r[1] for r in duckdb.connect().execute(
+        kmeans_assign_oracle_sql(cte, k, iters)).fetchall()}
+    assert oracle == lloyd(iters)
+
+    # convergence fixed point: iterate python lloyd to convergence, then
+    # the engine at that round count +1 must produce the same labels
+    prev, n = None, iters
+    while True:
+        cur = lloyd(n)
+        if cur == prev or n > 20:
+            break
+        prev, n = cur, n + 1
+    got_conv = {r['page_id']: r['cluster'] for r in
+                kmeans_assign(df, k, n + 1).collect() if r['cluster'] >= 0}
+    assert got_conv == cur
+
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, 0, 3)
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, 5, 0)
