@@ -805,6 +805,25 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.dbscan(pages, 10.0, 4, 2)
 
 
+def q_url_near_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance ≤ 2 self-join over the URL corpus + typo'd
+    copies (every 5th URL with a dropped slash) — q-gram count-filter
+    blocking, levenshtein verify; oracle is brute all-pairs with the
+    same built-in levenshtein."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .where('doc_id % 3 = 0')
+    urls = docs.select(
+        'doc_id',
+        F.expr("concat('https://host', CAST(doc_id % 1000 AS STRING), "
+               "'.example/', CAST(doc_id AS STRING))").alias('text'))
+    typos = (docs.where('doc_id % 5 = 0')
+             .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                     F.expr("concat('https:/host', "
+                            "CAST(doc_id % 1000 AS STRING), '.example/', "
+                            "CAST(doc_id AS STRING))").alias('text')))
+    return dedup_ops.editdist_pairs(urls.unionByName(typos), 2)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed Lloyd k-means (k=8, 3 rounds) over the
     page coordinates — lowest-id seeds, integer micro-degree sums, one
@@ -1506,6 +1525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'pip_outside': q_pip_outside,
     'cell_pyramid': q_cell_pyramid,
     'kmeans_clusters': q_kmeans_clusters,
+    'url_near_misses': q_url_near_misses,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2176,6 +2196,15 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             10.0, 4),
+        'url_near_misses': dedup_ops.editdist_pairs_oracle_sql(
+            "SELECT doc_id, concat('https://host', "
+            "CAST(doc_id % 1000 AS VARCHAR), '.example/', "
+            'CAST(doc_id AS VARCHAR)) AS text FROM documents '
+            'WHERE doc_id % 3 = 0 '
+            "UNION ALL SELECT doc_id + 1000000, concat('https:/host', "
+            "CAST(doc_id % 1000 AS VARCHAR), '.example/', "
+            'CAST(doc_id AS VARCHAR)) AS text FROM documents '
+            'WHERE doc_id % 15 = 0', 2),
         'kmeans_clusters': spatial_join.kmeans_assign_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

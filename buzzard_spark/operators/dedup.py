@@ -725,3 +725,114 @@ def setsim_pairs_oracle_sql(docs_sql: str, threshold_num: int,
         'FROM i JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib '
         f'WHERE inter * {den} >= {num} * (sa.s + sb.s - inter)'
     )
+
+
+def editdist_pairs(df: DataFrame, max_dist: int,
+                   id_col: str = 'doc_id',
+                   text_col: str = 'text') -> DataFrame:
+    """EXACT edit-distance self-join: all unordered pairs of strings
+    within Levenshtein distance ``max_dist``::
+
+        (id_a, id_b, dist)    -- id_a < id_b, dist <= max_dist
+
+    The URL/title near-miss join (typos, tracking-digit drift, mirror
+    hosts) — approximate string joins via q-gram PREFIX blocking
+    (EDJoin: Xiao, Wang & Lin, PVLDB'08, over the count-filter
+    foundation of Gravano et al., VLDB'01). Padded 2-gram BAGS
+    (duplicated grams numbered by occurrence — bag semantics, the
+    theorem counts occurrences): ``d`` edits destroy at most ``q·d``
+    bag elements, so under ANY shared canonical order of the gram
+    domain, two strings within distance ``d`` share at least one of
+    their ``q·d + 1`` FIRST grams. Ordering by ascending global gram
+    frequency (ties by gram, then occurrence) makes those prefixes the
+    RAREST grams: web boilerplate ('ht', 'tt', 'ps' — grams every URL
+    contains) sorts last, out of every prefix, so the candidate join
+    runs on short rare postings instead of regressing to all-pairs —
+    the same stop-token immunity :func:`setsim_pairs` gets from its
+    prefix filter. Strings shorter than ``2d`` can't rely on the gram
+    theorem, so every pair whose shorter side has ``len < 2d`` routes
+    through a length-band bucket join instead (both sides of such a
+    pair are < 3d chars — a tiny, bounded bucket set). Both channels
+    verify with the built-in ``levenshtein`` (JVM-side; byte-identical
+    to DuckDB's, parity-pinned in pytest), so recall is EXACT: blocking
+    only prunes, never decides.
+
+    Scale shape (10^12 pages): the gram join is keyed by 2-gram —
+    stop-gram skew (e.g. 'ht' in URLs) is real; AQE splits it, and the
+    length filter inside the join condition prunes before verify. The
+    short-string channel is grid-bounded (alphabet^{3d} distinct shorts
+    at most — dedupable). Verify cost is O(candidates · len²) via the
+    quadratic DP — at threshold 1-2 the candidate set is output-sized
+    on real corpora.
+    """
+    if max_dist < 1:
+        raise ValueError(f'max_dist must be >= 1: {max_dist}')
+    d = max_dist
+    lmin = 2 * d
+    base = (df.select(F.col(id_col).alias('id'),
+                      F.col(text_col).alias('t'))
+            .withColumn('ln', F.length('t'))
+            .persist())
+    # channel 1: rare-gram prefix blocking for pairs whose SHORTER side
+    # >= lmin. Bag semantics: duplicated grams numbered by occurrence
+    # (window partitioned by (id, gram) — parallel), so a gram shared
+    # j·k times joins exactly min(j, k) times.
+    padded = f"concat('\\u0001', t, '\\u0002')"
+    grams = (f'transform(sequence(1, ln + 1), '
+             f'i -> substring({padded}, i, 2))')
+    g = (base.where(F.col('ln') >= lmin)
+         .select('id', 't', 'ln', F.explode(F.expr(grams)).alias('gr')))
+    occ_w = Window.partitionBy('id', 'gr').orderBy(F.lit(0))
+    g = g.withColumn('occ', F.row_number().over(occ_w))
+    gram_df = g.groupBy('gr').agg(F.count('*').alias('_df'))
+    pre_w = Window.partitionBy('id').orderBy('_df', 'gr', 'occ')
+    prefix = (g.join(gram_df, 'gr')
+              .withColumn('_rn', F.row_number().over(pre_w))
+              .where(F.col('_rn') <= 2 * d + 1)
+              .select('id', 't', 'ln', 'gr', 'occ'))
+    ga = prefix.select(F.col('id').alias('id_a'), F.col('t').alias('ta'),
+                       F.col('ln').alias('la'), 'gr', 'occ')
+    gb = prefix.select(F.col('id').alias('id_b'), F.col('t').alias('tb'),
+                       F.col('ln').alias('lb'), 'gr', 'occ')
+    cand1 = (ga.join(gb, ['gr', 'occ'])
+             .where((F.col('id_a') < F.col('id_b')) &
+                    (F.expr(f'abs(la - lb) <= {d}')))
+             .select('id_a', 'id_b', 'ta', 'tb').distinct())
+    # channel 2: length-band bucket for pairs whose shorter side < lmin
+    # (both sides then < lmin + d = 3d chars)
+    small = base.where(F.col('ln') < lmin + d)
+    sa = small.select(F.col('id').alias('id_a'), F.col('t').alias('ta'),
+                      F.col('ln').alias('la'))
+    sb = small.select(F.col('id').alias('id_b'), F.col('t').alias('tb'),
+                      F.col('ln').alias('lb'))
+    band = (sa.withColumn('bk', F.explode(F.expr(
+                f'sequence(la - {d}, la + {d})')))
+            .join(sb.withColumn('bk', F.col('lb')), 'bk')
+            .where((F.col('id_a') < F.col('id_b')) &
+                   (F.expr(f'least(la, lb) < {lmin}')))
+            .select('id_a', 'id_b', 'ta', 'tb').distinct())
+    out = (cand1.unionByName(band)
+           .withColumn('dist', F.expr('levenshtein(ta, tb)'))
+           .where(F.col('dist') <= d)
+           .select('id_a', 'id_b', F.col('dist').cast('long')
+                   .alias('dist')))
+    from buzzard_spark.session import checkpoint_release
+    return checkpoint_release(out, [base])
+
+
+def editdist_pairs_oracle_sql(docs_sql: str, max_dist: int,
+                              id_col: str = 'doc_id',
+                              text_col: str = 'text') -> str:
+    """DuckDB twin of :func:`editdist_pairs`: brute all-pairs with the
+    length pre-filter and the SAME built-in levenshtein (unit-cost edit
+    distance in both engines, parity-pinned)."""
+    return (
+        f'WITH d AS ({docs_sql}) '
+        f'SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, '
+        f'CAST(levenshtein(a.{text_col}, b.{text_col}) AS BIGINT) '
+        'AS dist '
+        f'FROM d a JOIN d b ON a.{id_col} < b.{id_col} '
+        f'AND abs(length(a.{text_col}) - length(b.{text_col})) '
+        f'<= {max_dist} '
+        f'WHERE levenshtein(a.{text_col}, b.{text_col}) <= {max_dist}'
+    )

@@ -1017,3 +1017,61 @@ def test_setsim_pairs_shingles_sequence_sensitive(spark):
     want = sorted(tuple(r) for r in duckdb.connect().execute(
         setsim_pairs_oracle_sql(docs_sql, 3, 5, k=3)).fetchall())
     assert got == want
+
+
+def test_editdist_pairs_exact_recall_all_channels(spark):
+    """Prefix-blocked edit-distance join == brute levenshtein on a corpus
+    hitting every channel: long near-misses (substitution / insert /
+    delete), boilerplate-prefix strings that must NOT pair, short strings
+    (< 2d, band channel), a short-long pair at the boundary, and exact
+    duplicates (dist 0)."""
+    import pytest as _pytest
+    duckdb = _pytest.importorskip('duckdb')
+    from buzzard_spark.operators.dedup import (
+        editdist_pairs, editdist_pairs_oracle_sql)
+
+    docs = [
+        (0, 'https://hosta.example/page/123'),
+        (1, 'https://hosta.example/page/124'),    # sub, d=1
+        (2, 'https://hosta.example/page/1234'),   # insert, d=1 vs 0
+        (3, 'https:/hosta.example/page/123'),     # delete, d=1 vs 0
+        (4, 'https://hostb.example/other/999'),   # same boilerplate, far
+        (5, 'ab'), (6, 'ac'), (7, 'b'),           # short channel (d=2)
+        (8, 'abcd'),                              # short-long boundary
+        (9, 'https://hosta.example/page/123'),    # exact dup of 0
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    for d in (1, 2):
+        got = sorted((r['id_a'], r['id_b'], r['dist'])
+                     for r in editdist_pairs(df, d).collect())
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[len(b)]
+
+        want = sorted((i, j, lev(a, b))
+                      for (i, a), (j, b) in itertools.combinations(docs, 2)
+                      if lev(a, b) <= d)
+        assert got == want, d
+    got2 = {(r['id_a'], r['id_b']) for r in editdist_pairs(df, 2).collect()}
+    assert (0, 9) in got2 and (5, 6) in got2 and (5, 7) in got2
+    assert (0, 4) not in got2                     # boilerplate not enough
+    assert (5, 8) in got2                         # short-long boundary d=2
+
+    # DuckDB oracle parity (the verify function itself)
+    d_sql = ' UNION ALL '.join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in docs)
+    want_o = sorted(tuple(r) for r in duckdb.connect().execute(
+        editdist_pairs_oracle_sql(d_sql, 2)).fetchall())
+    got_o = sorted((r['id_a'], r['id_b'], r['dist'])
+                   for r in editdist_pairs(df, 2).collect())
+    assert got_o == want_o
+
+    with _pytest.raises(ValueError):
+        editdist_pairs(df, 0)
