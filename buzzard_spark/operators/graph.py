@@ -535,10 +535,11 @@ def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
     hash-exact.
 
     Scale shape (10^12 pages): per round ONE shuffle keyed by node for
-    the relax join and one for the min-fold; rounds ≤ max_hops. Unlike
-    textbook BF the relax join runs on the full frontier... but only
-    IMPROVED nodes re-enter (the `moved` filter), so settled subgraphs
-    drop out exactly as in delta-stepping's light bucket.
+    the relax join and one for the min-fold; rounds ≤ max_hops. Only
+    nodes whose distance improved this round re-enter the frontier (the
+    ``improved`` set below), so settled subgraphs drop out of the relax
+    join — the frontier shrinks the way delta-stepping's light bucket
+    does, without its priority machinery.
     """
     if max_hops < 0:
         raise ValueError(f'max_hops must be >= 0: {max_hops}')
