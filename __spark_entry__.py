@@ -1053,6 +1053,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col('v').alias('doc_id'), 'pr_scaled')
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TrustRank (seed-personalized PageRank, 3 rounds,
+    seeds = doc_id % 10 == 0) over the same uniform link graph as
+    `pagerank` — seed-proximal trust propagation with exact-zero scores
+    for pages unreachable from the seed set; bit-for-bit oracle."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    n = docs.count()
+    edges = _pagerank_edges(spark, sf_dir, n)
+    nodes = docs.select(F.col('doc_id').alias('v'))
+    seeds = docs.where('doc_id % 10 = 0').select(F.col('doc_id').alias('v'))
+    tr = graph_ops.trustrank_exact_uniform(nodes, edges, seeds,
+                                           iters=3, d_out=4)
+    return tr.select(F.col('v').alias('doc_id'), 'tr_scaled')
+
+
 def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram-coverage quality signal (integer counts of bigram
     occurrences whose corpus frequency >= 5) — the transcendental-free
@@ -1526,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'cell_pyramid': q_cell_pyramid,
     'kmeans_clusters': q_kmeans_clusters,
     'url_near_misses': q_url_near_misses,
+    'trustrank': q_trustrank,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2069,6 +2085,19 @@ def oracle_sql() -> dict[str, str]:
             'SELECT s2.v AS doc_id, CAST(76800 + 17 * COALESCE(c3.s, 0) '
             'AS BIGINT) AS pr_scaled FROM s2 LEFT JOIN c3 USING (v)'
         ).format(u32=corpus_ops._hash_u32_sql('_h', 'duckdb')),
+        'trustrank': (
+            graph_ops.trustrank_oracle_sql(
+                'SELECT doc_id AS v FROM documents',
+                'SELECT doc_id AS src, ({u32}) % '
+                '(SELECT COUNT(*) FROM documents) AS dst '
+                "FROM (SELECT doc_id, md5(concat_ws(':', "
+                "CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR), 'pr')) "
+                'AS _h FROM documents, (SELECT unnest([0, 1, 2, 3]) '
+                'AS j) js)'.format(
+                    u32=corpus_ops._hash_u32_sql('_h', 'duckdb')),
+                'v % 10 = 0', iters=3, d_out=4)
+            .replace('SELECT v, a AS tr_scaled',
+                     'SELECT v AS doc_id, a AS tr_scaled')),
         'bigram_coverage': corpus_ops.bigram_coverage_oracle_sql(),
         'column_profile': corpus_ops.column_profile_oracle_sql(
             'documents', 'n_chars', 'lang'),

@@ -599,3 +599,79 @@ def sssp_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
         'SELECT n AS node, CAST(MIN(d) AS BIGINT) AS dist '
         'FROM walk GROUP BY n'
     )
+
+
+def trustrank_exact_uniform(nodes: DataFrame, edges: DataFrame,
+                            seeds: DataFrame, iters: int = 3,
+                            d_out: int = 4, id_col: str = 'v') -> DataFrame:
+    """Seed-personalized PageRank (TrustRank — Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB'04) over an out-degree-uniform multigraph, in the same
+    EXACT integer arithmetic as :func:`pagerank_exact_uniform`::
+
+        A_0(v) = t(v)
+        A_k(v) = 3·d_out·M^(k-1)·t(v) + 17·Σ_{u→v} A_(k-1)(u)
+
+    where ``t(v) = 1`` iff v is a seed (M = 20·d_out, β = 17/20). This is
+    M^k times the classic recurrence s_k = (1−β)·t + β·Σ s/d_out with
+    s_0 = t — the crawl-quality propagation signal: trust mass flows out
+    of a hand-picked seed set along links, so pages only reachable from
+    spam farms score 0 no matter their raw in-degree (the property plain
+    PageRank lacks). ``tr_scaled`` = A_iters, bit-identical cross-engine;
+    nodes unreachable from the seed set within ``iters`` hops are exact
+    integer 0, not a float epsilon.
+
+    Scale/overflow shape identical to :func:`pagerank_exact_uniform`
+    (per-iteration equi-join + partial-agg sum; lazy localCheckpoint per
+    round; nothing graph-sized on the driver).
+    """
+    from buzzard_spark.session import checkpoint_release
+
+    if d_out <= 0 or iters < 1:
+        raise ValueError('d_out >= 1 and iters >= 1 required')
+    M = 20 * d_out
+    flag = (nodes.select(F.col(id_col).alias('v'))
+            .join(seeds.select(F.col(seeds.columns[0]).alias('v'))
+                  .distinct().withColumn('_t', F.lit(1)),
+                  'v', 'left')
+            .select('v', F.coalesce('_t', F.lit(0)).cast('long')
+                    .alias('t'))
+            .localCheckpoint(eager=True))
+    scores = flag.select('v', F.col('t').alias('a'))
+    rounds = [flag]
+    for k in range(1, iters + 1):
+        base = 3 * d_out * M ** (k - 1)
+        contrib = (edges.join(scores, edges['src'] == scores['v'])
+                   .groupBy('dst').agg(F.sum('a').alias('s')))
+        scores = (flag
+                  .join(contrib, flag['v'] == contrib['dst'], 'left')
+                  .select('v', (F.lit(base).cast('long') * F.col('t')
+                                + F.lit(17) * F.coalesce('s', F.lit(0)))
+                          .cast('long').alias('a'))
+                  .localCheckpoint(eager=False))
+        rounds.append(scores)
+    out = scores.select('v', F.col('a').alias('tr_scaled'))
+    return checkpoint_release(out, rounds)
+
+
+def trustrank_oracle_sql(nodes_sql: str, edges_sql: str,
+                         seed_pred: str, iters: int = 3,
+                         d_out: int = 4) -> str:
+    """DuckDB twin of :func:`trustrank_exact_uniform`: the rounds
+    unrolled as CTE pairs. ``nodes_sql`` yields column ``v``;
+    ``edges_sql`` yields (src, dst); ``seed_pred`` is a boolean SQL
+    expression over ``v``."""
+    M = 20 * d_out
+    ctes = [f'nd AS ({nodes_sql})', f'e AS ({edges_sql})',
+            f's0 AS (SELECT v, CAST(CASE WHEN {seed_pred} THEN 1 ELSE 0 '
+            'END AS BIGINT) AS t, '
+            f'CAST(CASE WHEN {seed_pred} THEN 1 ELSE 0 END AS BIGINT) '
+            'AS a FROM nd)']
+    for k in range(1, iters + 1):
+        base = 3 * d_out * M ** (k - 1)
+        ctes.append(f'c{k} AS (SELECT e.dst AS v, SUM(s.a) AS s FROM e '
+                    f'JOIN s{k - 1} s ON s.v = e.src GROUP BY 1)')
+        ctes.append(f's{k} AS (SELECT p.v, p.t, CAST({base} * p.t + 17 * '
+                    f'COALESCE(c.s, 0) AS BIGINT) AS a '
+                    f'FROM s{k - 1} p LEFT JOIN c{k} c USING (v))')
+    return ('WITH ' + ', '.join(ctes) +
+            f' SELECT v, a AS tr_scaled FROM s{iters}')

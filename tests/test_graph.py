@@ -290,3 +290,48 @@ def test_sssp_hops_weighted_paths_and_bound(spark):
         sssp_hops(neg, s, 3)
     with _pytest.raises(ValueError):
         sssp_hops(e, s, -1)
+
+
+def test_trustrank_seed_propagation_and_exact_zero(spark):
+    """TrustRank on a hand-built uniform graph: scores match a python
+    unroll of the scaled recurrence, pages unreachable from the seed set
+    are EXACT integer zero, and with ALL nodes seeded it degenerates to
+    pagerank_exact_uniform."""
+    from buzzard_spark.operators.graph import (pagerank_exact_uniform,
+                                               trustrank_exact_uniform)
+    # 6 nodes, out-degree 2 each: a chain reachable from seed 0 and an
+    # island (4, 5) only reachable from itself
+    e = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 0), (3, 3), (3, 0),
+         (4, 5), (4, 4), (5, 4), (5, 5)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)], 'v long')
+    edges = spark.createDataFrame(e, 'src long, dst long')
+    seeds = spark.createDataFrame([(0,)], 'v long')
+    iters, d_out, M = 3, 2, 40
+    got = {r['v']: r['tr_scaled'] for r in
+           trustrank_exact_uniform(nodes, edges, seeds, iters, d_out)
+           .collect()}
+
+    t = {i: 1 if i == 0 else 0 for i in range(6)}
+    a = dict(t)
+    for k in range(1, iters + 1):
+        base = 3 * d_out * M ** (k - 1)
+        s = {i: 0 for i in range(6)}
+        for u, v in e:
+            s[v] += a[u]
+        a = {i: base * t[i] + 17 * s[i] for i in range(6)}
+    assert got == a
+    assert got[4] == 0 and got[5] == 0          # exact zero island
+    assert got[0] > 0 and got[3] > 0
+
+    # all-seeded degenerates to plain exact pagerank
+    all_seeds = nodes
+    got_all = {r['v']: r['tr_scaled'] for r in
+               trustrank_exact_uniform(nodes, edges, all_seeds,
+                                       iters, d_out).collect()}
+    pr = {r['v']: r['pr_scaled'] for r in
+          pagerank_exact_uniform(nodes, edges, iters, d_out).collect()}
+    assert got_all == pr
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        trustrank_exact_uniform(nodes, edges, seeds, 0, d_out)
