@@ -850,6 +850,16 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.focal_sum(pages, res=5, radius=1)
 
 
+def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 50-sample over the PIP-join RESULT without materializing
+    it (bottom-k by md5 rank inside the join pipeline — deterministic,
+    partition/retry/engine-invariant); the oracle value-checks the exact
+    sample identity, not just its size."""
+    pages = _pages(spark, sf_dir)
+    regions = synth.regions(spark, N_REGIONS)
+    return spatial_join.sample_join_pairs(pages, regions, JOIN_RES, 50)
+
+
 def q_pip_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial anti-join: pages contained by NO region — cover-join
     positives anti-joined back; oracle is NOT EXISTS over the bbox
@@ -1542,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'kmeans_clusters': q_kmeans_clusters,
     'url_near_misses': q_url_near_misses,
     'trustrank': q_trustrank,
+    'join_sample': q_join_sample,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2249,6 +2260,15 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             res=5, radius=1),
+        'join_sample': spatial_join.sample_join_pairs_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            'SELECT region_id, {minlat} AS minlat, {maxlat} AS maxlat, '
+            '{minlng} AS minlng, {maxlng} AS maxlng '
+            'FROM range({n}) t(region_id)'.format(
+                n=N_REGIONS, **sqlgen.region_cols_sql('region_id')),
+            50),
         'pip_outside': spatial_join.pip_anti_join_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -984,3 +984,60 @@ def kmeans_assign_oracle_sql(pages_cte: str, k: int, iters: int,
             f'SELECT src.{id_col} AS {id_col}, '
             f'CAST(COALESCE(a.cl, -1) AS BIGINT) AS cluster '
             f'FROM src LEFT JOIN a{iters} a ON a.id = src.{id_col}')
+
+
+def sample_join_pairs(pages: DataFrame, regions: DataFrame, res: int,
+                      k: int, seed: str = 'sjp') -> DataFrame:
+    """Uniform k-sample OVER the PIP-join result WITHOUT materializing
+    it (the problem of "Random Sampling over Spatial Range Joins",
+    ICDE'25 — here solved deterministically)::
+
+        (page_id, region_id, rk)   -- the k join pairs with the SMALLEST
+                                   -- md5(page, region, seed) rank
+
+    Bottom-k-by-hash IS a uniform sample without replacement (each pair's
+    rank is an i.i.d. function of its identity alone), and it is
+    DETERMINISTIC: independent of partitioning, retries, join order and
+    engine — the same invariance contract as
+    :func:`buzzard_spark.operators.corpus.deterministic_sample`, extended
+    from base tables to a JOIN RESULT. Nothing result-sized is ever
+    shuffled or collected: the hash gate evaluates inside the join's
+    output pipeline (codegen), and TakeOrdered k reduces per-partition
+    tops — the full join output never exists as a materialized dataset.
+
+    At 10^12 pages × dense regions the PIP join's OUTPUT is the object
+    too big to keep; analytics that only need an unbiased peek (joint
+    distribution checks, spot QA, debugging a region's page mix) pay
+    O(join work) but O(k) memory/output — exactly the paper's point,
+    minus its index-assisted shortcuts (our join work is already
+    cover-cell-pruned).
+
+    ``rk`` is the hex rank itself — kept in the output so the driver
+    oracle can value-check the SAMPLE IDENTITY, not just its size.
+    k is capped at 10^6: TakeOrdered holds a k-sized heap per partition,
+    so "sample" only makes sense for k ≪ output (bigger asks should just
+    run the join).
+    """
+    if not 1 <= k <= 1_000_000:
+        raise ValueError(f'need 1 <= k <= 1e6: {k}')
+    pairs = pip_join_rect(pages, regions, res).select('page_id',
+                                                      'region_id')
+    rk = (f"md5(concat_ws(':', CAST(page_id AS STRING), "
+          f"CAST(region_id AS STRING), '{seed}'))")
+    return (pairs.withColumn('rk', F.expr(rk))
+            .orderBy('rk').limit(k))
+
+
+def sample_join_pairs_oracle_sql(pages_cte: str, regions_cte: str,
+                                 k: int, seed: str = 'sjp') -> str:
+    """DuckDB twin of :func:`sample_join_pairs`: brute bbox join, same
+    md5 rank, ORDER BY rank LIMIT k — identical sample identity."""
+    return (
+        f'WITH p AS ({pages_cte}), rg AS ({regions_cte}) '
+        f"SELECT p.page_id, rg.region_id, md5(concat_ws(':', "
+        f"CAST(p.page_id AS VARCHAR), CAST(rg.region_id AS VARCHAR), "
+        f"'{seed}')) AS rk "
+        'FROM p JOIN rg ON p.lat >= rg.minlat AND p.lat <= rg.maxlat '
+        'AND p.lng >= rg.minlng AND p.lng <= rg.maxlng '
+        f'ORDER BY rk LIMIT {k}'
+    )

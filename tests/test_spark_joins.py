@@ -482,3 +482,35 @@ def test_kmeans_assign_matches_python_lloyd(spark):
         kmeans_assign(df, 0, 3)
     with _pytest.raises(ValueError):
         kmeans_assign(df, 5, 0)
+
+
+def test_sample_join_pairs_identity_and_invariance(spark):
+    """Bottom-k-by-hash join sample: identical sample under different
+    partitionings (determinism contract), a subset of the true join,
+    exactly k rows when the join is big enough, whole join when k
+    exceeds it."""
+    from buzzard_spark import synth
+    from buzzard_spark.operators.spatial_join import (
+        pip_join_rect, sample_join_pairs)
+    pages = synth.synthetic_pages(spark, 3000).select('page_id', 'lat', 'lng')
+    regions = synth.regions(spark, 60)
+    full = {(r['page_id'], r['region_id'])
+            for r in pip_join_rect(pages, regions, 4)
+            .select('page_id', 'region_id').collect()}
+    assert len(full) > 100
+    s1 = sorted(tuple(r) for r in
+                sample_join_pairs(pages, regions, 4, 40).collect())
+    s2 = sorted(tuple(r) for r in
+                sample_join_pairs(pages.repartition(17), regions, 4, 40)
+                .collect())
+    assert s1 == s2                       # partition invariance
+    assert len(s1) == 40
+    assert {(a, b) for a, b, _ in s1} <= full
+    big = sample_join_pairs(pages, regions, 4, len(full) + 100).collect()
+    assert {(r['page_id'], r['region_id']) for r in big} == full
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_join_pairs(pages, regions, 4, 0)
+    with _pytest.raises(ValueError):
+        sample_join_pairs(pages, regions, 4, 10 ** 9)
