@@ -17,6 +17,13 @@ At 10^12-page scale the shuffle is keyed by cell, so hot cells (dense
 regions) are the skew risk: AQE skew-join splitting is enabled in
 session config; for pathological dimension-side fanout use
 ``salt`` > 1 to spread each cover cell over N join keys.
+
+The filter-then-refine shape (rasterized cell signature as the join
+key, exact geometric predicate as the verify) is the published design
+point for distributed polygon joins — "Raster Intervals" (SIGMOD'23)
+builds the same approximation from interval-coded raster cells; this
+engine's equivalent is the cover-cell equi-join (+ :func:`compact_cells`
+for mixed-resolution signatures).
 """
 
 from __future__ import annotations
