@@ -53,8 +53,14 @@ def _params():
 @pytest.mark.parametrize(
     'name,src_fp,trg_fp,scalex,scaley,rot,noise_factor', _params())
 def test_move(name, src_fp, trg_fp, scalex, scaley, rot, noise_factor):
-    rng = np.random.RandomState(
-        hash((name, scalex, scaley, rot, noise_factor)) % (2 ** 31))
+    # deterministic seed: Python's hash() of strings is randomized per
+    # process (PYTHONHASHSEED), which made the noise vectors differ from
+    # run to run — one realization in ~dozens landed on a snap-cascade
+    # decision boundary and flaked the suite. crc32 pins the exact noise
+    # every run, like the reference's fixed-seed rng.
+    import zlib
+    rng = np.random.RandomState(zlib.crc32(repr(
+        (name, scalex, scaley, rot, noise_factor)).encode()) % (2 ** 31))
     with buzz.Env(allow_complex_footprint=1, significant=10):
         src_fp = src_fp.dilate(S).intersection(
             src_fp.dilate(S), rotation=src_fp.angle + rot,
