@@ -850,6 +850,19 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.focal_sum(pages, res=5, radius=1)
 
 
+def q_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest reference centroids per page via the k-array
+    literal fold (no join, no ×|refs| blowup — the stateless bounded
+    stream-kNN form); oracle is cross join + window rank."""
+    pages = _pages(spark, sf_dir)
+    cols = sqlgen.region_cols_sql('id')
+    cents = spark.range(N_REGIONS).selectExpr(
+        'id AS region_id',
+        f"{cols['clat']} AS clat",
+        f"{cols['clng']} AS clng")
+    return spatial_join.nearest_k_refs(pages, cents, 3)
+
+
 def q_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform 50-sample over the PIP-join RESULT without materializing
     it (bottom-k by md5 rank inside the join pipeline — deterministic,
@@ -1553,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'url_near_misses': q_url_near_misses,
     'trustrank': q_trustrank,
     'join_sample': q_join_sample,
+    'nearest_k': q_nearest_k,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2260,6 +2274,17 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             res=5, radius=1),
+        'nearest_k': spatial_join.nearest_k_refs_oracle_sql(
+            'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
+            'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
+                                    lng=sqlgen.lng_sql('doc_id')),
+            'SELECT region_id, {clat} AS clat, {clng} AS clng '
+            'FROM range({n}) t(region_id)'.format(
+                n=N_REGIONS,
+                **{kk: vv for kk, vv in
+                   sqlgen.region_cols_sql('region_id').items()
+                   if kk in ('clat', 'clng')}),
+            3),
         'join_sample': spatial_join.sample_join_pairs_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

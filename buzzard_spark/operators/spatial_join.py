@@ -1048,3 +1048,84 @@ def sample_join_pairs_oracle_sql(pages_cte: str, regions_cte: str,
         'AND p.lng >= rg.minlng AND p.lng <= rg.maxlng '
         f'ORDER BY rk LIMIT {k}'
     )
+
+
+def nearest_k_refs(pages: DataFrame, refs: DataFrame, k: int,
+                   id_col: str = 'page_id',
+                   lat: str = 'lat', lng: str = 'lng') -> DataFrame:
+    """Top-k nearest REFERENCE points per page — the stateless bounded
+    form of a stream kNN join (cf. "Distributed Stream KNN Join",
+    SIGMOD'21: when the reference side is a dimension table, per-row kNN
+    needs no state and no repartitioning at all)::
+
+        (id_col, rnk, region_id, dist2)   -- rnk 1..k by (dist2, ref id)
+
+    :func:`nearest_region` generalized from argmin to arg-top-k: the
+    reference table folds into ONE Catalyst ``aggregate()`` literal whose
+    accumulator is the current best-k array — each reference appends and
+    re-sorts a k-sized struct array (structs compare lexicographically:
+    (dist2, rid) gives the deterministic tie-break), so the whole
+    operator is a pure codegen map over the corpus. Zero joins, zero
+    shuffles, zero Python, no ×|refs| row blowup — and because it is
+    stateless it runs UNCHANGED on a streaming DataFrame (stream-static,
+    no watermark; pinned streaming==batch in test_streaming).
+
+    For corpus-sized reference sets use :mod:`.knn` (cell-ring
+    expansion); this is the dimension-sized fast path — ``k·|refs|``
+    struct comparisons per row, |refs| capped at 1024 (expression size
+    and per-row cost; the fold is O(|refs|·k log k)).
+
+    NULL coordinates emit no rows (the kNN convention — there is no
+    meaningful neighbor set), matching the oracle's NULL-dropping cross
+    join.
+    """
+    from buzzard_spark.functions.sqlgen import dlit
+    if not 1 <= k <= 64:
+        raise ValueError(f'need 1 <= k <= 64: {k}')
+    rows = sorted(refs.select('region_id', 'clat', 'clng').collect(),
+                  key=lambda r: int(r['region_id']))
+    if not rows:
+        raise ValueError('nearest_k_refs: empty reference table')
+    if len(rows) > 1024:
+        raise ValueError(
+            f'nearest_k_refs: {len(rows)} refs — the literal-fold plan '
+            'is for dimension tables (<= 1024); use knn')
+    lits = ', '.join(
+        "named_struct('rid', CAST({rid} AS BIGINT), 'clat', {la}, "
+        "'clng', {ln})".format(rid=int(r['region_id']),
+                               la=dlit(float(r['clat'])),
+                               ln=dlit(float(r['clng'])))
+        for r in rows)
+    d2 = (f'({lat} - c.clat) * ({lat} - c.clat) + '
+          f'({lng} - c.clng) * ({lng} - c.clng)')
+    fold = (
+        f"aggregate(array({lits}), "
+        f"CAST(array() AS ARRAY<STRUCT<d2: DOUBLE, rid: BIGINT>>), "
+        f'(acc, c) -> slice(array_sort(array_append(acc, '
+        f"named_struct('d2', {d2}, 'rid', c.rid))), 1, {k}))")
+    return (pages
+            .where(F.col(lat).isNotNull() & F.col(lng).isNotNull())
+            .select(F.col(id_col), F.posexplode(F.expr(fold)))
+            .select(id_col,
+                    (F.col('pos') + 1).cast('int').alias('rnk'),
+                    F.col('col.rid').alias('region_id'),
+                    F.col('col.d2').alias('dist2')))
+
+
+def nearest_k_refs_oracle_sql(pages_cte: str, refs_cte: str, k: int,
+                              id_col: str = 'page_id',
+                              lat: str = 'lat', lng: str = 'lng') -> str:
+    """DuckDB twin of :func:`nearest_k_refs`: cross join + window rank
+    ordered by (dist2, region_id) — identical IEEE dist2 arithmetic."""
+    d2 = (f'(p.{lat} - c.clat) * (p.{lat} - c.clat) + '
+          f'(p.{lng} - c.clng) * (p.{lng} - c.clng)')
+    return (
+        f'WITH p AS ({pages_cte}), c AS ({refs_cte}), '
+        f'd AS (SELECT p.{id_col}, c.region_id, {d2} AS dist2 '
+        f'FROM p CROSS JOIN c '
+        f'WHERE p.{lat} IS NOT NULL AND p.{lng} IS NOT NULL) '
+        f'SELECT {id_col}, rnk, region_id, dist2 FROM ('
+        f'SELECT {id_col}, region_id, dist2, CAST(ROW_NUMBER() OVER ('
+        f'PARTITION BY {id_col} ORDER BY dist2, region_id) AS INT) '
+        f'AS rnk FROM d) WHERE rnk <= {k}'
+    )

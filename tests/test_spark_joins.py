@@ -514,3 +514,42 @@ def test_sample_join_pairs_identity_and_invariance(spark):
         sample_join_pairs(pages, regions, 4, 0)
     with _pytest.raises(ValueError):
         sample_join_pairs(pages, regions, 4, 10 ** 9)
+
+
+def test_nearest_k_refs_matches_brute_and_plan(spark):
+    """k-array fold == brute top-k with (dist2, rid) tie order; exact
+    ties ranked by id; NULL coords emit nothing; k >= |refs| returns all
+    refs ranked; plan is join-free, shuffle-free, Python-free."""
+    from buzzard_spark.operators.spatial_join import nearest_k_refs
+    cents = [(0, 0.0, 0.0), (1, 10.0, 10.0), (2, 0.0, 20.0),
+             (3, 0.0, 10.0)]
+    pts = [(100, 5.0, 10.0), (101, -1.0, 1.0), (102, 9.0, 11.0)]
+    pages = spark.createDataFrame(
+        pts + [(104, None, None)], 'page_id long, lat double, lng double')
+    cdf = spark.createDataFrame(
+        cents, 'region_id long, clat double, clng double')
+    for k in (2, 4, 10):
+        got = sorted(tuple(r) for r in
+                     nearest_k_refs(pages, cdf, k).collect())
+        want = []
+        for i, la, ln in pts:
+            ds = sorted(((la - a) ** 2 + (ln - b) ** 2, r)
+                        for r, a, b in cents)
+            want += [(i, j + 1, r, d) for j, (d, r) in
+                     enumerate(ds[:k])]
+        assert got == sorted(want), k
+    # page 100 ties between centroids 1 and 3 -> 1 first
+    got2 = {(r['page_id'], r['rnk']): r['region_id']
+            for r in nearest_k_refs(pages, cdf, 2).collect()}
+    assert got2[(100, 1)] == 1 and got2[(100, 2)] == 3
+
+    out = nearest_k_refs(pages, cdf, 3)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Join' not in p and 'Exchange' not in p
+    assert 'BatchEvalPython' not in p and 'ArrowEvalPython' not in p
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        nearest_k_refs(pages, cdf, 0)
+    with _pytest.raises(ValueError):
+        nearest_k_refs(pages, cdf, 100)
