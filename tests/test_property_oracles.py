@@ -141,3 +141,21 @@ def test_setsim_oracle_equals_python_reference(ds, num):
                 if inter * den >= num * uni:
                     want[(i, j)] = (inter, uni)
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(a=st.text(alphabet='abcxyz019/:. ', max_size=24),
+       b=st.text(alphabet='abcxyz019/:. ', max_size=24))
+def test_levenshtein_duckdb_equals_python_dp(a, b):
+    """editdist_pairs' verify function: DuckDB's levenshtein == the
+    textbook unit-cost DP on arbitrary strings (the Spark side is pinned
+    against DuckDB in test_spark_trainops — this closes python too)."""
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    want = dp[len(b)]
+    got = _con().execute('SELECT levenshtein(?, ?)', [a, b]).fetchone()[0]
+    assert got == want, (a, b)
