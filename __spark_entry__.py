@@ -850,6 +850,62 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.focal_sum(pages, res=5, radius=1)
 
 
+def q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode through the multimodal seam — the
+    reference's home raster format (buzzard opens GTiff via GDAL;
+    operators/multimodal.decode_tiff is the no-GDAL equivalent). Per doc
+    a deterministic greyscale GeoTIFF is encoded (size/strip-layout/byte
+    order/geo tags all doc_id-derived; both endians and 1-4-row strips
+    exercised), then decode_media_meta recovers width/height from the
+    decoded array, a pixel sum checks every strip byte, and
+    geotiff_footprint's Footprint.tl value-checks the GeoTIFF tag →
+    Footprint path. All closed-form for the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from buzzard_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id')
+
+    def _mk(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf['doc_id']:
+                d = int(d)
+                w, h = 4 + d % 9, 3 + d % 17
+                vals = (d + np.arange(h, dtype=np.int64)) % 251
+                arr = np.repeat(vals[:, None], w, 1).astype(np.uint8)
+                geo = (-180.0 + d % 360, 90.0 - d % 180,
+                       1.0 + d % 3, 1.0 + d % 2)
+                ids.append(d)
+                blobs.append(mm.encode_tiff(
+                    arr, geo=geo, big_endian=(d % 2 == 1),
+                    rows_per_strip=1 + d % 4))
+            yield pd.DataFrame({'id': ids, 'payload': blobs})
+
+    media = docs.mapInPandas(_mk, 'id long, payload binary')
+    meta = (mm.decode_media_meta(media, decoder=mm.decode_tiff)
+            .select('id', 'width', 'height'))
+
+    def _sum_geo(batches):
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf['id'], pdf['payload']):
+                buf = bytes(b)
+                px = int(mm.decode_tiff(buf).sum())
+                fp = mm.geotiff_footprint(buf)
+                out.append({'id': int(i), 'px_sum': px,
+                            'tlx': float(fp.tlx), 'tly': float(fp.tly)})
+            yield pd.DataFrame(out)
+
+    extra = media.mapInPandas(
+        _sum_geo, 'id long, px_sum long, tlx double, tly double')
+    return (meta.join(extra, 'id')
+            .select(F.col('id').alias('doc_id'), 'width', 'height',
+                    'px_sum', 'tlx', 'tly'))
+
+
 def q_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 nearest reference centroids per page via the k-array
     literal fold (no join, no ×|refs| blowup — the stateless bounded
@@ -1567,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'trustrank': q_trustrank,
     'join_sample': q_join_sample,
     'nearest_k': q_nearest_k,
+    'tiff_meta': q_tiff_meta,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2274,6 +2331,18 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             res=5, radius=1),
+        'tiff_meta': (
+            # px_sum closed form: rows are constant (doc_id + r) % 251;
+            # with h <= 19 < 251 the mod wraps at most once, so
+            # sum_r (a + r) % 251 = h*a + h(h-1)/2 - 251*max(a + h - 251, 0)
+            'WITH f AS (SELECT doc_id, 4 + doc_id % 9 AS w, '
+            '3 + doc_id % 17 AS h, doc_id % 251 AS a FROM documents) '
+            'SELECT doc_id, CAST(w AS BIGINT) AS width, '
+            'CAST(h AS BIGINT) AS height, '
+            'CAST(w * (h * a + h * (h - 1) // 2 '
+            '- 251 * GREATEST(a + h - 251, 0)) AS BIGINT) AS px_sum, '
+            'CAST(-180 + doc_id % 360 AS DOUBLE) AS tlx, '
+            'CAST(90 - doc_id % 180 AS DOUBLE) AS tly FROM f'),
         'nearest_k': spatial_join.nearest_k_refs_oracle_sql(
             'SELECT doc_id AS page_id, {lat} AS lat, {lng} AS lng '
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),

@@ -841,3 +841,183 @@ def resize_media(df: DataFrame, size: tuple[int, int],
     return (df.select(id_col, payload_col)
             .mapInPandas(_resize, 'id long, height int, width int, '
                                   'channels int, data binary'))
+
+
+def _tiff_ifd(payload: bytes):
+    """Parse the first IFD of a baseline TIFF: returns (byteorder,
+    {tag: (type, values_tuple)}). Types handled: SHORT(3), LONG(4),
+    RATIONAL(5 — as float), DOUBLE(12). Public spec: TIFF 6.0 (Adobe,
+    1992) + the GeoTIFF tag registry (OGC GeoTIFF standard)."""
+    if payload[:2] == b'II':
+        bo = '<'
+    elif payload[:2] == b'MM':
+        bo = '>'
+    else:
+        raise ValueError('not a TIFF payload')
+    import struct
+    magic, = struct.unpack(bo + 'H', payload[2:4])
+    if magic != 42:
+        raise ValueError(f'bad TIFF magic {magic}')
+    off, = struct.unpack(bo + 'I', payload[4:8])
+    n, = struct.unpack(bo + 'H', payload[off:off + 2])
+    sizes = {3: 2, 4: 4, 5: 8, 12: 8}
+    fmts = {3: 'H', 4: 'I', 12: 'd'}
+    tags = {}
+    for i in range(n):
+        e = payload[off + 2 + 12 * i: off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + 'HHI', e[:8])
+        if typ not in sizes:
+            continue
+        nbytes = sizes[typ] * cnt
+        if nbytes <= 4:
+            raw = e[8:8 + nbytes]
+        else:
+            voff, = struct.unpack(bo + 'I', e[8:12])
+            raw = payload[voff:voff + nbytes]
+        if typ == 5:                     # RATIONAL: pairs of LONG
+            parts = struct.unpack(bo + f'{2 * cnt}I', raw)
+            vals = tuple(parts[2 * j] / parts[2 * j + 1]
+                         for j in range(cnt))
+        else:
+            vals = struct.unpack(bo + f'{cnt}{fmts[typ]}', raw)
+        tags[tag] = (typ, vals)
+    return bo, tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL decode of a baseline uncompressed TIFF (the reference's home
+    format family — buzzard opens rasters through GDAL's GTiff driver,
+    /root/reference/buzzard/_a_gdal_raster.py; this is the no-GDAL
+    equivalent for the seam): both byte orders, 8-bit greyscale or RGB,
+    multi-strip layouts. Returns (h, w) or (h, w, 3) uint8."""
+    bo, tags = _tiff_ifd(payload)
+
+    def one(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f'missing required TIFF tag {tag}')
+            return default
+        return int(tags[tag][1][0])
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp != 1:
+        raise ValueError(f'only uncompressed TIFF supported (got {comp})')
+    spp = one(277, 1)
+    bps = tags.get(258, (3, (8,) * spp))[1]
+    if any(int(b) != 8 for b in bps):
+        raise ValueError(f'only 8-bit samples supported (got {bps})')
+    if spp not in (1, 3):
+        raise ValueError(f'only grey/RGB supported (spp={spp})')
+    offs = tags[273][1]
+    cnts = tags[279][1]
+    data = b''.join(payload[o:o + c] for o, c in zip(offs, cnts))
+    arr = np.frombuffer(data, dtype=np.uint8, count=h * w * spp)
+    return (arr.reshape(h, w) if spp == 1
+            else arr.reshape(h, w, 3)).copy()
+
+
+def tiff_geo(payload: bytes):
+    """(tlx, tly, sx, sy) from the GeoTIFF ModelPixelScale (33550) and
+    ModelTiepoint (33922) tags (raster-space origin tiepoints only)."""
+    _, tags = _tiff_ifd(payload)
+    if 33550 not in tags or 33922 not in tags:
+        raise ValueError('no GeoTIFF scale/tiepoint tags')
+    sx, sy = tags[33550][1][0], tags[33550][1][1]
+    i, j, _k, x, y, _z = tags[33922][1][:6]
+    if i != 0 or j != 0:
+        raise ValueError('non-origin tiepoint not supported')
+    return float(x), float(y), float(sx), float(sy)
+
+
+def geotiff_footprint(payload: bytes):
+    """GeoTIFF bytes → the engine's Footprint (north-up): the no-GDAL
+    version of the reference's open-raster → fp path
+    (buzzard/_a_gdal_raster.py: GetGeoTransform → Footprint)."""
+    import buzzard_spark as buzz
+    bo, tags = _tiff_ifd(payload)
+    w = int(tags[256][1][0])
+    h = int(tags[257][1][0])
+    tlx, tly, sx, sy = tiff_geo(payload)
+    return buzz.Footprint(gt=(tlx, sx, 0.0, tly, 0.0, -sy),
+                          rsize=(w, h))
+
+
+def encode_tiff(arr: np.ndarray, geo=None, big_endian: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → baseline uncompressed TIFF bytes
+    (multi-strip, either byte order); ``geo=(tlx, tly, sx, sy)`` writes
+    GeoTIFF ModelPixelScale + ModelTiepoint tags. Test/fixture helper —
+    the decode path is the product surface."""
+    import struct
+    bo = '>' if big_endian else '<'
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    rps = rows_per_strip or h
+    body = arr.tobytes()
+    row_bytes = w * spp
+    strips = [body[r * row_bytes:(r + rps) * row_bytes]
+              for r in range(0, h, rps)]
+
+    entries = []          # (tag, type, count, packed_or_values)
+    extra = bytearray()   # out-of-line values, appended after the IFD
+
+    def ent(tag, typ, vals, fmt):
+        raw = struct.pack(bo + f'{len(vals)}{fmt}', *vals)
+        entries.append((tag, typ, len(vals), raw))
+
+    ent(256, 4, [w], 'I')
+    ent(257, 4, [h], 'I')
+    ent(258, 3, [8] * spp, 'H')
+    ent(259, 3, [1], 'H')
+    ent(262, 3, [1 if spp == 1 else 2], 'H')
+    ent(277, 3, [spp], 'H')
+    ent(278, 4, [rps], 'I')
+    ent(279, 4, [len(s) for s in strips], 'I')
+    if geo is not None:
+        tlx, tly, sx, sy = geo
+        ent(33550, 12, [float(sx), float(sy), 0.0], 'd')
+        ent(33922, 12, [0.0, 0.0, 0.0, float(tlx), float(tly), 0.0], 'd')
+    # strip offsets resolved last (need total header size)
+    n_entries = len(entries) + 1                       # + StripOffsets
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    data_start = ifd_off + ifd_size
+    # lay out out-of-line values first, then strips
+    packed = []
+    for tag, typ, cnt, raw in entries:
+        if len(raw) <= 4:
+            packed.append((tag, typ, cnt, raw.ljust(4, b'\0'), None))
+        else:
+            packed.append((tag, typ, cnt, None, len(extra)))
+            extra.extend(raw)
+    strips_start = data_start + len(extra) + 4 * len(strips) \
+        if len(strips) > 1 else data_start + len(extra)
+    soff_vals = []
+    pos = strips_start
+    for s in strips:
+        soff_vals.append(pos)
+        pos += len(s)
+    soff_raw = struct.pack(bo + f'{len(strips)}I', *soff_vals)
+    if len(soff_raw) <= 4:
+        soff_entry = (273, 4, len(strips), soff_raw.ljust(4, b'\0'), None)
+    else:
+        soff_entry = (273, 4, len(strips), None, len(extra))
+        extra.extend(soff_raw)
+    all_entries = sorted(packed + [soff_entry])
+    out = bytearray()
+    out += (b'II' if bo == '<' else b'MM')
+    out += struct.pack(bo + 'HI', 42, ifd_off)
+    out += struct.pack(bo + 'H', n_entries)
+    for tag, typ, cnt, inline, eoff in all_entries:
+        out += struct.pack(bo + 'HHI', tag, typ, cnt)
+        if inline is not None:
+            out += inline
+        else:
+            out += struct.pack(bo + 'I', data_start + eoff)
+    out += struct.pack(bo + 'I', 0)                    # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

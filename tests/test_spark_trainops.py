@@ -1075,3 +1075,47 @@ def test_editdist_pairs_exact_recall_all_channels(spark):
 
     with _pytest.raises(ValueError):
         editdist_pairs(df, 0)
+
+
+def test_tiff_codec_roundtrip_and_geotiff_footprint(spark):
+    """Baseline-TIFF codec: encode/decode roundtrip across byte orders,
+    strip layouts and grey/RGB; GeoTIFF tags -> engine Footprint with
+    the exact geotransform; malformed payloads rejected; and the seam
+    (decode_media_meta with the real decoder) reports decoded dims."""
+    import numpy as np
+    import pytest as _pytest
+
+    from buzzard_spark.operators import multimodal as mm
+
+    for be in (False, True):
+        for shape in [(5, 7), (6, 4, 3), (1, 1)]:
+            for rps in (None, 1, 3):
+                arr = (np.arange(np.prod(shape)) * 7 % 253) \
+                    .reshape(shape).astype(np.uint8)
+                b = mm.encode_tiff(arr, geo=(-30.0, 60.0, 0.5, 0.25),
+                                   big_endian=be, rows_per_strip=rps)
+                back = mm.decode_tiff(b)
+                assert back.shape == arr.shape and (back == arr).all()
+                fp = mm.geotiff_footprint(b)
+                assert tuple(fp.tl) == (-30.0, 60.0)
+                assert (fp.pxsizex, fp.pxsizey) == (0.5, 0.25)
+                assert (fp.rsizex, fp.rsizey) == (arr.shape[1],
+                                                  arr.shape[0])
+
+    with _pytest.raises(ValueError):
+        mm.decode_tiff(b'NOPE1234')
+    with _pytest.raises(ValueError):
+        mm.decode_tiff(b'II\x2b\x00' + b'\0' * 8)       # bad magic
+    grey = np.zeros((2, 2), np.uint8)
+    with _pytest.raises(ValueError):
+        mm.tiff_geo(mm.encode_tiff(grey))                # no geo tags
+
+    # through the seam: decoded dims, not payload guesses
+    rows = [(1, mm.encode_tiff(np.zeros((3, 9), np.uint8))),
+            (2, mm.encode_tiff(np.zeros((5, 2, 3), np.uint8),
+                               big_endian=True))]
+    df = spark.createDataFrame(rows, 'id long, payload binary')
+    got = {r['id']: (r['width'], r['height'])
+           for r in mm.decode_media_meta(df, decoder=mm.decode_tiff)
+           .collect()}
+    assert got == {1: (9, 3), 2: (2, 5)}
