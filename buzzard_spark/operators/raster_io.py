@@ -178,3 +178,39 @@ def set_data(spark: SparkSession, cache_root: str, raster_fp,
                .applyInPandas(_apply, DATA_TILE_SCHEMA))
     return table.append(updated, key_cols=['tile_y', 'tile_x'],
                         observe={'rows': F.count(F.lit(1))})
+
+
+def window_geotiff(spark: SparkSession, tiles: DataFrame, raster_fp,
+                   request_fp=None, **get_data_kwargs) -> bytes:
+    """Windowed read exported as a baseline GeoTIFF payload — the
+    engine's raster → file path with NO GDAL: :func:`get_data` assembles
+    the window (same sync-read contract and driver-side-array warning),
+    the values clip to uint8 and the window Footprint's geotransform
+    writes as GeoTIFF ModelPixelScale/ModelTiepoint tags, so any GeoTIFF
+    reader (including :func:`buzzard_spark.operators.multimodal
+    .decode_tiff` / ``geotiff_footprint`` — the round-trip pytest) sees
+    the correct georeferencing.
+
+    Reference analogue: ``Dataset.create_raster`` + ``set_data`` +
+    GDAL's GTiff driver writing the file
+    (buzzard/_a_gdal_raster.py:create_file); here the table stays the
+    storage and the GeoTIFF is an EXPORT artifact (tile serving,
+    hand-off to GIS tools). Greyscale (2-D) and RGB (3-channel) windows
+    only — the baseline-TIFF codec's domain.
+    """
+    from buzzard_spark.operators.multimodal import encode_tiff
+
+    fp = request_fp if request_fp is not None else raster_fp
+    arr = get_data(spark, tiles, raster_fp, request_fp=request_fp,
+                   **get_data_kwargs)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError(
+            f'baseline GeoTIFF export is grey/RGB only: {arr.shape}')
+    if fp.angle != 0:
+        raise ValueError('GeoTIFF scale/tiepoint tags are north-up only')
+    arr8 = np.clip(np.round(np.asarray(arr, dtype=np.float64)),
+                   0, 255).astype(np.uint8)
+    return encode_tiff(arr8, geo=(float(fp.tlx), float(fp.tly),
+                                  float(fp.pxsizex), float(fp.pxsizey)))

@@ -128,3 +128,32 @@ def test_multichannel_roundtrip(spark, raster_fp, tmp_path):
     assert (out2[:40, :40, 2] == -5.0).all()
     assert (out2[50:, 50:, 2] == 7.0).all()
     assert np.array_equal(out2[:, :, 0], xs.astype('float32'))
+
+
+def test_window_geotiff_roundtrip(spark, raster_fp, cache):
+    """window_geotiff: a window read exported as GeoTIFF decodes back to
+    the clipped window values, and geotiff_footprint reconstructs the
+    window's exact geotransform — the engine's no-GDAL raster→file path
+    round-trips through its own codec."""
+    from buzzard_spark.operators.multimodal import (decode_tiff,
+                                                    geotiff_footprint)
+    from buzzard_spark.operators.raster_io import window_geotiff
+
+    win = Footprint(tl=(2.0, 8.0), size=(3.0, 3.0), rsize=(30, 30))
+    payload = window_geotiff(spark, _tiles(spark, cache), raster_fp,
+                             request_fp=win, interpolation=None)
+    arr = decode_tiff(payload)
+    want = np.clip(np.round(
+        _full(raster_fp)[win.slice_in(raster_fp)].astype(np.float64)),
+        0, 255).astype(np.uint8)
+    assert arr.shape == (30, 30)
+    assert (arr == want).all()
+    fp2 = geotiff_footprint(payload)
+    assert tuple(fp2.tl) == (2.0, 8.0)
+    assert (fp2.pxsizex, fp2.pxsizey) == (win.pxsizex, win.pxsizey)
+    assert (fp2.rsizex, fp2.rsizey) == (30, 30)
+
+    with pytest.raises(ValueError):
+        window_geotiff(spark, _tiles(spark, cache), raster_fp,
+                       request_fp=win, interpolation=None,
+                       channels=[0, 0])   # 2-channel: not grey/RGB
