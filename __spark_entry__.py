@@ -850,6 +850,30 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.focal_sum(pages, res=5, radius=1)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch attribution (interval) join: every click within 10 minutes
+    AFTER a view by the same user — the batch twin of
+    streaming.stream_interval_join (same predicate; streaming==batch is
+    pinned in test_streaming); lag in exact integer microseconds."""
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    views = ev.where("event_type = 'view'").select(
+        'user_id', F.col('event_id').alias('view_id'),
+        F.col('ts').alias('vts'))
+    clicks = ev.where("event_type = 'click'").select(
+        'user_id', F.col('event_id').alias('click_id'),
+        F.col('ts').alias('cts'))
+    return (views.join(clicks, 'user_id')
+            .where(F.expr('cts >= vts AND cts <= vts + INTERVAL 10 '
+                          'MINUTES'))
+            .select('user_id', 'view_id', 'click_id',
+                    # parquet ts is TIMESTAMP_NTZ: unix_micros needs TZ —
+                    # to_utc_timestamp is identity-valued (session TZ is
+                    # pinned UTC) and the DIFFERENCE is TZ-free anyway
+                    F.expr("unix_micros(to_utc_timestamp(cts, 'UTC')) - "
+                           "unix_micros(to_utc_timestamp(vts, 'UTC'))")
+                    .cast('long').alias('lag_us')))
+
+
 def q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode through the multimodal seam — the
     reference's home raster format (buzzard opens GTiff via GDAL;
@@ -1624,6 +1648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     'join_sample': q_join_sample,
     'nearest_k': q_nearest_k,
     'tiff_meta': q_tiff_meta,
+    'interval_join': q_interval_join,
     'tile_grid': q_tile_grid,
     'dedup_clusters': q_dedup_clusters,
     'polygonize_components': q_polygonize_components,
@@ -2331,6 +2356,15 @@ def oracle_sql() -> dict[str, str]:
             'FROM documents'.format(lat=sqlgen.lat_sql('doc_id'),
                                     lng=sqlgen.lng_sql('doc_id')),
             res=5, radius=1),
+        'interval_join': (
+            "WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts "
+            "FROM events WHERE event_type = 'view'), "
+            'c AS (SELECT user_id, event_id AS click_id, ts AS cts '
+            "FROM events WHERE event_type = 'click') "
+            'SELECT v.user_id, view_id, click_id, '
+            'CAST(epoch_us(cts) - epoch_us(vts) AS BIGINT) AS lag_us '
+            'FROM v JOIN c ON v.user_id = c.user_id '
+            'AND cts >= vts AND cts <= vts + INTERVAL 10 MINUTE'),
         'tiff_meta': (
             # px_sum closed form: rows are constant (doc_id + r) % 251;
             # with h <= 19 < 251 the mod wraps at most once, so
