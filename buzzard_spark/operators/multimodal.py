@@ -884,12 +884,57 @@ def _tiff_ifd(payload: bytes):
     return bo, tags
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits RLE (TIFF 6.0 §9, Apple PackBits): n in [0,127] →
+    copy n+1 literal bytes; n in [-127,-1] → repeat next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (fixture helper): greedy runs ≥ 3 as repeats,
+    the rest as literal groups of ≤ 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([(1 - run) & 0xFF, data[i]])
+            i += run
+        else:
+            j = i + run
+            while j < n and j - i < 128:
+                r2 = 1
+                while j + r2 < n and r2 < 3 and data[j + r2] == data[j]:
+                    r2 += 1
+                if r2 >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """REAL decode of a baseline uncompressed TIFF (the reference's home
-    format family — buzzard opens rasters through GDAL's GTiff driver,
+    """REAL decode of a baseline TIFF (the reference's home format
+    family — buzzard opens rasters through GDAL's GTiff driver,
     /root/reference/buzzard/_a_gdal_raster.py; this is the no-GDAL
     equivalent for the seam): both byte orders, 8-bit greyscale or RGB,
-    multi-strip layouts. Returns (h, w) or (h, w, 3) uint8."""
+    multi-strip layouts, uncompressed or PackBits-compressed strips.
+    Returns (h, w) or (h, w, 3) uint8."""
     bo, tags = _tiff_ifd(payload)
 
     def one(tag, default=None):
@@ -901,8 +946,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
     w, h = one(256), one(257)
     comp = one(259, 1)
-    if comp != 1:
-        raise ValueError(f'only uncompressed TIFF supported (got {comp})')
+    if comp not in (1, 32773):
+        raise ValueError(f'only uncompressed/PackBits TIFF supported '
+                         f'(got compression={comp})')
     spp = one(277, 1)
     bps = tags.get(258, (3, (8,) * spp))[1]
     if any(int(b) != 8 for b in bps):
@@ -911,7 +957,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(f'only grey/RGB supported (spp={spp})')
     offs = tags[273][1]
     cnts = tags[279][1]
-    data = b''.join(payload[o:o + c] for o, c in zip(offs, cnts))
+    strips = [payload[o:o + c] for o, c in zip(offs, cnts)]
+    if comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    data = b''.join(strips)
     arr = np.frombuffer(data, dtype=np.uint8, count=h * w * spp)
     return (arr.reshape(h, w) if spp == 1
             else arr.reshape(h, w, 3)).copy()
@@ -944,11 +993,13 @@ def geotiff_footprint(payload: bytes):
 
 
 def encode_tiff(arr: np.ndarray, geo=None, big_endian: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
-    """(h, w) or (h, w, 3) uint8 → baseline uncompressed TIFF bytes
-    (multi-strip, either byte order); ``geo=(tlx, tly, sx, sy)`` writes
-    GeoTIFF ModelPixelScale + ModelTiepoint tags. Test/fixture helper —
-    the decode path is the product surface."""
+                rows_per_strip: int | None = None,
+                packbits: bool = False) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → baseline TIFF bytes (multi-strip,
+    either byte order, optionally PackBits-compressed strips);
+    ``geo=(tlx, tly, sx, sy)`` writes GeoTIFF ModelPixelScale +
+    ModelTiepoint tags. Test/fixture helper — the decode path is the
+    product surface."""
     import struct
     bo = '>' if big_endian else '<'
     arr = np.asarray(arr, dtype=np.uint8)
@@ -959,6 +1010,8 @@ def encode_tiff(arr: np.ndarray, geo=None, big_endian: bool = False,
     row_bytes = w * spp
     strips = [body[r * row_bytes:(r + rps) * row_bytes]
               for r in range(0, h, rps)]
+    if packbits:
+        strips = [_packbits_encode(s) for s in strips]
 
     entries = []          # (tag, type, count, packed_or_values)
     extra = bytearray()   # out-of-line values, appended after the IFD
@@ -970,7 +1023,7 @@ def encode_tiff(arr: np.ndarray, geo=None, big_endian: bool = False,
     ent(256, 4, [w], 'I')
     ent(257, 4, [h], 'I')
     ent(258, 3, [8] * spp, 'H')
-    ent(259, 3, [1], 'H')
+    ent(259, 3, [32773 if packbits else 1], 'H')
     ent(262, 3, [1 if spp == 1 else 2], 'H')
     ent(277, 3, [spp], 'H')
     ent(278, 4, [rps], 'I')

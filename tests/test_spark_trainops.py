@@ -1119,3 +1119,37 @@ def test_tiff_codec_roundtrip_and_geotiff_footprint(spark):
            for r in mm.decode_media_meta(df, decoder=mm.decode_tiff)
            .collect()}
     assert got == {1: (9, 3), 2: (2, 5)}
+
+
+def test_tiff_packbits_roundtrip_and_spec_vector():
+    """PackBits strips: encode/decode roundtrip on run-heavy, noise and
+    literal-heavy images (both endians, multi-strip), plus the Apple
+    PackBits specification example byte-for-byte."""
+    import numpy as np
+
+    from buzzard_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.zeros((4, 300), np.uint8),                        # long runs
+        rng.randint(0, 256, (5, 9, 3)).astype(np.uint8),     # noise RGB
+        np.tile(np.arange(256, dtype=np.uint8), (3, 2)),     # literals
+        np.repeat(np.arange(10, dtype=np.uint8), 13).reshape(10, 13),
+    ]
+    for arr in cases:
+        for be in (False, True):
+            for rps in (None, 2):
+                b = mm.encode_tiff(arr, big_endian=be,
+                                   rows_per_strip=rps, packbits=True)
+                assert (mm.decode_tiff(b) == arr).all()
+    # compression actually happened on the run-heavy case
+    plain = mm.encode_tiff(cases[0])
+    packed = mm.encode_tiff(cases[0], packbits=True)
+    assert len(packed) < len(plain) // 4
+
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    want = bytes.fromhex('AAAAAA' + '80002A' + 'AA' * 4
+                         + '80002A22' + 'AA' * 10)
+    assert mm._packbits_decode(enc) == want
+    assert mm._packbits_decode(mm._packbits_encode(want)) == want
