@@ -988,12 +988,23 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = 'text',
     if w < 2:
         raise ValueError(f'ngram_words must be >= 2: {w}')
     ws = f"split(trim({text_col}), '\\\\s+')"
-    grams = (f'transform(sequence(0, size({ws}) - {w}), '
-             f"i -> array_join(slice({ws}, i + 1, {w}), ' '))")
+    # gram hash WITHOUT materializing gram strings: hash every word once,
+    # then hash the w-tuple of word hashes per start position. The split
+    # result is bound ONCE as a lambda variable (array-wrap trick, see
+    # shingle_ids) — the previous form inlined `split` inside the
+    # transform lambda, re-splitting the document at EVERY gram position
+    # (O(L²) splits per doc) and allocated a w-word string per position.
+    # Same 64-bit gram-identity contract: equal grams ⇒ equal hashes, and
+    # distinct grams collide with the same ~2⁻⁶⁴ probability either way
+    # (words contain no whitespace, so the joined string was injective).
+    hargs = ', '.join(f'element_at(wh, i + {j})' for j in range(1, w + 1))
+    gram_h = (f'element_at(transform(array(transform({ws}, '
+              f'x -> xxhash64(x))), '
+              f'wh -> transform(sequence(0, size(wh) - {w}), '
+              f'i -> xxhash64({hargs}))), 1)')
     g = (df.where(F.expr(f'size({ws}) >= {w}'))
          .select(F.col(id_col),
-                 F.posexplode(F.expr(grams)).alias('idx', 'gram'))
-         .withColumn('_h', F.xxhash64('gram'))
+                 F.posexplode(F.expr(gram_h)).alias('idx', '_h'))
          .select(id_col, 'idx', '_h'))
     dup_h = (g.groupBy('_h').agg(F.count('*').alias('_n'))
              .where('_n > 1').select('_h'))
@@ -1087,13 +1098,22 @@ def contamination_check(df: DataFrame, bench: DataFrame,
         raise ValueError(f'ngram_words must be >= 2: {w}')
 
     def grams(frame, icol, tcol, out_id):
+        # split bound once + word-hash-tuple gram hashing (no gram string
+        # is ever materialized) — see repeated_ngram_spans for the
+        # rationale; the previous inline-split form re-split the document
+        # per gram position (O(L²) splits per doc). Collision contract
+        # unchanged (xxhash64 gram identity, cross-checked by the oracle's
+        # string join at the gate sf).
         ws = f"split(trim({tcol}), '\\\\s+')"
-        g = (f'transform(sequence(0, size({ws}) - {w}), '
-             f"i -> array_join(slice({ws}, i + 1, {w}), ' '))")
+        hargs = ', '.join(f'element_at(wh, i + {j})'
+                          for j in range(1, w + 1))
+        gram_h = (f'element_at(transform(array(transform({ws}, '
+                  f'x -> xxhash64(x))), '
+                  f'wh -> transform(sequence(0, size(wh) - {w}), '
+                  f'i -> xxhash64({hargs}))), 1)')
         return (frame.where(F.expr(f'size({ws}) >= {w}'))
                 .select(F.col(icol).alias(out_id),
-                        F.explode(F.expr(g)).alias('gram'))
-                .withColumn('_h', F.xxhash64('gram'))
+                        F.explode(F.expr(gram_h)).alias('_h'))
                 .select(out_id, '_h').distinct())
 
     bg = grams(bench, bench_id_col, bench_text_col, bench_id_col)

@@ -646,25 +646,36 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
     if k < 1:
         raise ValueError(f'k must be >= 1: {k}')
     num, den = threshold_num, threshold_den
+    # Tokens are int64 ids end to end (xxhash64 of the word / of the
+    # word-hash k-tuple — shingle_ids): postings, the prefix self-join and
+    # the verify step all move 8-byte longs instead of k-gram STRINGS
+    # (round 5 shuffled gram strings through three exchanges — the widest
+    # bytes in the whole query). Same collision contract as the MinHash
+    # path; |A∩B| / sizes are exact up to 64-bit collisions, and the
+    # brute string oracle cross-checks that none fired at the gate sf.
+    # The global prefix order is (df, token-id): any CONSISTENT total
+    # order satisfies the prefix-filter theorem (Bayardo et al. WWW'07 —
+    # frequency order is a pruning heuristic, the tie-break is free), so
+    # ordering ties by hashed id instead of gram string preserves
+    # exactness.
     if k == 1:
-        toks = (df.select(F.col(id_col).alias('id'),
-                          F.explode(F.expr(
-                              f"array_distinct(split(trim({text_col}), "
-                              f"'\\\\s+'))")).alias('tok')))
+        base = df.select(
+            F.col(id_col).alias('id'),
+            F.expr(f'array_distinct(transform(split(trim({text_col}), '
+                   f"'\\\\s+'), x -> xxhash64(x)))").alias('sh'))
     else:
-        toks = (shingles(df, text_col=text_col, k=k, out='_sh')
-                .select(F.col(id_col).alias('id'),
-                        F.explode('_sh').alias('tok')))
-    # three scans below (df-count join, prefix postings, verify join) —
-    # persist once so the split/shingle pass runs one corpus scan, and
-    # release through the result checkpoint (cache-lifetime contract)
-    toks = toks.persist()
+        base = (shingle_ids(df, text_col=text_col, k=k, out='sh')
+                .select(F.col(id_col).alias('id'), 'sh'))
+    # docs with an empty token set can never pair — and must not emit a
+    # size row (matches the explode-based behavior round 5 had)
+    base = base.where(F.size('sh') > 0).persist()
+    # |tokens| comes from the array — no second window pass over postings
+    toks = base.select('id', F.size('sh').alias('s'),
+                       F.explode('sh').alias('tok'))
     tok_df = toks.groupBy('tok').agg(F.count('*').alias('df_'))
     t = toks.join(tok_df, 'tok')
     w = Window.partitionBy('id').orderBy('df_', 'tok')
-    ranked = (t.withColumn('rn', F.row_number().over(w))
-              .withColumn('s', F.count('*').over(
-                  Window.partitionBy('id'))))
+    ranked = t.withColumn('rn', F.row_number().over(w))
     # p = s - ceil(num*s/den) + 1; ceil(a/b) = (a + b - 1) div b
     prefix = ranked.where(F.expr(
         f'rn <= s - (({num} * s + {den} - 1) DIV {den}) + 1'))
@@ -677,11 +688,14 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
             .where(F.expr(f'{num} * sa <= {den} * sb AND '
                           f'{num} * sb <= {den} * sa'))
             .select('id_a', 'id_b', 'sa', 'sb').distinct())
-    ta = toks.select(F.col('id').alias('id_a'), 'tok')
-    tb = toks.select(F.col('id').alias('id_b'), 'tok')
-    inter = (cand.join(ta, 'id_a').join(tb, ['id_b', 'tok'])
-             .groupBy('id_a', 'id_b', 'sa', 'sb')
-             .agg(F.count('*').alias('inter')))
+    # verify on the per-doc token ARRAYS (two candidate-sized joins +
+    # one JVM set intersect per pair) instead of re-exploding full
+    # postings through a third shuffle keyed by (id_b, tok)
+    sh_a = base.select(F.col('id').alias('id_a'), F.col('sh').alias('_sha'))
+    sh_b = base.select(F.col('id').alias('id_b'), F.col('sh').alias('_shb'))
+    inter = (cand.join(sh_a, 'id_a').join(sh_b, 'id_b')
+             .withColumn('inter',
+                         F.expr('size(array_intersect(_sha, _shb))')))
     out = (inter
            .withColumn('uni', F.col('sa') + F.col('sb') - F.col('inter'))
            .where(F.expr(f'inter * {den} >= {num} * uni'))
@@ -689,7 +703,7 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
                    F.col('inter').cast('long').alias('inter'),
                    F.col('uni').cast('long').alias('uni')))
     from buzzard_spark.session import checkpoint_release
-    return checkpoint_release(out, [toks])
+    return checkpoint_release(out, [base])
 
 
 def setsim_pairs_oracle_sql(docs_sql: str, threshold_num: int,

@@ -27,6 +27,17 @@ ENGINE_CONFS = {
     # local mode: shuffle files live in page cache — compression is pure
     # CPU overhead here (re-enable on a real cluster with slow disks/net)
     'spark.shuffle.compress': 'false',
+    # codegen hash aggregation: the first-level "fast" row map defaults to
+    # 2^16 slots; per-task group cardinality in the engine's aggregations
+    # (per-(region, tile) counts: ~3·10^5 groups per scan task on a
+    # crawl-ordered layout) overflows it and nearly every probe falls
+    # through to the slow BytesToBytesMap. 2^20 slots keeps those maps on
+    # the fast path (measured: flagship agg −20% on both clustered and
+    # crawl-order layouts at 128M rows; ~16 MB per in-flight task, well
+    # inside executor memory at any scale). Parameterised for clusters
+    # with smaller executors.
+    'spark.sql.codegen.aggregate.fastHashMap.capacityBit':
+        os.environ.get('SPARK_GRAFT_AGG_FASTMAP_BITS', '20'),
     # reliable checkpoints written by checkpoint_release() are deleted by
     # the ContextCleaner once the referencing DataFrame is GC'd
     'spark.cleaner.referenceTracking.cleanCheckpoints': 'true',
