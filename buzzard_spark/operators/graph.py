@@ -366,7 +366,8 @@ def triangle_count_oracle_sql(edges_sql: str, src: str = 'src',
 
 def resolve_redirects(edges: DataFrame, src: str = 'src',
                       dst: str = 'dst',
-                      max_iters: int = 25) -> DataFrame:
+                      max_iters: int = 25,
+                      small_graph_edges: int = 200_000) -> DataFrame:
     """Redirect-chain resolution by POINTER DOUBLING (pointer jumping):
     ``edges`` is a functional graph — each ``src`` redirects to exactly
     one ``dst`` (the crawl's 301/302 map after canonicalization).
@@ -398,6 +399,56 @@ def resolve_redirects(edges: DataFrame, src: str = 'src',
          .withColumn('h', F.lit(1).cast('long'))
          .withColumn('cyc', F.lit(False))
          .localCheckpoint(eager=True))
+
+    # Small-graph fast path (connected_components' design): one cached
+    # limit-collect decides and delivers; at or below the cap the
+    # redirect map is resolved with a memoized driver walk — identical
+    # (final, is_cycle) labeling (duplicate-src validation included,
+    # same error), none of the ~log L pointer-doubling rounds whose job
+    # latency dominates small maps.
+    probe = t.select('s', 'd').limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
+        from buzzard_spark.session import release_blocks
+        d_map: dict = {}
+        for row in probe:
+            if row['s'] in d_map:
+                raise ValueError(
+                    'resolve_redirects: duplicate src rows — the '
+                    'redirect map must be functional (one outgoing '
+                    'edge per src); dedupe first')
+            d_map[row['s']] = row['d']
+        final: dict = {}
+        on_path: set = set()
+        for s0 in d_map:
+            path = []
+            cur = s0
+            while True:
+                if cur in final:
+                    val = final[cur]
+                    break
+                if cur in on_path:          # revisited current walk → loop
+                    val = None
+                    break
+                if cur not in d_map:        # terminal: no outgoing edge
+                    val = cur
+                    break
+                on_path.add(cur)
+                path.append(cur)
+                cur = d_map[cur]
+            for n in path:
+                on_path.discard(n)
+                final[n] = val
+        spark = edges.sparkSession
+        from pyspark.sql.types import BooleanType, StructField, StructType
+        schema = StructType([
+            StructField(src, t.schema['s'].dataType),
+            StructField('final', t.schema['d'].dataType),
+            StructField('is_cycle', BooleanType(), nullable=False)])
+        out = spark.createDataFrame(
+            [(s, final[s], final[s] is None) for s in d_map], schema)
+        release_blocks([t])
+        return out
+
     if t.groupBy('s').count().where('count > 1').limit(1).count():
         raise ValueError('resolve_redirects: duplicate src rows — the '
                          'redirect map must be functional (one outgoing '
@@ -436,7 +487,8 @@ def resolve_redirects(edges: DataFrame, src: str = 'src',
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
-             src: str = 'src', dst: str = 'dst') -> DataFrame:
+             src: str = 'src', dst: str = 'dst',
+             small_graph_edges: int = 200_000) -> DataFrame:
     """Minimum hop distance from a seed set over a directed edge list::
 
         (node, hop)   -- hop = length of the shortest directed path from
@@ -468,6 +520,45 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
 
     e = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d')) \
         .distinct().localCheckpoint(eager=True)
+
+    # Small-graph fast path (same design, cap and rationale as
+    # connected_components): ONE cached limit-collect both decides and
+    # delivers the rows (≤ cap rows back means the WHOLE edge set came
+    # back); at or below the cap the BFS runs as a driver dict walk — a
+    # bounded driver trip replacing up to max_hops shuffle rounds whose
+    # per-job scheduling latency dominates small graphs. Both paths emit
+    # the identical min-hop labeling (pinned by pytest).
+    probe = e.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
+        from buzzard_spark.session import release_blocks
+        adj: dict = {}
+        for row in probe:
+            adj.setdefault(row['_s'], []).append(row['_d'])
+        seed_vals = [r['node'] for r in
+                     seeds.select(F.col(seeds.columns[0]).alias('node'))
+                     .distinct().collect()]
+        hop_of = {s: 0 for s in seed_vals}
+        frontier = list(hop_of)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in hop_of:
+                        hop_of[v] = h
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        spark = edges.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType([
+            StructField('node', seeds.schema[0].dataType),
+            StructField('hop', LongType())])
+        out = spark.createDataFrame(
+            [(n, h) for n, h in hop_of.items()], schema)
+        release_blocks([e])
+        return out
+
     visited = (seeds.select(F.col(seeds.columns[0]).alias('node'))
                .distinct()
                .withColumn('hop', F.lit(0))
@@ -511,7 +602,8 @@ def bfs_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
 
 def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
               src: str = 'src', dst: str = 'dst',
-              weight: str = 'w') -> DataFrame:
+              weight: str = 'w',
+              small_graph_edges: int = 200_000) -> DataFrame:
     """Single-source(-set) shortest path over non-negative INTEGER edge
     weights, restricted to paths of at most ``max_hops`` edges::
 
@@ -547,10 +639,56 @@ def sssp_hops(edges: DataFrame, seeds: DataFrame, max_hops: int,
 
     e0 = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'),
                       F.col(weight).cast('long').alias('_w'))
-    # validate BEFORE checkpointing — the error path must not leave blocks
-    if e0.where(F.col('_w') < 0).count() > 0:
-        raise ValueError('negative edge weights are not supported')
     e = e0.localCheckpoint(eager=True)
+
+    # Small-graph fast path (connected_components' design): one cached
+    # limit-collect decides and delivers; ≤ cap edges run the identical
+    # hop-bounded Bellman-Ford as a driver dict relaxation — exact
+    # integer arithmetic, same min-dist labels (pinned by pytest), none
+    # of the per-round job latency that dominates small graphs.
+    probe = e.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
+        from buzzard_spark.session import release_blocks
+        adj: dict = {}
+        for row in probe:
+            if row['_w'] < 0:
+                release_blocks([e])
+                raise ValueError('negative edge weights are not supported')
+            adj.setdefault(row['_s'], []).append((row['_d'], row['_w']))
+        seed_vals = [r['node'] for r in
+                     seeds.select(F.col(seeds.columns[0]).alias('node'))
+                     .distinct().collect()]
+        dist_of = {s: 0 for s in seed_vals}
+        frontier = dict(dist_of)
+        for _ in range(max_hops):
+            improved: dict = {}
+            for u, du in frontier.items():
+                for v, w in adj.get(u, ()):
+                    nd = du + w
+                    old = improved.get(v)
+                    if (old is None or nd < old) and \
+                            nd < dist_of.get(v, nd + 1):
+                        improved[v] = nd
+            if not improved:
+                break
+            dist_of.update(improved)
+            frontier = improved
+        spark = edges.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType([
+            StructField('node', seeds.schema[0].dataType),
+            StructField('dist', LongType())])
+        out = spark.createDataFrame(
+            [(n, d) for n, d in dist_of.items()], schema)
+        release_blocks([e])
+        return out
+
+    # distributed path: validate on the cached edge set, releasing the
+    # blocks on the error path (the fast path validated row-by-row above)
+    if e.where(F.col('_w') < 0).limit(1).count() > 0:
+        from buzzard_spark.session import release_blocks
+        release_blocks([e])
+        raise ValueError('negative edge weights are not supported')
     dist = (seeds.select(F.col(seeds.columns[0]).alias('node'))
             .distinct()
             .withColumn('dist', F.lit(0).cast('long'))

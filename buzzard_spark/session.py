@@ -92,6 +92,24 @@ def ensure_checkpoint_dir(spark) -> None:
     sc.setCheckpointDir(d)
 
 
+def release_blocks(cached=()):
+    """Unpersist every DataFrame in ``cached`` immediately (including the
+    internal RDD blocks a ``localCheckpoint`` pins, which Dataset.unpersist
+    does not manage). For operator fast paths whose RESULT is a local
+    relation (createDataFrame of driver-resolved rows): the result holds no
+    lineage into the cached frames, so nothing needs a materializing
+    checkpoint first — same cache-lifetime contract as
+    :func:`checkpoint_release`, minus the file round-trip."""
+    for df in cached:
+        try:
+            df.unpersist()
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == 'LogicalRDD':
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+
+
 def checkpoint_release(result, cached=()):
     """Materialize ``result`` through a reliable (file-backed) checkpoint,
     then unpersist every DataFrame in ``cached``.

@@ -335,3 +335,48 @@ def test_trustrank_seed_propagation_and_exact_zero(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         trustrank_exact_uniform(nodes, edges, seeds, 0, d_out)
+
+
+def test_small_graph_fast_paths_match_distributed(spark):
+    """The capped driver fast paths added in round 6 (bfs_hops /
+    sssp_hops / resolve_redirects, the connected_components design) must
+    emit exactly the distributed rounds' labeling: run every fixture
+    through both paths (cap 200k = fast, cap 0 = distributed) and
+    compare row sets."""
+    from buzzard_spark.operators.graph import (bfs_hops, resolve_redirects,
+                                               sssp_hops)
+    edges = [
+        ('a', 'b'), ('b', 'c'), ('c', 'd'), ('a', 'd'), ('d', 'a'),
+        ('d', 'e'), ('e', 'f'), ('f', 'g'), ('x', 'y'),
+    ]
+    e = spark.createDataFrame(edges, 'src string, dst string')
+    s = spark.createDataFrame([('a',), ('x',)], 'node string')
+    for mh in (0, 2, 5):
+        fast = {tuple(r) for r in bfs_hops(e, s, mh).collect()}
+        dist = {tuple(r) for r in
+                bfs_hops(e, s, mh, small_graph_edges=0).collect()}
+        assert fast == dist, mh
+
+    ew = [('a', 'z', 100), ('a', 'b', 1), ('b', 'c', 1), ('c', 'z', 1),
+          ('z', 'a', 1), ('x', 'y', 7)]
+    edf = spark.createDataFrame(ew, 'src string, dst string, w long')
+    for mh in (1, 3, 10):
+        fast = {tuple(r) for r in sssp_hops(edf, s, mh).collect()}
+        dist = {tuple(r) for r in
+                sssp_hops(edf, s, mh, small_graph_edges=0).collect()}
+        assert fast == dist, mh
+
+    red = spark.createDataFrame(
+        [('u1', 'u2'), ('u2', 'u3'), ('u3', 'u4'),
+         ('c0', 'c1'), ('c1', 'c2'), ('c2', 'c0'),
+         ('d0', 'd1'), ('d1', 'd0'), ('f', 'c0')],
+        'src string, dst string')
+    fast = {tuple(r) for r in resolve_redirects(red).collect()}
+    dist = {tuple(r) for r in
+            resolve_redirects(red, small_graph_edges=0).collect()}
+    assert fast == dist
+    # schemas must agree too (names, types, nullability-insensitive)
+    fr = resolve_redirects(red)
+    dr = resolve_redirects(red, small_graph_edges=0)
+    assert [(f.name, f.dataType) for f in fr.schema] == \
+        [(f.name, f.dataType) for f in dr.schema]
