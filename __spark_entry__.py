@@ -250,6 +250,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _spread_py(df: DataFrame, min_parts: int = 8) -> DataFrame:
+    """Fan-out for the Python-codec (mapInPandas) queries: the documents
+    table arrives as ONE split, so every per-doc encode/decode otherwise
+    runs on a single core (measured: png_meta 3.2s single-split vs 0.9s
+    at 8-16 tasks). Unlike ``_spread``, a moderate task count wins here —
+    each extra task multiplies Arrow batch round-trips and Python-worker
+    handoffs across the media plans' 3-4 Python stages, and 8-16 workers
+    already hide the decode (32-way measured SLOWER than 8-way for the
+    light codecs). No-op when the input is already split enough (the
+    production case)."""
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints over an md5-derived token hash — the
     same nibble arithmetic runs in the DuckDB oracle, so values are exact
@@ -570,8 +585,8 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from buzzard_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
-        .select('doc_id')
+    docs = _spread_py(spark.read.parquet(f'{sf_dir}/documents.parquet')
+                      .select('doc_id'), min_parts=16)
 
     def _mk(batches):
         for pdf in batches:
@@ -669,8 +684,8 @@ def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from buzzard_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
-        .select('doc_id')
+    docs = _spread_py(spark.read.parquet(f'{sf_dir}/documents.parquet')
+                      .select('doc_id'))
     pal = np.stack([(np.arange(16) * 7 % 256).astype(np.uint8)] * 3,
                    axis=1)
 
@@ -889,8 +904,8 @@ def q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from buzzard_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
-        .select('doc_id')
+    docs = _spread_py(spark.read.parquet(f'{sf_dir}/documents.parquet')
+                      .select('doc_id'))
 
     def _mk(batches):
         for pdf in batches:
@@ -1492,8 +1507,8 @@ def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from buzzard_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
-        .select('doc_id')
+    docs = _spread_py(spark.read.parquet(f'{sf_dir}/documents.parquet')
+                      .select('doc_id'))
 
     def _mk(batches):
         for pdf in batches:

@@ -100,9 +100,13 @@ def _lsh_candidates(df: DataFrame, id_col: str = 'doc_id',
                         F.xxhash64(sig_col).alias('_sigh'),
                         F.explode(F.expr(band_expr)).alias('band_key'))
               .persist())
-    sizes = banded.groupBy('band_key').agg(F.count('*').alias('_bn'),
-                                           F.min('_id').alias('_bmin'))
-    tagged = banded.join(sizes, 'band_key')
+    # bucket size + bucket min as a WINDOW over band_key: one exchange of
+    # the banded set instead of round 5's groupBy + join back (two). The
+    # skew exposure is unchanged — a giant bucket landed on one sort-merge
+    # join task before and lands on one (spill-backed) window task now.
+    wb = Window.partitionBy('band_key')
+    tagged = (banded.withColumn('_bn', F.count('*').over(wb))
+              .withColumn('_bmin', F.min('_id').over(wb)))
     a = tagged.where(F.col('_bn') <= bucket_cap).alias('a')
     b = tagged.where(F.col('_bn') <= bucket_cap).alias('b')
     normal = (a.join(b, (F.col('a.band_key') == F.col('b.band_key')) &
@@ -119,14 +123,17 @@ def _lsh_candidates(df: DataFrame, id_col: str = 'doc_id',
     # the pair's other ~J²·bands uncapped bands for recall (see
     # ``near_dup_pairs`` docstring for the quantified guarantee).
     big = tagged.where(F.col('_bn') > bucket_cap)
-    gmins = big.groupBy('band_key', '_sigh').agg(F.min('_id').alias('_gmin'))
-    star1 = (big.join(gmins, ['band_key', '_sigh'])
+    # big rows already carry _bmin from the window — star2 needs no join
+    # back to a sizes table
+    gmins = big.groupBy('band_key', '_sigh').agg(
+        F.min('_id').alias('_gmin'), F.min('_bmin').alias('_bmin2'))
+    star1 = (big.join(gmins.select('band_key', '_sigh', '_gmin'),
+                      ['band_key', '_sigh'])
              .where(F.col('_id') != F.col('_gmin'))
              .select(F.col('_gmin').alias('id_a'), F.col('_id').alias('id_b')))
-    star2 = (gmins.join(sizes.where(F.col('_bn') > bucket_cap)
-                        .select('band_key', '_bmin'), 'band_key')
-             .where(F.col('_gmin') != F.col('_bmin'))
-             .select(F.col('_bmin').alias('id_a'),
+    star2 = (gmins
+             .where(F.col('_gmin') != F.col('_bmin2'))
+             .select(F.col('_bmin2').alias('id_a'),
                      F.col('_gmin').alias('id_b')))
     pairs = normal.unionByName(star1).unionByName(star2).distinct()
     return pairs, [banded]
@@ -238,12 +245,23 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
                     cand.id_a == F.col('_jid')).drop('_jid')
               .join(sh_only.withColumnRenamed('shingles', 'sh_b'),
                     cand.id_b == F.col('_jid')).drop('_jid'))
+    # |A∪B| = |A| + |B| − |A∩B| (shingle arrays are distinct), so the
+    # array_union hash-set build is replaced by size arithmetic — the
+    # division operands are the same exact integers, so the double value
+    # (and the FLOOR/threshold boundary behavior) is bit-identical to the
+    # round-5 form. Folding threshold + value into one CASE lets
+    # subexpression elimination evaluate the intersect once per operator
+    # (the old withColumn+where pair re-evaluated intersect AND union in
+    # both the Project and the pushed-down Filter).
     jac = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
-           'CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)')
+           'CAST(size(sh_a) + size(sh_b) '
+           '- size(array_intersect(sh_a, sh_b)) AS DOUBLE)')
     rep_pairs = (joined
                  .withColumn('jaccard_pm',
-                             F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
-                 .where(F.expr(f'{jac} >= {threshold}E0'))
+                             F.expr(f'CASE WHEN {jac} >= {threshold}E0 '
+                                    f'THEN CAST(FLOOR({jac} * 1000E0) '
+                                    f'AS BIGINT) END'))
+                 .where(F.col('jaccard_pm').isNotNull())
                  .select('id_a', 'id_b', 'jaccard_pm'))
     # expand rep-level pairs back to all CROSS-class member pairs (members
     # share their rep's shingle set, so the Jaccard carries over verbatim):
@@ -323,15 +341,20 @@ def containment_pairs(df: DataFrame, id_col: str = 'doc_id',
                     cand.id_a == F.col('_jid')).drop('_jid')
               .join(sh_only.withColumnRenamed('shingles', 'sh_b'),
                     cand.id_b == F.col('_jid')).drop('_jid'))
+    # one SELECT carrying inter_n and the CASE-folded containment: the
+    # round-5 withColumn+withColumn+where triple evaluated the intersect
+    # three times (Project twice, pushed-down Filter once); with all
+    # references in one operator, subexpression elimination shares it
     cont = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
             'CAST(LEAST(size(sh_a), size(sh_b)) AS DOUBLE)')
     out = (joined
-           .withColumn('inter_n',
-                       F.expr('CAST(size(array_intersect(sh_a, sh_b)) '
-                              'AS BIGINT)'))
-           .withColumn('containment_pm',
-                       F.expr(f'CAST(FLOOR({cont} * 1000E0) AS BIGINT)'))
-           .where(F.expr(f'{cont} >= {threshold}E0'))
+           .select('id_a', 'id_b',
+                   F.expr('CAST(size(array_intersect(sh_a, sh_b)) '
+                          'AS BIGINT)').alias('inter_n'),
+                   F.expr(f'CASE WHEN {cont} >= {threshold}E0 '
+                          f'THEN CAST(FLOOR({cont} * 1000E0) '
+                          f'AS BIGINT) END').alias('containment_pm'))
+           .where(F.col('containment_pm').isNotNull())
            .select('id_a', 'id_b', 'inter_n', 'containment_pm'))
     if not materialize:
         return out
@@ -563,11 +586,14 @@ def incremental_near_pairs(new_docs: DataFrame, index: DataFrame,
 
     bn = banded(new_idx, True).persist()
     both = bn.unionByName(banded(index, False))
-    sizes = both.groupBy('band_key').agg(F.count('*').alias('_bn'),
-                                         F.min('_id').alias('_bmin'))
-    tagged = both.join(sizes, 'band_key')
-    a = bn.join(sizes.where(F.col('_bn') <= bucket_cap)
-                .select('band_key'), 'band_key').alias('a')
+    # bucket size/min as a window over band_key (one exchange) instead of
+    # groupBy + two joins back — see _lsh_candidates; the new-side filter
+    # is the _new tag the rows already carry
+    wb = Window.partitionBy('band_key')
+    tagged = (both.withColumn('_bn', F.count('*').over(wb))
+              .withColumn('_bmin', F.min('_id').over(wb)))
+    a = tagged.where(F.col('_new') &
+                     (F.col('_bn') <= bucket_cap)).alias('a')
     b = tagged.where(F.col('_bn') <= bucket_cap).alias('b')
     normal = (a.join(b, (F.col('a.band_key') == F.col('b.band_key'))
                      & (F.col('a._id') != F.col('b._id')))
@@ -586,12 +612,18 @@ def incremental_near_pairs(new_docs: DataFrame, index: DataFrame,
                     cand.id_a == F.col('_jid')).drop('_jid')
               .join(sh_all.withColumnRenamed('shingles', 'sh_b'),
                     cand.id_b == F.col('_jid')).drop('_jid'))
+    # same exact-value rewrite as near_dup_pairs: union → size
+    # arithmetic, CASE-folded threshold (intersect evaluated once per
+    # operator instead of twice, union not at all)
     jac = ('CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / '
-           'CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)')
+           'CAST(size(sh_a) + size(sh_b) '
+           '- size(array_intersect(sh_a, sh_b)) AS DOUBLE)')
     out = (joined
            .withColumn('jaccard_pm',
-                       F.expr(f'CAST(FLOOR({jac} * 1000E0) AS BIGINT)'))
-           .where(F.expr(f'{jac} >= {threshold}E0'))
+                       F.expr(f'CASE WHEN {jac} >= {threshold}E0 '
+                              f'THEN CAST(FLOOR({jac} * 1000E0) '
+                              f'AS BIGINT) END'))
+           .where(F.col('jaccard_pm').isNotNull())
            .select('id_a', 'id_b', 'jaccard_pm'))
     from buzzard_spark.session import checkpoint_release
     return checkpoint_release(out, [new_idx, bn])
