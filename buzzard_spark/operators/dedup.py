@@ -823,11 +823,15 @@ def editdist_pairs(df: DataFrame, max_dist: int,
     # >= lmin. Bag semantics: duplicated grams numbered by occurrence
     # (window partitioned by (id, gram) — parallel), so a gram shared
     # j·k times joins exactly min(j, k) times.
+    # Blocking carries (id, ln, gr, occ) ONLY — round 5 shipped the full
+    # string through the gram explode, both windows, the candidate
+    # self-join and its distinct (guide §2.3: project before the
+    # exchange). Strings re-attach at the candidate-sized verify joins.
     padded = f"concat('\\u0001', t, '\\u0002')"
     grams = (f'transform(sequence(1, ln + 1), '
              f'i -> substring({padded}, i, 2))')
     g = (base.where(F.col('ln') >= lmin)
-         .select('id', 't', 'ln', F.explode(F.expr(grams)).alias('gr')))
+         .select('id', 'ln', F.explode(F.expr(grams)).alias('gr')))
     occ_w = Window.partitionBy('id', 'gr').orderBy(F.lit(0))
     g = g.withColumn('occ', F.row_number().over(occ_w))
     gram_df = g.groupBy('gr').agg(F.count('*').alias('_df'))
@@ -835,33 +839,39 @@ def editdist_pairs(df: DataFrame, max_dist: int,
     prefix = (g.join(gram_df, 'gr')
               .withColumn('_rn', F.row_number().over(pre_w))
               .where(F.col('_rn') <= 2 * d + 1)
-              .select('id', 't', 'ln', 'gr', 'occ'))
-    ga = prefix.select(F.col('id').alias('id_a'), F.col('t').alias('ta'),
+              .select('id', 'ln', 'gr', 'occ'))
+    ga = prefix.select(F.col('id').alias('id_a'),
                        F.col('ln').alias('la'), 'gr', 'occ')
-    gb = prefix.select(F.col('id').alias('id_b'), F.col('t').alias('tb'),
+    gb = prefix.select(F.col('id').alias('id_b'),
                        F.col('ln').alias('lb'), 'gr', 'occ')
     cand1 = (ga.join(gb, ['gr', 'occ'])
              .where((F.col('id_a') < F.col('id_b')) &
                     (F.expr(f'abs(la - lb) <= {d}')))
-             .select('id_a', 'id_b', 'ta', 'tb').distinct())
+             .select('id_a', 'id_b').distinct())
     # channel 2: length-band bucket for pairs whose shorter side < lmin
     # (both sides then < lmin + d = 3d chars)
     small = base.where(F.col('ln') < lmin + d)
-    sa = small.select(F.col('id').alias('id_a'), F.col('t').alias('ta'),
-                      F.col('ln').alias('la'))
-    sb = small.select(F.col('id').alias('id_b'), F.col('t').alias('tb'),
-                      F.col('ln').alias('lb'))
+    sa = small.select(F.col('id').alias('id_a'), F.col('ln').alias('la'))
+    sb = small.select(F.col('id').alias('id_b'), F.col('ln').alias('lb'))
     band = (sa.withColumn('bk', F.explode(F.expr(
                 f'sequence(la - {d}, la + {d})')))
             .join(sb.withColumn('bk', F.col('lb')), 'bk')
             .where((F.col('id_a') < F.col('id_b')) &
                    (F.expr(f'least(la, lb) < {lmin}')))
-            .select('id_a', 'id_b', 'ta', 'tb').distinct())
+            .select('id_a', 'id_b').distinct())
+    # channels are disjoint (min length >= lmin vs < lmin) — no cross-
+    # channel dedup needed, same as round 5. Verify on candidate-sized
+    # joins; CASE-folded levenshtein evaluates once per operator (the
+    # withColumn+where pair re-ran the DP in the pushed-down Filter).
+    ta_df = base.select(F.col('id').alias('id_a'), F.col('t').alias('ta'))
+    tb_df = base.select(F.col('id').alias('id_b'), F.col('t').alias('tb'))
     out = (cand1.unionByName(band)
-           .withColumn('dist', F.expr('levenshtein(ta, tb)'))
-           .where(F.col('dist') <= d)
-           .select('id_a', 'id_b', F.col('dist').cast('long')
-                   .alias('dist')))
+           .join(ta_df, 'id_a').join(tb_df, 'id_b')
+           .select('id_a', 'id_b',
+                   F.expr(f'CASE WHEN levenshtein(ta, tb) <= {d} '
+                          f'THEN CAST(levenshtein(ta, tb) AS BIGINT) END')
+                   .alias('dist'))
+           .where(F.col('dist').isNotNull()))
     from buzzard_spark.session import checkpoint_release
     return checkpoint_release(out, [base])
 

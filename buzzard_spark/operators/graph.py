@@ -180,9 +180,27 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return checkpoint_release(out, list(rounds) + list(extra_release))
 
 
+def _pagerank_fast_collect(base_nodes: DataFrame, edges: DataFrame,
+                           cap: int):
+    """Shared small-graph probe for the exact-integer rank operators:
+    returns (node values, [(src, dst)]) when BOTH the vertex and edge
+    sets fit under ``cap`` (one limit-collect each — ≤ cap rows back
+    means the whole set came back), else None."""
+    if cap <= 0:
+        return None
+    nrows = base_nodes.limit(cap + 1).collect()
+    if len(nrows) > cap:
+        return None
+    erows = edges.select('src', 'dst').limit(cap + 1).collect()
+    if len(erows) > cap:
+        return None
+    return [r['v'] for r in nrows], [(r['src'], r['dst']) for r in erows]
+
+
 def pagerank_exact_uniform(nodes: DataFrame, edges: DataFrame,
                            iters: int = 3, d_out: int = 4,
-                           id_col: str = 'v') -> DataFrame:
+                           id_col: str = 'v',
+                           small_graph_edges: int = 200_000) -> DataFrame:
     """Damped PageRank (β = 0.85) over an out-degree-UNIFORM multigraph,
     computed in EXACT integer arithmetic so two engines agree bit-for-bit.
 
@@ -217,6 +235,32 @@ def pagerank_exact_uniform(nodes: DataFrame, edges: DataFrame,
         raise ValueError('d_out >= 1 and iters >= 1 required')
     M = 20 * d_out
     base_nodes = nodes.select(F.col(id_col).alias('v'))
+
+    # Small-graph fast path (connected_components' design): two cached-
+    # plan limit-collects decide and deliver; the identical BIGINT
+    # recurrence runs as driver dict arithmetic — python ints ARE the
+    # int64 values (overflow-free by the same k ≤ 6 contract), so the
+    # scores are bit-identical to the distributed rounds (pinned by
+    # pytest). Replaces iters × (join + agg + localCheckpoint) jobs.
+    fast = _pagerank_fast_collect(base_nodes, edges, small_graph_edges)
+    if fast is not None:
+        node_vals, edge_rows = fast
+        a = {v: 1 for v in node_vals}
+        for k in range(1, iters + 1):
+            base = 3 * d_out * M ** (k - 1)
+            s: dict = {}
+            for sv, dv in edge_rows:
+                av = a.get(sv)
+                if av is not None:
+                    s[dv] = s.get(dv, 0) + av
+            a = {v: base + 17 * s.get(v, 0) for v in node_vals}
+        spark = nodes.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType([
+            StructField('v', base_nodes.schema[0].dataType),
+            StructField('pr_scaled', LongType())])
+        return spark.createDataFrame(list(a.items()), schema)
+
     scores = base_nodes.select('v', F.lit(1).cast('long').alias('a'))
     rounds = []
     for k in range(1, iters + 1):
@@ -741,7 +785,8 @@ def sssp_hops_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int,
 
 def trustrank_exact_uniform(nodes: DataFrame, edges: DataFrame,
                             seeds: DataFrame, iters: int = 3,
-                            d_out: int = 4, id_col: str = 'v') -> DataFrame:
+                            d_out: int = 4, id_col: str = 'v',
+                            small_graph_edges: int = 200_000) -> DataFrame:
     """Seed-personalized PageRank (TrustRank — Gyöngyi, Garcia-Molina &
     Pedersen, VLDB'04) over an out-degree-uniform multigraph, in the same
     EXACT integer arithmetic as :func:`pagerank_exact_uniform`::
@@ -767,6 +812,35 @@ def trustrank_exact_uniform(nodes: DataFrame, edges: DataFrame,
     if d_out <= 0 or iters < 1:
         raise ValueError('d_out >= 1 and iters >= 1 required')
     M = 20 * d_out
+
+    # small-graph fast path — same scheme and bit-exactness argument as
+    # pagerank_exact_uniform, with the seed flag folded into A_0 and the
+    # per-round base term (pinned by pytest)
+    base_nodes = nodes.select(F.col(id_col).alias('v'))
+    fast = _pagerank_fast_collect(base_nodes, edges, small_graph_edges)
+    if fast is not None:
+        node_vals, edge_rows = fast
+        seed_rows = (seeds.select(F.col(seeds.columns[0]).alias('v'))
+                     .distinct().limit(small_graph_edges + 1).collect())
+        if len(seed_rows) <= small_graph_edges:
+            t = set(r['v'] for r in seed_rows)
+            a = {v: (1 if v in t else 0) for v in node_vals}
+            for k in range(1, iters + 1):
+                base = 3 * d_out * M ** (k - 1)
+                s: dict = {}
+                for sv, dv in edge_rows:
+                    av = a.get(sv)
+                    if av:
+                        s[dv] = s.get(dv, 0) + av
+                a = {v: base * (1 if v in t else 0) + 17 * s.get(v, 0)
+                     for v in node_vals}
+            spark = nodes.sparkSession
+            from pyspark.sql.types import LongType, StructField, StructType
+            schema = StructType([
+                StructField('v', base_nodes.schema[0].dataType),
+                StructField('tr_scaled', LongType())])
+            return spark.createDataFrame(list(a.items()), schema)
+
     flag = (nodes.select(F.col(id_col).alias('v'))
             .join(seeds.select(F.col(seeds.columns[0]).alias('v'))
                   .distinct().withColumn('_t', F.lit(1)),

@@ -388,50 +388,51 @@ def quadtree_leaves(pages: DataFrame, cap: int, max_res: int,
         raise ValueError(f'need 0 <= res0 <= max_res: {res0}, {max_res}')
     if cap < 1:
         raise ValueError(f'cap must be >= 1: {cap}')
-    counts = {}
-    # every level is consumed 2-3x (the next rollup + two leaf
-    # branches): persist each (they are cell-count tables, dimension-
-    # sized) or the corpus-wide max_res shuffle re-executes once per
-    # consumer per level — measured 27s -> ~2s at the driver fixture
+    # Single-pass level table (round-6 restructure): one corpus-keyed
+    # shuffle at max_res, then EVERY level's counts come from ONE
+    # ancestor-explode + groupBy over the grid-bounded fine-cell table —
+    # the round-5 cascade materialized (and persisted) max_res−res0+1
+    # per-level aggregates and ran a semi-join per level, a chain of
+    # K exchanges whose job cadence dominated. Same total aggregation
+    # work (Σ 4^-k of the fine table either way), K× fewer stages. The
+    # closed-form ancestor (÷2^(r−q) per axis) is the grid's power-of-two
+    # nesting, identical to the chained parent arithmetic.
     fine = (assign_cell(pages, max_res, lat=lat, lng=lng, out='cell')
             .where(F.col('cell') >= 0)
-            .groupBy('cell').agg(F.count('*').alias('n_pages'))
-            .persist())
-    counts[max_res] = fine
-    for r in range(max_res - 1, res0 - 1, -1):
-        nx_child, _ = cells.dims(r + 1)
-        nx_par, _ = cells.dims(r)
-        parent = (f'((cell DIV {nx_child}) DIV 2) * {nx_par} + '
-                  f'(cell % {nx_child}) DIV 2')
-        counts[r] = (counts[r + 1]
-                     .select(F.expr(parent).alias('cell'), 'n_pages')
-                     .groupBy('cell').agg(F.sum('n_pages')
-                                          .alias('n_pages'))
-                     .persist())
-    parts = []
-    for r in range(res0, max_res + 1):
-        c = counts[r]
-        if r == res0:
-            leaf = c.where(F.col('n_pages') <= cap)
-        else:
-            nx_child, _ = cells.dims(r)
-            nx_par, _ = cells.dims(r - 1)
-            parent = (f'((cell DIV {nx_child}) DIV 2) * {nx_par} + '
-                      f'(cell % {nx_child}) DIV 2')
-            hot_par = (counts[r - 1].where(F.col('n_pages') > cap)
-                       .select(F.col('cell').alias('_pc')))
-            leaf = (c.withColumn('_p', F.expr(parent))
-                    .join(hot_par, F.col('_p') == F.col('_pc'),
-                          'left_semi')
-                    .where((F.col('n_pages') <= cap)
-                           | F.lit(r == max_res)))
-        parts.append(leaf.select(F.lit(r).cast('int').alias('res'),
-                                 'cell', 'n_pages'))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+            .groupBy('cell').agg(F.count('*').alias('n_pages')))
+    nx_fine, _ = cells.dims(max_res)
+
+    def anc(q: int) -> str:
+        sh = 1 << (max_res - q)
+        nx_q, _ = cells.dims(q)
+        return (f'((cell DIV {nx_fine}) DIV {sh}) * {nx_q} + '
+                f'(cell % {nx_fine}) DIV {sh}')
+
+    structs = []
+    for q in range(res0, max_res + 1):
+        par = anc(q - 1) if q > res0 else 'CAST(NULL AS BIGINT)'
+        structs.append(f"named_struct('lvl', {q}, 'c', {anc(q)}, "
+                       f"'par', {par})")
+    lv = (fine.select(F.explode(F.expr(
+              'array(' + ', '.join(structs) + ')')).alias('s'), 'n_pages')
+          .select(F.col('s.lvl').alias('lvl'), F.col('s.c').alias('cell'),
+                  F.col('s.par').alias('par'), 'n_pages')
+          .groupBy('lvl', 'cell', 'par')
+          .agg(F.sum('n_pages').alias('n_pages'))
+          .persist())
+    hot = lv.where(F.col('n_pages') > cap).select(
+        F.col('lvl').alias('_l'), F.col('cell').alias('_pc'))
+    root = (lv.where((F.col('lvl') == res0) & (F.col('n_pages') <= cap)))
+    children = (lv.where(F.col('lvl') > res0)
+                .join(hot, (F.col('lvl') - 1 == F.col('_l')) &
+                           (F.col('par') == F.col('_pc')), 'left_semi')
+                .where((F.col('n_pages') <= cap)
+                       | (F.col('lvl') == max_res)))
+    out = (root.unionByName(children)
+           .select(F.col('lvl').cast('int').alias('res'), 'cell',
+                   'n_pages'))
     from buzzard_spark.session import checkpoint_release
-    return checkpoint_release(out, list(counts.values()))
+    return checkpoint_release(out, [lv])
 
 
 def quadtree_leaves_oracle_sql(pages_cte: str, cap: int, max_res: int,
@@ -628,32 +629,47 @@ def compact_cells(cell_set: DataFrame, res: int, min_res: int = 0) -> DataFrame:
         raise ValueError(f'need 0 <= min_res <= res: {min_res}, {res}')
     from buzzard_spark.session import checkpoint_release
 
-    def _parent_sql(r: int) -> str:
-        nxc, nxp = 8 << r, 8 << (r - 1)
-        return (f'((cell DIV {nxc}) DIV 2) * {nxp} + '
-                f'(cell % {nxc}) DIV 2')
-
+    # Single-pass level table (round-6 restructure, same scheme as
+    # quadtree_leaves): a level-q ancestor is recursively full iff ALL
+    # 4^(res−q) of its res-level descendants are present, so ONE
+    # ancestor-explode + count over the distinct cell set yields every
+    # level's full set at once — the round-5 cascade persisted one
+    # COUNT(*)=4 aggregate per level and anti-joined per level (2K
+    # exchanges for K levels; job cadence dominated). 4^(res−lvl) is
+    # shiftleft(1, 2·(res−lvl)) — exact integer, and counts can only
+    # reach it when every descendant is distinct-present (the input is
+    # deduplicated first, exactly as before).
     occ = cell_set.select('cell').distinct()
-    levels: dict[int, DataFrame] = {res: occ.persist()}
-    for r in range(res, min_res, -1):
-        levels[r - 1] = (levels[r]
-                         .groupBy(F.expr(_parent_sql(r)).alias('cell'))
-                         .count()
-                         .where(F.col('count') == 4).select('cell')
-                         .persist())
-    parts = []
-    for r in range(res, min_res, -1):
-        keep = (levels[r]
-                .withColumn('_p', F.expr(_parent_sql(r)))
-                .join(levels[r - 1].withColumnRenamed('cell', '_p'),
-                      '_p', 'left_anti'))
-        parts.append(keep.select(F.lit(r).alias('res'), 'cell'))
-    parts.append(levels[min_res].select(
-        F.lit(min_res).alias('res'), 'cell'))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return checkpoint_release(out, list(levels.values()))
+    nx_fine = 8 << res
+
+    def anc(q: int) -> str:
+        sh = 1 << (res - q)
+        nx_q = 8 << q
+        return (f'((cell DIV {nx_fine}) DIV {sh}) * {nx_q} + '
+                f'(cell % {nx_fine}) DIV {sh}')
+
+    structs = []
+    for q in range(min_res, res + 1):
+        par = anc(q - 1) if q > min_res else 'CAST(NULL AS BIGINT)'
+        structs.append(f"named_struct('lvl', {q}, 'c', {anc(q)}, "
+                       f"'par', {par})")
+    lv = (occ.select(F.explode(F.expr(
+              'array(' + ', '.join(structs) + ')')).alias('s'))
+          .select(F.col('s.lvl').alias('lvl'), F.col('s.c').alias('cell'),
+                  F.col('s.par').alias('par'))
+          .groupBy('lvl', 'cell', 'par').agg(F.count('*').alias('_n')))
+    fulls = (lv.where(F.col('_n') ==
+                      F.expr(f'shiftleft(1L, 2 * ({res} - lvl))'))
+             .persist())
+    covered = fulls.select(F.col('lvl').alias('_l'),
+                           F.col('cell').alias('_c'))
+    keep = (fulls.where(F.col('lvl') > min_res)
+            .join(covered, (F.col('lvl') - 1 == F.col('_l')) &
+                           (F.col('par') == F.col('_c')), 'left_anti'))
+    out = (keep.select(F.col('lvl').alias('res'), 'cell')
+           .unionByName(fulls.where(F.col('lvl') == min_res)
+                        .select(F.col('lvl').alias('res'), 'cell')))
+    return checkpoint_release(out, [fulls])
 
 
 def compact_cells_oracle_sql(cells_cte: str, res: int,
@@ -818,27 +834,32 @@ def cell_pyramid(pages: DataFrame, res: int, min_res: int = 0,
     """
     if not 0 <= min_res <= res:
         raise ValueError(f'need 0 <= min_res <= res: {min_res}, {res}')
-    from buzzard_spark.session import checkpoint_release
-
+    # Single-pass level table (round-6 restructure, same scheme as
+    # quadtree_leaves): corpus aggregated ONCE at the finest level, then
+    # every coarser level comes from one ancestor-explode + groupBy of
+    # the grid-bounded fine table — the round-5 cascade persisted one
+    # aggregate per level (K exchanges + K cache round-trips). Total
+    # aggregation work is the same Σ 4^-k; nothing is persisted, so the
+    # plan is a straight pipeline and no checkpoint is needed.
     base = (assign_cell(pages, res, lat=lat, lng=lng, out='cell')
             .where(F.col('cell') >= 0)
             .groupBy('cell').agg(F.count('*').alias('n_pages')))
-    levels: dict[int, DataFrame] = {res: base.persist()}
-    for r in range(res, min_res, -1):
-        nxc, nxp = 8 << r, 8 << (r - 1)
-        par = (f'((cell DIV {nxc}) DIV 2) * {nxp} + '
-               f'(cell % {nxc}) DIV 2')
-        levels[r - 1] = (levels[r]
-                         .groupBy(F.expr(par).alias('cell'))
-                         .agg(F.sum('n_pages').alias('n_pages'))
-                         .persist())
-    out = None
-    for r in range(res, min_res - 1, -1):
-        part = levels[r].select(F.lit(r).alias('res'), 'cell',
-                                F.col('n_pages').cast('long')
-                                .alias('n_pages'))
-        out = part if out is None else out.unionByName(part)
-    return checkpoint_release(out, list(levels.values()))
+    nx_fine = 8 << res
+
+    def anc(q: int) -> str:
+        sh = 1 << (res - q)
+        nx_q = 8 << q
+        return (f'((cell DIV {nx_fine}) DIV {sh}) * {nx_q} + '
+                f'(cell % {nx_fine}) DIV {sh}')
+
+    structs = [f"named_struct('lvl', {q}, 'c', {anc(q)})"
+               for q in range(min_res, res + 1)]
+    return (base.select(F.explode(F.expr(
+                'array(' + ', '.join(structs) + ')')).alias('s'),
+                'n_pages')
+            .groupBy(F.col('s.lvl').alias('res'),
+                     F.col('s.c').alias('cell'))
+            .agg(F.sum('n_pages').cast('long').alias('n_pages')))
 
 
 def cell_pyramid_oracle_sql(pages_cte: str, res: int, min_res: int = 0,

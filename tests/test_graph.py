@@ -380,3 +380,30 @@ def test_small_graph_fast_paths_match_distributed(spark):
     dr = resolve_redirects(red, small_graph_edges=0)
     assert [(f.name, f.dataType) for f in fr.schema] == \
         [(f.name, f.dataType) for f in dr.schema]
+
+
+def test_rank_fast_paths_match_distributed(spark):
+    """pagerank_exact_uniform / trustrank_exact_uniform fast paths emit
+    the distributed rounds' exact BIGINT scores (cap 200k vs cap 0)."""
+    from buzzard_spark.operators.graph import (pagerank_exact_uniform,
+                                               trustrank_exact_uniform)
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], 'v long')
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + j * 13 + 1) % n) for i in range(n) for j in range(4)],
+        'src long, dst long')
+    seeds = spark.createDataFrame([(i,) for i in range(0, n, 5)], 'v long')
+    for iters in (1, 3):
+        fast = {tuple(r) for r in
+                pagerank_exact_uniform(nodes, edges, iters=iters).collect()}
+        dist = {tuple(r) for r in
+                pagerank_exact_uniform(nodes, edges, iters=iters,
+                                       small_graph_edges=0).collect()}
+        assert fast == dist, iters
+        tfast = {tuple(r) for r in
+                 trustrank_exact_uniform(nodes, edges, seeds,
+                                         iters=iters).collect()}
+        tdist = {tuple(r) for r in
+                 trustrank_exact_uniform(nodes, edges, seeds, iters=iters,
+                                         small_graph_edges=0).collect()}
+        assert tfast == tdist, iters
