@@ -304,9 +304,96 @@ def _thin_subiter(tiles: DataFrame, sub: int, carry: bool) -> DataFrame:
             .applyInPandas(_apply, _THIN_SCHEMA))
 
 
+def _thin_block(tiles: DataFrame, n_sub: int) -> DataFrame:
+    """``n_sub`` thinning subiterations (alternating Lam-Lee-Suen sub
+    0/1) in ONE halo exchange — the halo-deepening round reduction: with
+    an ``n_sub``-pixel halo, each subiteration invalidates one outer ring
+    of the local window, so every OWN pixel's ``n_sub``-step evolution is
+    exact (bit-identical to ``n_sub`` global subiterations). One
+    mapInPandas + one cogroup shuffle per block instead of one PER
+    SUBITERATION (``_thin_subiter``) — at scale the per-round barrier and
+    shuffle is the dominant thinning cost, and this divides the round
+    count by ``n_sub``. Requires ``n_sub`` <= min tile dimension so the
+    8-neighbor exchange covers the whole halo (thin_tiles guards).
+
+    ``_chg`` counts own-pixel deletions in the LAST TWO subiterations
+    (the final full iteration) — the same convergence statistic the
+    per-subiteration path carries."""
+    H = n_sub
+
+    def _emit_halo(iterator):
+        for pdf in iterator:
+            frames = []
+            for _, row in pdf.iterrows():
+                h, w = int(row.h), int(row.w)
+                mask = _unpack_mask(row['mask'], h, w)
+                ys, xs = np.nonzero(mask)
+                if not len(ys):
+                    continue
+                gy = (ys + int(row.y0)).astype(np.int32)
+                gx = (xs + int(row.x0)).astype(np.int32)
+                top, bot = ys < H, ys >= h - H
+                lef, rig = xs < H, xs >= w - H
+                for dy, dx, sel in ((-1, 0, top), (1, 0, bot),
+                                    (0, -1, lef), (0, 1, rig),
+                                    (-1, -1, top & lef), (-1, 1, top & rig),
+                                    (1, -1, bot & lef), (1, 1, bot & rig)):
+                    n = int(sel.sum())
+                    if n:
+                        frames.append(pd.DataFrame({
+                            'tile_y': np.full(n, int(row.tile_y) + dy,
+                                              np.int32),
+                            'tile_x': np.full(n, int(row.tile_x) + dx,
+                                              np.int32),
+                            'y': gy[sel], 'x': gx[sel]}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame(columns=['tile_y', 'tile_x', 'y', 'x']))
+
+    halos = tiles.mapInPandas(_emit_halo, 'tile_y int, tile_x int, '
+                                          'y int, x int')
+
+    def _apply(key, tpdf: pd.DataFrame, hpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(tpdf):
+            return pd.DataFrame(columns=[
+                'tile_y', 'tile_x', 'y0', 'x0', 'h', 'w', 'mask', '_chg'])
+        row = tpdf.iloc[0]
+        h, w = int(row.h), int(row.w)
+        y0, x0 = int(row.y0), int(row.x0)
+        mask = _unpack_mask(row['mask'], h, w)
+        # window = own tile + H-px halo ring, plus the 1-px zero pad
+        # _thin_delete needs; cells beyond the halo are assumed empty,
+        # which is exactly the staleness the per-subiteration validity
+        # argument absorbs (ring k of the window is stale after k
+        # subiterations; own pixels sit >= H rings deep).
+        P = np.zeros((h + 2 * H + 2, w + 2 * H + 2), bool)
+        P[H + 1:H + 1 + h, H + 1:H + 1 + w] = mask
+        if len(hpdf):
+            hy = hpdf['y'].to_numpy(np.int64) - y0 + H + 1
+            hx = hpdf['x'].to_numpy(np.int64) - x0 + H + 1
+            P[hy, hx] = True
+        chg = 0
+        for k in range(n_sub):
+            d = raster._thin_delete(P, k % 2)
+            if k >= n_sub - 2:
+                chg += int(d[H:H + h, H:H + w].sum())
+            if d.any():
+                P[1:-1, 1:-1] &= ~d
+        return pd.DataFrame([{
+            'tile_y': int(row.tile_y), 'tile_x': int(row.tile_x),
+            'y0': y0, 'x0': x0, 'h': h, 'w': w,
+            'mask': bytearray(np.packbits(
+                P[H + 1:H + 1 + h, H + 1:H + 1 + w]).tobytes()),
+            '_chg': chg}])
+
+    return (tiles.groupby('tile_y', 'tile_x')
+            .cogroup(halos.groupby('tile_y', 'tile_x'))
+            .applyInPandas(_apply, _THIN_SCHEMA))
+
+
 def thin_tiles(spark: SparkSession, mask_tiles: DataFrame,
                max_iters: int = 1024,
-               cache_registry: list | None = None) -> DataFrame:
+               cache_registry: list | None = None,
+               min_tile_dim: int | None = None) -> DataFrame:
     """Distributed morphological thinning of a tiled mask — the scale
     analogue of ``kernels.raster.thin`` (the reference's ``skm.thin``
     preprocessing, buzzard/_footprint.py:1631): per-iteration, every tile
@@ -331,19 +418,34 @@ def thin_tiles(spark: SparkSession, mask_tiles: DataFrame,
 
     tiles = mask_tiles.select('tile_y', 'tile_x', 'y0', 'x0', 'h', 'w',
                               'mask')
+    # Halo depth is bounded by the smallest tile dimension (the 8-neighbor
+    # exchange can only reach one tile over). Callers that know their grid
+    # pass ``min_tile_dim`` (vectorize_lines derives it from fp/tile_size
+    # — zero extra jobs); otherwise one tiny min(h,w) aggregate decides.
+    if min_tile_dim is None:
+        r = tiles.agg(F.min('h').alias('mh'), F.min('w').alias('mw')) \
+            .collect()[0]
+        min_tile_dim = min(r['mh'] or 4, r['mw'] or 4)
+    n_sub = 4 if min_tile_dim >= 4 else (2 if min_tile_dim >= 2 else 1)
     ckpts = []
-    for _ in range(0, max_iters, 2):
+    for _ in range(0, max_iters, max(1, n_sub // 2)):
         # TWO full iterations materialize per convergence job (the CC
-        # sig-every-other-round trick): carry resets at the iteration
-        # boundary, so the checked sum counts ONLY the second iteration's
-        # deletions — zero means a full iteration deleted nothing, the
-        # sound fixpoint criterion. Worst case runs one extra iteration at
-        # the fixpoint, which deletes nothing (thinning is idempotent
-        # there), so the output mask is bit-identical at half the jobs.
-        t0 = _thin_subiter(tiles, 0, carry=False)
-        t1 = _thin_subiter(t0, 1, carry=True)
-        t2 = _thin_subiter(t1, 0, carry=False)
-        t3 = _thin_subiter(t2, 1, carry=True).localCheckpoint(eager=False)
+        # sig-every-other-round trick): the checked sum counts ONLY the
+        # last full iteration's deletions — zero means a full iteration
+        # deleted nothing, the sound fixpoint criterion. Worst case runs
+        # one extra iteration at the fixpoint, which deletes nothing
+        # (thinning is idempotent there), so the output mask is
+        # bit-identical at half the jobs. With n_sub >= 2 the whole block
+        # is ONE halo exchange (_thin_block halo-deepening) instead of one
+        # exchange per subiteration; 1-px tiles keep the per-subiteration
+        # path.
+        if n_sub >= 2:
+            t3 = _thin_block(tiles, n_sub).localCheckpoint(eager=False)
+        else:
+            t0 = _thin_subiter(tiles, 0, carry=False)
+            t1 = _thin_subiter(t0, 1, carry=True).localCheckpoint(
+                eager=False)
+            t3 = t1
         ckpts.append(t3)
         total = t3.agg(F.sum('_chg')).collect()[0][0] or 0
         tiles = t3
@@ -436,7 +538,13 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
     # instead of writing their own file-backed checkpoints
     registry: list = []
     if thin_first:
-        mask_tiles = thin_tiles(spark, mask_tiles, cache_registry=registry)
+        # smallest tile dimension of the fp/tile_size grid (boundary tiles
+        # are the remainder) — lets thin_tiles size its halo without a job
+        rx, ry = (int(v) for v in fp.rsize)
+        mtd = min(min(rx % tile_size or tile_size, rx),
+                  min(ry % tile_size or tile_size, ry))
+        mask_tiles = thin_tiles(spark, mask_tiles, cache_registry=registry,
+                                min_tile_dim=mtd)
     # pixels feeds both the edge extraction and the square-links stage
     pixels = _tile_halo_pixels(mask_tiles).persist()
 
@@ -601,7 +709,10 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
                              'lroot': [find(e) for e in eids]})
 
     local = intra.groupBy('_ta').applyInPandas(_uf, 'eid long, lroot long')
-    m = (edges_px.select('eid').distinct()
+    # eid = (origin pixel)*4 + dir is unique per edge row by construction
+    # (each tile emits its own pixels' edges exactly once), so no distinct
+    # — the old distinct() was a full extra exchange of the edge set
+    m = (edges_px.select('eid')
          .join(local, 'eid', 'left')
          .select('eid', F.coalesce('lroot', 'eid').alias('lroot'))
          .persist())

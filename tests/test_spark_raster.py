@@ -297,3 +297,50 @@ def test_find_lines_closed_form_input():
     assert (kraster.thin(mask) == mask).all()
     out = kraster.find_lines(fp, mask)
     assert Counter(len(p) for p in out) == Counter(expected)
+
+
+def _mask_tiles_df(spark, mask, tile_size):
+    h, w = mask.shape
+    rows = []
+    for ty, y0 in enumerate(range(0, h, tile_size)):
+        for tx, x0 in enumerate(range(0, w, tile_size)):
+            th = min(tile_size, h - y0)
+            tw = min(tile_size, w - x0)
+            sub = mask[y0:y0 + th, x0:x0 + tw]
+            rows.append((ty, tx, y0, x0, th, tw,
+                         bytearray(np.packbits(sub).tobytes())))
+    return spark.createDataFrame(rows, raster_ops.TILE_SCHEMA)
+
+
+def _stitch(rows, shape):
+    out = np.zeros(shape, bool)
+    for r in rows:
+        sub = np.unpackbits(
+            np.frombuffer(bytes(r['mask']), dtype=np.uint8),
+            count=r['h'] * r['w']).reshape(r['h'], r['w']).astype(bool)
+        out[r['y0']:r['y0'] + r['h'], r['x0']:r['x0'] + r['w']] = sub
+    return out
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_thin_tiles_deep_halo_matches_kernel(spark, seed):
+    """The halo-deepened thinning block (n_sub subiterations per exchange,
+    _thin_block) must stay bit-identical to kernels.raster.thin on the
+    stitched mask — exercised at halo depth 4 (tile_size=16 grid, the
+    production configuration) AND depth 2 (ragged 3-px boundary tiles) on
+    random multi-blob masks whose thinning runs many real iterations."""
+    rng = np.random.default_rng(seed)
+    mask = np.zeros((39, 54), bool)
+    for _ in range(6):
+        cy, cx = rng.integers(4, 35), rng.integers(4, 50)
+        ry, rx = rng.integers(2, 8), rng.integers(2, 10)
+        yy, xx = np.ogrid[:39, :54]
+        mask |= ((yy - cy) ** 2 / max(ry, 1) ** 2 +
+                 (xx - cx) ** 2 / max(rx, 1) ** 2) <= 1.0
+    want = raster.thin(mask)
+    assert want.sum() > 0 and (want != mask).any()
+    for ts in (16, 6):
+        tiles = _mask_tiles_df(spark, mask, ts)
+        got_rows = raster_ops.thin_tiles(spark, tiles).collect()
+        got = _stitch(got_rows, mask.shape)
+        assert (got == want).all(), f'tile_size={ts} mismatch'
