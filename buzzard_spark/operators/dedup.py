@@ -449,22 +449,32 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
 
     Output: (id_a, id_b, hamming), id_a < id_b.
 
-    The (id, simhash) projection is persisted for the duration of the
-    call: the class/member/band/expand stages read it through FIVE plan
-    branches, and an unpinned input would re-evaluate the upstream
-    simhash expression (64 bits of md5-nibble folding per document, plus
-    whatever corpus transform feeds it) once per branch — measured 2×
-    end-to-end on the driver corpus (round 4). Released through the
-    result's reliable checkpoint (cache-lifetime contract).
+    The window-tagged member table (id, simhash, class rep, class size)
+    is persisted for the duration of the call: the star/intra/band/expand
+    stages read it through five plan branches, and an unpinned input
+    would re-evaluate the upstream simhash expression (64 bits of
+    md5-nibble folding per document, plus whatever corpus transform feeds
+    it) once per branch — measured 2× end-to-end on the driver corpus
+    (round 4). Released through the result's reliable checkpoint
+    (cache-lifetime contract).
     """
     nb = max_hamming + 1
     width = 64 // nb
 
-    base = df.select(F.col(id_col).alias('_mid'),
-                     F.col(sim_col).alias('_sim')).persist()
-    classes = (base.groupBy('_sim')
-               .agg(F.min('_mid').alias('_rid'), F.count('*').alias('_n')))
-    members = base.join(classes, '_sim')
+    # class size + representative as a WINDOW over _sim (one exchange of
+    # the (id, simhash) projection), and THE TAGGED MEMBERS are what gets
+    # persisted: the five downstream plan branches (stars / intra a+b /
+    # expand ×2) previously each re-executed a base⨝classes shuffle join
+    # — now they read the one cached, _sim-partitioned table (the intra
+    # self-join even reuses the window's partitioning). Same rewrite as
+    # _lsh_candidates; skew exposure unchanged (a giant identical-hash
+    # class occupied one join task before, one window task now).
+    ws = Window.partitionBy('_sim')
+    members = (df.select(F.col(id_col).alias('_mid'),
+                         F.col(sim_col).alias('_sim'))
+               .withColumn('_rid', F.min('_mid').over(ws))
+               .withColumn('_n', F.count('*').over(ws))
+               .persist())
     # classes over the cap: O(class) star to the representative
     stars = (members.where((F.col('_n') > class_cap) &
                            (F.col('_mid') != F.col('_rid')))
@@ -497,7 +507,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
         return (f"named_struct('b', {b}, "
                 f"'v', shiftright(_sim, {lo}) & {mask}L)")
 
-    uniq = classes.select(F.col('_rid').alias('_id'), '_sim')
+    uniq = (members.where(F.col('_mid') == F.col('_rid'))
+            .select(F.col('_rid').alias('_id'), '_sim'))
     banded = uniq.select(
         '_id', '_sim',
         F.explode(F.array(*[F.expr(band_expr(b))
@@ -520,7 +531,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = 'doc_id',
                      'hamming'))
     out = cross.unionByName(intra).unionByName(stars)
     from buzzard_spark.session import checkpoint_release
-    return checkpoint_release(out, [base])
+    return checkpoint_release(out, [members])
 
 
 def build_dedup_index(df: DataFrame, id_col: str = 'doc_id',

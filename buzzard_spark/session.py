@@ -69,6 +69,26 @@ def get_session(master: str | None = None, app_name: str = 'buzzard_spark',
     return builder.getOrCreate()
 
 
+def warm_session(spark) -> None:
+    """One-time session warmup: JVM codegen, the Arrow/pandas Python
+    worker pool, and the window codegen path — the same first-use costs
+    bench.py's inline warmup absorbs (measured 5-7s otherwise billed to
+    whichever query a harness runs first). Correctness harnesses
+    (tools/check_oracle.py, the driver's gate mimic) call this so their
+    per-query walls measure operators, not session spin-up."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    warm = spark.range(0, 100_000, 1, 8).selectExpr('id', 'id % 7 AS k')
+    warm.groupBy('k').applyInPandas(
+        lambda pdf: _pd.DataFrame({'k': [int(pdf['k'].iloc[0])],
+                                   'n': [len(pdf)]}), 'k long, n long') \
+        .write.format('noop').mode('overwrite').save()
+    warm.select(F.row_number().over(
+        W.partitionBy('k').orderBy('id')).alias('rn')) \
+        .where('rn <= 3').write.format('noop').mode('overwrite').save()
+
+
 def ensure_checkpoint_dir(spark) -> None:
     """Set a session-scoped reliable checkpoint dir if none is configured.
 

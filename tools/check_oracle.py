@@ -40,6 +40,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     only = set(sys.argv[2:])
     spark = get_session()
+    # absorb JVM codegen / Python-worker-pool / window first-use costs up
+    # front (same warmup bench.py runs) so the first query's wall — and
+    # the gate's total budget — measures operators, not session spin-up
+    from buzzard_spark.session import warm_session
+    warm_session(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
