@@ -225,17 +225,22 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     # empty-shingle docs (< k tokens) can never share a shingle — the exact
     # oracle excludes them, so the star path must too. Shingle sets are
     # int64 ids (shingle_ids): no string shingles anywhere in the pipeline.
+    # The exact-dup class representative (min id per content hash) is a
+    # WINDOW over _fp computed INTO the persisted shingle table: the star
+    # edges, the rep-only LSH input and the member-expansion map were each
+    # a shuffle join against a separate reps aggregate before — now all
+    # three are filters/projections of the one cache.
     sh_all = shingle_ids(base, text_col, k).select(
         id_col, 'shingles', F.md5(F.encode(text_col, 'utf-8')).alias('_fp'))
-    sh = sh_all.where(F.size('shingles') > 0).persist()
-    reps = sh.groupBy('_fp').agg(F.min(id_col).alias('_rep'))
-    star = (sh.join(reps, '_fp')
-            .where(F.col(id_col) != F.col('_rep'))
+    wf = Window.partitionBy('_fp')
+    sh = (sh_all.where(F.size('shingles') > 0)
+          .withColumn('_rep', F.min(id_col).over(wf))
+          .persist())
+    star = (sh.where(F.col(id_col) != F.col('_rep'))
             .select(F.col('_rep').alias('id_a'),
                     F.col(id_col).alias('id_b'),
                     F.lit(1000).cast('long').alias('jaccard_pm')))
-    rep_sh = (sh.join(reps.withColumnRenamed('_rep', id_col)
-                      .select(id_col), id_col, 'left_semi'))
+    rep_sh = sh.where(F.col(id_col) == F.col('_rep'))
     sig = minhash_signature(rep_sh, n_hashes)
     cand, lsh_cached = _lsh_candidates(sig, id_col, n_hashes, bands,
                                        bucket_cap=bucket_cap)
@@ -267,7 +272,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = 'doc_id',
     # share their rep's shingle set, so the Jaccard carries over verbatim):
     # the all-pairs contract between different duplicate classes is kept;
     # only the intra-class quadratic set stays a star.
-    rep_of = sh.join(reps, '_fp').select(F.col(id_col).alias('_mid'), '_rep')
+    rep_of = sh.select(F.col(id_col).alias('_mid'), '_rep')
     expanded = (rep_pairs
                 .join(rep_of.withColumnRenamed('_rep', 'id_a')
                       .withColumnRenamed('_mid', '_ma'), 'id_a')
@@ -326,9 +331,11 @@ def containment_pairs(df: DataFrame, id_col: str = 'doc_id',
           .select(id_col, 'shingles').persist())
     inv = sh.select(F.col(id_col).alias('_id'),
                     F.explode('shingles').alias('_s'))
-    hot = (inv.groupBy('_s').agg(F.count('*').alias('_df'))
-           .where(F.col('_df') > df_cap).select('_s'))
-    rare = inv.join(hot, '_s', 'left_anti')
+    # hot-shingle drop as a window count over _s (one exchange of the
+    # postings) instead of a groupBy aggregate plus an anti-join back;
+    # the candidate self-join below reuses the same _s partitioning
+    rare = (inv.withColumn('_df', F.count('*').over(Window.partitionBy('_s')))
+            .where(F.col('_df') <= df_cap).drop('_df'))
     cand = (rare.alias('a')
             .join(rare.alias('b'), '_s')
             .where(F.col('a._id') < F.col('b._id'))
@@ -715,8 +722,10 @@ def setsim_pairs(df: DataFrame, threshold_num: int, threshold_den: int,
     # |tokens| comes from the array — no second window pass over postings
     toks = base.select('id', F.size('sh').alias('s'),
                        F.explode('sh').alias('tok'))
-    tok_df = toks.groupBy('tok').agg(F.count('*').alias('df_'))
-    t = toks.join(tok_df, 'tok')
+    # global document frequency as a window count over tok (one exchange
+    # of the postings) instead of a groupBy aggregate plus a join back
+    t = toks.withColumn('df_',
+                        F.count('*').over(Window.partitionBy('tok')))
     w = Window.partitionBy('id').orderBy('df_', 'tok')
     ranked = t.withColumn('rn', F.row_number().over(w))
     # p = s - ceil(num*s/den) + 1; ceil(a/b) = (a + b - 1) div b
