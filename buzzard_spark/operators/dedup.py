@@ -854,9 +854,11 @@ def editdist_pairs(df: DataFrame, max_dist: int,
          .select('id', 'ln', F.explode(F.expr(grams)).alias('gr')))
     occ_w = Window.partitionBy('id', 'gr').orderBy(F.lit(0))
     g = g.withColumn('occ', F.row_number().over(occ_w))
-    gram_df = g.groupBy('gr').agg(F.count('*').alias('_df'))
+    # global gram frequency as a window count over gr (one exchange of
+    # the gram rows) instead of a groupBy aggregate plus a join back
     pre_w = Window.partitionBy('id').orderBy('_df', 'gr', 'occ')
-    prefix = (g.join(gram_df, 'gr')
+    prefix = (g.withColumn('_df',
+                           F.count('*').over(Window.partitionBy('gr')))
               .withColumn('_rn', F.row_number().over(pre_w))
               .where(F.col('_rn') <= 2 * d + 1)
               .select('id', 'ln', 'gr', 'occ'))
