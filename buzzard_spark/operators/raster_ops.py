@@ -466,6 +466,13 @@ def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
     rows carry own=false). Lets every tile evaluate 3×3 neighborhoods of
     its own pixels exactly. Emission is JVM-free only inside the pandas
     kernel; the shuffle is keyed by destination tile."""
+    return _tile_halo_pixels_h(mask_tiles, 1)
+
+
+def _tile_halo_pixels_h(mask_tiles: DataFrame, halo: int) -> DataFrame:
+    """``_tile_halo_pixels`` with a configurable halo depth: pixels within
+    ``halo`` of a tile border replicate into the adjacent neighbor(s).
+    Requires ``halo`` <= the smallest tile dimension (one-tile reach)."""
     def _emit(key, pdf: pd.DataFrame):
         tys, txs, ys_o, xs_o, owns = [], [], [], [], []
 
@@ -487,10 +494,11 @@ def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
             gy = (ys + int(row.y0)).astype(np.int32)
             gx = (xs + int(row.x0)).astype(np.int32)
             _add(ty, tx, gy, gx, True)
-            # replicate border pixels into the 8 neighbor tiles as halo —
-            # one boolean-mask slice per direction (no per-pixel Python)
-            top, bot = ys == 0, ys == h - 1
-            lef, rig = xs == 0, xs == w - 1
+            # replicate border-band pixels into the 8 neighbor tiles as
+            # halo — one boolean-mask slice per direction (no per-pixel
+            # Python)
+            top, bot = ys < halo, ys >= h - halo
+            lef, rig = xs < halo, xs >= w - halo
             for dy, dx, sel in ((-1, 0, top), (1, 0, bot),
                                 (0, -1, lef), (0, 1, rig),
                                 (-1, -1, top & lef), (-1, 1, top & rig),
@@ -506,6 +514,106 @@ def _tile_halo_pixels(mask_tiles: DataFrame) -> DataFrame:
 
     return (mask_tiles.groupBy('tile_y', 'tile_x').applyInPandas(
         _emit, 'tile_y int, tile_x int, y int, x int, own boolean'))
+
+
+_EDGE_SCHEMA = ('eid long, ax int, ay int, bx int, by int, '
+                'ea long, eb long, la long, lb long')
+
+
+def _edges_with_links(pixels: DataFrame) -> DataFrame:
+    """Fused pixel-graph edge extraction + 2×2-square collapse from ONE
+    2-px-halo view: one applyInPandas pass emits the finished edge rows
+    (eid, endpoints, square-extended endpoints ea/eb, nullable square
+    top-lefts la/lb) — replacing the separate links kernel plus the two
+    edge⨝links shuffle joins of the unfused path. Validity: an edge's far
+    endpoint b lies within 1 px of an own pixel, b's candidate squares
+    within 1 px of b, and their member pixels within 1 px again — all
+    inside the 2-px halo, so la/lb (and the row-major last-wins tie-break
+    of kernels.raster.square_links, reproduced by ascending-TL overwrite)
+    are computed exactly as the global kernel computes them. Segments
+    fully inside squares (la AND lb both set) are dropped here, exactly
+    like the unfused filter."""
+    def _emit(key, pdf: pd.DataFrame):
+        cols = ['eid', 'ax', 'ay', 'bx', 'by', 'ea', 'eb', 'la', 'lb']
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
+        xs = pdf['x'].to_numpy(np.int64)
+        ys = pdf['y'].to_numpy(np.int64)
+        own_rows = pdf['own'].to_numpy(bool)
+        if not own_rows.any():
+            return pd.DataFrame(columns=cols)
+        x0, y0 = int(xs.min()) - 1, int(ys.min()) - 1
+        W = int(xs.max()) - x0 + 2
+        H = int(ys.max()) - y0 + 2
+        grid = np.zeros((H, W), bool)
+        grid[ys - y0, xs - x0] = True
+        owng = np.zeros((H, W), bool)
+        owng[ys[own_rows] - y0, xs[own_rows] - x0] = True
+        sq = np.zeros((H, W), bool)
+        sq[:-1, :-1] = (grid[:-1, :-1] & grid[1:, :-1] &
+                        grid[:-1, 1:] & grid[1:, 1:])
+
+        def _shift(a, dy, dx):
+            # out[y, x] = a[y + dy, x + dx] (zeros outside)
+            out = np.zeros_like(a)
+            ys0, ys1 = max(0, -dy), min(H, H - dy)
+            xs0, xs1 = max(0, -dx), min(W, W - dx)
+            if ys0 < ys1 and xs0 < xs1:
+                out[ys0:ys1, xs0:xs1] = a[ys0 + dy:ys1 + dy,
+                                          xs0 + dx:xs1 + dx]
+            return out
+
+        # per-cell square top-left (or -1): ascending-TL overwrite — the
+        # kernel's row-major last-wins tie-break (square AT the pixel wins
+        # last), identical order to the unfused _tile_links
+        yidx, xidx = np.indices((H, W))
+        tly = np.full((H, W), -1, np.int64)
+        tlx = np.full((H, W), -1, np.int64)
+        for dy, dx in ((1, 1), (1, 0), (0, 1), (0, 0)):
+            m = _shift(sq, -dy, -dx)  # m[y, x] = sq[y - dy, x - dx]
+            tly = np.where(m, yidx - dy, tly)
+            tlx = np.where(m, xidx - dx, tlx)
+
+        frames = []
+        for di, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (1, -1))):
+            pair = owng & _shift(grid, dy, dx)
+            if dx and dy:
+                pair &= ~(_shift(grid, 0, dx) | _shift(grid, dy, 0))
+            py, px = np.nonzero(pair)
+            if not len(py):
+                continue
+            lay = tly[py, px]
+            lax = tlx[py, px]
+            lby = tly[py + dy, px + dx]
+            lbx = tlx[py + dy, px + dx]
+            keep = (lay < 0) | (lby < 0)
+            if not keep.any():
+                continue
+            py, px = py[keep], px[keep]
+            lay, lax = lay[keep], lax[keep]
+            lby, lbx = lby[keep], lbx[keep]
+            ax = (px + x0).astype(np.int64)
+            ay = (py + y0).astype(np.int64)
+            bx, by = ax + dx, ay + dy
+            na = ay * 2097152 + ax
+            nb = by * 2097152 + bx
+            la = (lay + y0) * 2097152 + (lax + x0)
+            lb = (lby + y0) * 2097152 + (lbx + x0)
+            frames.append(pd.DataFrame({
+                'eid': na * 4 + di,
+                'ax': ax.astype(np.int32), 'ay': ay.astype(np.int32),
+                'bx': bx.astype(np.int32), 'by': by.astype(np.int32),
+                'ea': np.where(lay >= 0, la, na),
+                'eb': np.where(lby >= 0, lb, nb),
+                'la': pd.Series(la, dtype='Int64').where(lay >= 0),
+                'lb': pd.Series(lb, dtype='Int64').where(lby >= 0),
+            }))
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
+    return (pixels.groupBy('tile_y', 'tile_x')
+            .applyInPandas(_emit, _EDGE_SCHEMA))
 
 
 def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
@@ -537,15 +645,26 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
     # thin_tiles and the fragment CC register their round blocks here
     # instead of writing their own file-backed checkpoints
     registry: list = []
+    # smallest tile dimension of the fp/tile_size grid (boundary tiles are
+    # the remainder) — sizes the thinning halo AND decides whether the
+    # fused 2-px-halo edge kernel may run, all without a job
+    rx, ry = (int(v) for v in fp.rsize)
+    mtd = min(min(rx % tile_size or tile_size, rx),
+              min(ry % tile_size or tile_size, ry))
     if thin_first:
-        # smallest tile dimension of the fp/tile_size grid (boundary tiles
-        # are the remainder) — lets thin_tiles size its halo without a job
-        rx, ry = (int(v) for v in fp.rsize)
-        mtd = min(min(rx % tile_size or tile_size, rx),
-                  min(ry % tile_size or tile_size, ry))
         mask_tiles = thin_tiles(spark, mask_tiles, cache_registry=registry,
                                 min_tile_dim=mtd)
-    # pixels feeds both the edge extraction and the square-links stage
+    if mtd >= 2:
+        # fused path: one 2-px-halo exchange, one applyInPandas pass that
+        # emits the FINISHED edge rows (edge extraction + square collapse
+        # + endpoint extension) — replaces the separate links kernel over
+        # the same pixels plus two edge⨝links shuffle joins below
+        pixels = _tile_halo_pixels_h(mask_tiles, 2)
+        edges_px = _edges_with_links(pixels).persist()
+        return _vectorize_chains(spark, fp, edges_px, pixels, registry,
+                                 tile_size)
+    # 1-px-min grids (degenerate boundary tiles): the 2-px halo cannot
+    # reach across such a tile, so keep the unfused 1-px-halo path
     pixels = _tile_halo_pixels(mask_tiles).persist()
 
     def _edges(key, pdf: pd.DataFrame):
@@ -661,6 +780,18 @@ def vectorize_lines(spark: SparkSession, fp, mask_tiles: DataFrame,
                 .withColumn('ea', F.coalesce('la', 'na'))
                 .withColumn('eb', F.coalesce('lb', 'nb'))
                 .persist())
+    return _vectorize_chains(spark, fp, edges_px, pixels, registry,
+                             tile_size)
+
+
+def _vectorize_chains(spark, fp, edges_px, pixels, registry,
+                      tile_size):
+    """Shared tail of vectorize_lines: degree-2 chain resolution
+    (per-tile union-find + fragment CC), per-chain assembly, and the
+    pipeline's one reliable checkpoint. ``edges_px`` must be the
+    persisted finished edge rows (eid, ax/ay/bx/by, ea, eb, la, lb)."""
+    from buzzard_spark.operators.graph import connected_components
+
     if edges_px.isEmpty():
         from buzzard_spark.session import checkpoint_release
         empty = spark.createDataFrame([], LINE_SCHEMA)
