@@ -78,7 +78,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
          .distinct().localCheckpoint(eager=True))
     rounds = [e]
 
-    if e.count() <= small_graph_edges:
+    # one cached limit-collect both DECIDES the strategy and DELIVERS the
+    # rows (the bfs/sssp fast-path pattern): <= cap rows came back means
+    # the whole edge set came back — replaces the separate count job +
+    # collect job of the round-5 form
+    small_rows = e.limit(small_graph_edges + 1).collect()
+    if len(small_rows) <= small_graph_edges:
         parent: dict = {}
 
         def find(a):
@@ -89,7 +94,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 parent[a], a = root, parent[a]
             return root
 
-        for row in e.collect():
+        for row in small_rows:
             ra, rb = find(row['u']), find(row['v'])
             if ra != rb:
                 # union-by-min: the surviving root is the set's min id,
