@@ -65,9 +65,9 @@ def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
 
     Fallback structure (VERDICT r3 #7 — the round-3 version collected ALL
     unsettled query rows to the driver unconditionally, unbounded with a
-    bulk query table over a sparse corpus): unsettled queries are COUNTED
-    first; at or below ``broadcast_rows`` they take the broadcast brute
-    pass (the query side is the broadcast-bounded dimension), above it the
+    bulk query table over a sparse corpus): one limit-collect bounds the
+    driver trip; at or below ``broadcast_rows`` rows the unsettled set
+    takes the broadcast brute pass (the query side is the broadcast-bounded dimension), above it the
     ring radius doubles and the join re-runs DISTRIBUTIVELY on the
     unsettled subset only — no driver materialization of anything
     query-table-sized. Terminates: once the ring covers the whole grid the
@@ -107,12 +107,14 @@ def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
                                'left_semi').select(*out_cols))
         unsettled_q = qcur.join(settled_stats.select('qid'), 'qid',
                                 'left_anti')
-        # bound the driver before touching rows: count is one scalar
-        n_unsettled = unsettled_q.count()
-        if n_unsettled == 0:
+        # one limit-collect both bounds the driver AND delivers the rows
+        # (<= broadcast_rows rows back means the whole set came back; at
+        # most broadcast_rows+1 rows ever reach the driver) — replaces
+        # the separate count job + collect job
+        un_rows = unsettled_q.limit(broadcast_rows + 1).collect()
+        if not un_rows:
             break
-        if n_unsettled <= broadcast_rows:
-            un_rows = unsettled_q.collect()
+        if len(un_rows) <= broadcast_rows:
             brute_q = queries.sparkSession.createDataFrame(
                 un_rows, unsettled_q.schema)
             brute_cand = F.broadcast(brute_q).crossJoin(
@@ -121,7 +123,8 @@ def knn(pages: DataFrame, queries: DataFrame, k: int, res: int,
             break
         # too many to broadcast: widen the ring and re-join distributively
         # on the unsettled subset only (localCheckpoint truncates the
-        # growing anti-join lineage; materialized by the next count)
+        # growing anti-join lineage; materialized by the next round's
+        # limit-collect)
         qcur = unsettled_q.localCheckpoint(eager=False)
         cached.append(qcur)
         r *= 2
