@@ -1006,18 +1006,24 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = 'text',
          .select(F.col(id_col),
                  F.posexplode(F.expr(gram_h)).alias('idx', '_h'))
          .select(id_col, 'idx', '_h'))
-    dup_h = (g.groupBy('_h').agg(F.count('*').alias('_n'))
-             .where('_n > 1').select('_h'))
-    dup = g.join(dup_h, '_h', 'left_semi')
+    # duplicated-gram decision as a window count over the hash (one
+    # exchange of the gram rows) instead of a groupBy plus a semi-join
+    # back — the semi-join form evaluated the whole gram-hash projection
+    # TWICE (build side and probe side) and shuffled it twice
+    dup = (g.withColumn('_n', F.count('*').over(Window.partitionBy('_h')))
+           .where('_n > 1').drop('_n'))
     # consecutive duplicated starts share (idx - rank) — the classic
     # gaps-and-islands grouping, computed inside the per-doc window
     wd = Window.partitionBy(id_col).orderBy('idx')
     runs = (dup.withColumn('_grp', F.col('idx')
                            - F.row_number().over(wd))
             .groupBy(id_col, '_grp').agg(F.count('*').alias('_run')))
-    per_doc = (dup.groupBy(id_col).agg(F.count('*').alias('dup_grams'))
-               .join(runs.groupBy(id_col)
-                     .agg(F.max('_run').alias('max_dup_run')), id_col))
+    # dup_grams == Σ run lengths, so one per-doc aggregate over the runs
+    # yields BOTH statistics (the old form aggregated the dup rows twice
+    # and joined the two aggregates back together)
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum('_run').alias('dup_grams'),
+        F.max('_run').alias('max_dup_run'))
     totals = df.select(
         F.col(id_col),
         F.expr(f'CAST(size({ws}) AS BIGINT)').alias('n_words'),
