@@ -1119,11 +1119,14 @@ def nearest_k_refs(pages: DataFrame, refs: DataFrame, k: int,
         for r in rows)
     d2 = (f'({lat} - c.clat) * ({lat} - c.clat) + '
           f'({lng} - c.clng) * ({lng} - c.clng)')
+    # score every reference once, sort once, slice k: identical output to
+    # the old per-reference append-and-resort fold ((d2, rid) is a total
+    # order — rids are distinct), but ONE array_sort per row instead of
+    # |refs| sorts with an array allocation each (higher-order lambdas are
+    # interpreted, so per-step allocations dominated the old fold)
     fold = (
-        f"aggregate(array({lits}), "
-        f"CAST(array() AS ARRAY<STRUCT<d2: DOUBLE, rid: BIGINT>>), "
-        f'(acc, c) -> slice(array_sort(array_append(acc, '
-        f"named_struct('d2', {d2}, 'rid', c.rid))), 1, {k}))")
+        f'slice(array_sort(transform(array({lits}), '
+        f"c -> named_struct('d2', {d2}, 'rid', c.rid))), 1, {k})")
     return (pages
             .where(F.col(lat).isNotNull() & F.col(lng).isNotNull())
             .select(F.col(id_col), F.posexplode(F.expr(fold)))
