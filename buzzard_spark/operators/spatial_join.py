@@ -330,6 +330,12 @@ def nearest_region(pages: DataFrame, centroids: DataFrame,
         for r in rows)
     d2 = (f'({lat} - c.clat) * ({lat} - c.clat) + '
           f'({lng} - c.clng) * ({lng} - c.clng)')
+    # NOTE (round 6, measured): an array_min-over-scored-structs rewrite
+    # (one d2 eval per centroid instead of two) was interleave-A/B'd at
+    # sf0.1 and lost to this fold (0.41 vs 0.36 s min) — the per-centroid
+    # struct allocation costs more than the second interpreted d2 eval.
+    # nearest_k_refs is different: there the rewrite removes a per-step
+    # SORT, which dominates. Kept as-is.
     fold = (
         f"aggregate(array({lits}), "
         f"named_struct('rid', CAST(-1 AS BIGINT), "
