@@ -534,12 +534,16 @@ def dbscan(pages: DataFrame, eps: float, min_pts: int, res: int,
     both = pairs.unionAll(pairs.select(F.col('id_b').alias('id_a'),
                                        F.col('id_a').alias('id_b'))) \
         .toDF('id', 'nb')
+    # the core set has THREE join consumers (core_edges twice, the border
+    # anti-join once) — persist it so the degree aggregate over the pair
+    # table runs once instead of once per consumer; released through the
+    # query's one reliable checkpoint like the pair table itself
     core = (both.groupBy('id').count()
-            .where(F.col('count') + 1 >= min_pts).select('id'))
+            .where(F.col('count') + 1 >= min_pts).select('id').persist())
     core_edges = (pairs
                   .join(core.withColumnRenamed('id', 'id_a'), 'id_a')
                   .join(core.withColumnRenamed('id', 'id_b'), 'id_b'))
-    reg: list = [pairs]
+    reg: list = [pairs, core]
     comp = connected_components(core.withColumnRenamed('id', 'node'),
                                 core_edges, cache_registry=reg)
     core_lab = comp.select(F.col('node').alias('id'),
